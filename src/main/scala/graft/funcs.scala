@@ -38,6 +38,10 @@ object funcs {
   def bucketMs(ts: Column, resolutionMs: Long): Column =
     floor(unix_millis(ts) / lit(resolutionMs)).cast("long") * lit(resolutionMs)
 
+  /** Same bucketing over an epoch-millis BIGINT column. */
+  def bucketOfMs(tsMs: Column, resolutionMs: Long): Column =
+    floor(tsMs / lit(resolutionMs)).cast("long") * lit(resolutionMs)
+
   /** Synthetic deterministic position derived from a numeric series —
     * used to exercise the reference's geo operators on the testdata
     * (which has no lat/lon columns). Linear, so both engines agree

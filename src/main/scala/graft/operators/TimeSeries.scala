@@ -1,0 +1,287 @@
+package graft.operators
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Time-series operators mirroring the reference's History API engine.
+  *
+  * The reference buckets by `FLOOR(epoch_ms/res)*res` and aggregates per
+  * (context, path, bucket) — see HistoryAPI.ts:826 and
+  * services/aggregation-service.ts:423-461. Here `events` plays the
+  * SignalK series: user_id≈context, event_type≈path.
+  *
+  * Scale: every operator groups or windows by (series key, bucket) —
+  * the same keys the hive layout partitions by — so at 100 TB the
+  * shuffle is one exchange on the series key and windows never span
+  * keys. All aggregates are algebraic (partial-agg friendly).
+  */
+object TimeSeries {
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+
+  // ---------------------------------------------------------------- #5
+  /** Time-bucketed avg/min/max/count per path — HistoryAPI.ts:826. */
+  def timeBucketAvg(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy(col("event_type"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .agg(
+        davg(col("value")).as("value_avg"),
+        min("value").as("value_min"),
+        max("value").as("value_max"),
+        count(lit(1)).as("sample_count"))
+      .orderBy("event_type", "bucket_ms")
+
+  val timeBucketAvgOracle: String =
+    """SELECT event_type,
+      |  CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |  MIN(value) AS value_min,
+      |  MAX(value) AS value_max,
+      |  COUNT(*) AS sample_count
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- #6
+  /** Per-bucket first/last/median/middle_index — the reference's
+    * aggregate-method set (HistoryAPI.ts:2382-2410). first/last are
+    * deterministic via the unique event_id order; middle_index is the
+    * 1-based floor((n+1)/2)-th element ("first of two middle values",
+    * README). */
+  def aggMethods(spark: SparkSession, dir: String): DataFrame = {
+    val base = ev(spark, dir)
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), 86400000L))
+    val w = Window.partitionBy("event_type", "bucket_ms").orderBy("event_id")
+    val mid = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type", "bucket_ms")))
+      .where(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("bucket_ms"), col("value").as("middle_index_value"))
+    base.groupBy("event_type", "bucket_ms")
+      .agg(
+        min_by(col("value"), col("event_id")).as("first_value"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        r6(median(col("value"))).as("median_value"))
+      .join(mid, Seq("event_type", "bucket_ms"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  val aggMethodsOracle: String =
+    """WITH base AS (
+      |  SELECT event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS bucket_ms,
+      |    event_id, value
+      |  FROM events
+      |), mid AS (
+      |  SELECT event_type, bucket_ms, value AS middle_index_value FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ms ORDER BY event_id) AS rn,
+      |           COUNT(*) OVER (PARTITION BY event_type, bucket_ms) AS cnt
+      |    FROM base) WHERE rn = (cnt + 1) // 2
+      |)
+      |SELECT b.event_type, b.bucket_ms,
+      |  arg_min(b.value, b.event_id) AS first_value,
+      |  arg_max(b.value, b.event_id) AS last_value,
+      |  ROUND(median(b.value), 6) AS median_value,
+      |  any_value(m.middle_index_value) AS middle_index_value
+      |FROM base b JOIN mid m USING (event_type, bucket_ms)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- #8
+  /** raw→tier rollup producing the aggregated-tier file schema
+    * (aggregation-service.ts:423-439): value_avg/min/max, sample_count,
+    * first/last timestamp, keyed by (context, path, bucket). */
+  def tierRollup(df: DataFrame, resolutionMs: Long): DataFrame =
+    df.groupBy(col("user_id"), col("event_type"),
+        bucketOfMs(col("ts_ms"), resolutionMs).as("bucket_ms"))
+      .agg(
+        davg(col("value")).as("value_avg"),
+        min("value").as("value_min"),
+        max("value").as("value_max"),
+        count(lit(1)).as("sample_count"),
+        min("ts_ms").as("first_ts_ms"),
+        max("ts_ms").as("last_ts_ms"))
+
+  def tierRollupRaw(spark: SparkSession, dir: String): DataFrame =
+    tierRollup(ev(spark, dir), 300000L)
+      .orderBy("user_id", "event_type", "bucket_ms")
+
+  val tierRollupRawOracle: String =
+    """SELECT user_id, event_type,
+      |  CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |  MIN(value) AS value_min, MAX(value) AS value_max,
+      |  COUNT(*) AS sample_count,
+      |  MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- #9
+  /** Tier re-aggregation: weighted SUM(avg·n)/SUM(n), MIN of mins, MAX
+    * of maxes — lossless rollup composition
+    * (aggregation-service.ts:442-461). The avg·n product is quantized
+    * to DECIMAL so the re-sum is order-independent. */
+  def tierReaggregate(tier: DataFrame, resolutionMs: Long): DataFrame =
+    tier.groupBy(col("user_id"), col("event_type"),
+        (floor(col("bucket_ms") / lit(resolutionMs)).cast("long") * lit(resolutionMs)).as("bucket_ms2"))
+      .agg(
+        (sum((col("value_avg") * col("sample_count")).cast(DecimalType(28, 10))).cast("double") /
+          sum("sample_count")).as("value_avg"),
+        min("value_min").as("value_min"),
+        max("value_max").as("value_max"),
+        sum("sample_count").as("sample_count"),
+        min("first_ts_ms").as("first_ts_ms"),
+        max("last_ts_ms").as("last_ts_ms"))
+      .withColumnRenamed("bucket_ms2", "bucket_ms")
+
+  def tierReagg(spark: SparkSession, dir: String): DataFrame =
+    tierReaggregate(tierRollup(ev(spark, dir), 300000L), 3600000L)
+      .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
+        "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
+      .orderBy("user_id", "event_type", "bucket_ms")
+
+  val tierReaggOracle: String =
+    """WITH t5 AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |    MIN(value) AS value_min, MAX(value) AS value_max,
+      |    COUNT(*) AS sample_count,
+      |    MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, event_type,
+      |  CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(value_avg * sample_count AS DECIMAL(28,10))) AS DOUBLE) / SUM(sample_count) AS value_avg,
+      |  MIN(value_min) AS value_min, MAX(value_max) AS value_max,
+      |  SUM(sample_count) AS sample_count,
+      |  MIN(first_ts_ms) AS first_ts_ms, MAX(last_ts_ms) AS last_ts_ms
+      |FROM t5 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // --------------------------------------------------------------- #12
+  /** Multi-path time alignment: one row per bucket, one column per
+    * path — the History API's aligned response shape (README "Time
+    * Alignment"). Pivot on a known path list keeps the plan static. */
+  def timeAlign(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = ev(spark, dir)
+      .groupBy(bucketOfMs(col("ts_ms"), 86400000L).as("bucket_ms"))
+      .pivot("event_type", types)
+      .agg(davg(col("value")))
+    types.foldLeft(pivoted) { (d, t) => d.withColumnRenamed(t, s"${t}_avg") }
+      .orderBy("bucket_ms")
+  }
+
+  val timeAlignOracle: String =
+    """SELECT CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS DOUBLE) / COUNT(value) FILTER (WHERE event_type = 'click') AS click_avg,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'error') AS DOUBLE) / COUNT(value) FILTER (WHERE event_type = 'error') AS error_avg,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) / COUNT(value) FILTER (WHERE event_type = 'purchase') AS purchase_avg,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'signup') AS DOUBLE) / COUNT(value) FILTER (WHERE event_type = 'signup') AS signup_avg,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'view') AS DOUBLE) / COUNT(value) FILTER (WHERE event_type = 'view') AS view_avg
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- #13
+  /** SMA smoothing: window-10 trailing mean per path
+    * (historical-streaming.ts:1147-1180). Decimal window sum keeps the
+    * sliding aggregation order-independent. */
+  def sma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_ms", "event_id")
+      .rowsBetween(-9, Window.currentRow)
+    ev(spark, dir)
+      .withColumn("sma",
+        sum(col("value").cast(DecimalType(18, 6))).over(w).cast("double") /
+          count(lit(1)).over(w))
+      .select("event_id", "event_type", "ts_ms", "value", "sma")
+      .orderBy("event_type", "ts_ms", "event_id")
+  }
+
+  val smaOracle: String =
+    """SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) / COUNT(*) OVER w AS sma
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts), event_id ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, ts_ms, event_id""".stripMargin
+
+  // --------------------------------------------------------------- #14
+  /** EMA (alpha=0.2) final value per series via an ordered left fold —
+    * same recurrence as historical-streaming.ts:1171. Both engines fold
+    * left with identical IEEE op order (acc*0.8 + x*0.2), so the result
+    * is bit-stable; rounded to 6 dp for the oracle compare. */
+  def ema(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("user_id", "event_type")
+      .agg(array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("value")))).as("pts"))
+      .withColumn("vals", expr("transform(pts, p -> p.value)"))
+      .withColumn("ema", r6(expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), vals[0], (acc, x) -> acc * 0.8D + x * 0.2D)")))
+      .select("user_id", "event_type", "ema")
+      .orderBy("user_id", "event_type")
+
+  val emaOracle: String =
+    """SELECT user_id, event_type,
+      |  ROUND(list_reduce(list(value ORDER BY epoch_ms(ts), event_id), (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ema
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- #17
+  /** Latest value per (context, path) — History "last known value".
+    * row_number keeps the pick deterministic under ts ties. */
+  def latestPerPath(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    ev(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_type", "ts_ms", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  val latestPerPathOracle: String =
+    """SELECT user_id, event_type, ts_ms, value FROM (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  // --------------------------------------------------------------- #18
+  /** Discovery: series (contexts×paths) present in a time range with
+    * row counts and first/last timestamps — path-discovery.ts semantics
+    * (partition-pruned at scale; here a pruned scan + group). */
+  def discovery(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .where(col("ts_ms") >= lit(1704672000000L) && col("ts_ms") < lit(1705881600000L))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_records"),
+        min("ts_ms").as("first_ts_ms"),
+        max("ts_ms").as("last_ts_ms"))
+      .orderBy("user_id", "event_type")
+
+  val discoveryOracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_records,
+      |  MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_time_bucket_avg" -> (timeBucketAvg _),
+    "sk_agg_methods" -> (aggMethods _),
+    "sk_tier_rollup_raw5s" -> (tierRollupRaw _),
+    "sk_tier_reagg" -> (tierReagg _),
+    "sk_time_align" -> (timeAlign _),
+    "sk_sma" -> (sma _),
+    "sk_ema" -> (ema _),
+    "sk_latest_per_path" -> (latestPerPath _),
+    "sk_discovery" -> (discovery _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_time_bucket_avg" -> timeBucketAvgOracle,
+    "sk_agg_methods" -> aggMethodsOracle,
+    "sk_tier_rollup_raw5s" -> tierRollupRawOracle,
+    "sk_tier_reagg" -> tierReaggOracle,
+    "sk_time_align" -> timeAlignOracle,
+    "sk_sma" -> smaOracle,
+    "sk_ema" -> emaOracle,
+    "sk_latest_per_path" -> latestPerPathOracle,
+    "sk_discovery" -> discoveryOracle)
+}
