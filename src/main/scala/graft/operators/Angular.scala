@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Angular (circular) statistics — the reference's vector averaging.
+  *
+  * AVG(10°, 350°) must be 0°, not 180°: the reference decomposes into
+  * sin/cos means and recombines with ATAN2 (HistoryAPI.ts:2550), and
+  * carries `value_sin_avg`/`value_cos_avg` through aggregation tiers
+  * for lossless re-rollup (aggregation-service.ts:468-527).
+  */
+object Angular {
+
+  // ---------------------------------------------------------------- #7
+  /** Vector average per path, value interpreted as radians. */
+  def angularAvg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(r6(vectorAvg(col("value"))).as("angular_mean"),
+        count(lit(1)).as("sample_count"))
+      .orderBy("event_type")
+
+  val angularAvgOracle: String =
+    """SELECT event_type,
+      |  ROUND(ATAN2(
+      |    CAST(SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value),
+      |    CAST(SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
+      |  ), 6) AS angular_mean,
+      |  COUNT(*) AS sample_count
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- #10
+  /** Angular tier rollup with sin/cos carry: raw→5min buckets storing
+    * sin/cos averages, re-aggregated to 1h with sample-count weighting,
+    * recombined to the mean angle — lossless across tiers. */
+  def angularTier(spark: SparkSession, dir: String): DataFrame = {
+    val t5 = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"),
+        bucketOfMs(col("ts_ms"), 300000L).as("bucket_ms"))
+      .agg(
+        davg(round(sin(col("value")), 6)).as("sin_avg"),
+        davg(round(cos(col("value")), 6)).as("cos_avg"),
+        count(lit(1)).as("sample_count"))
+    t5.groupBy(col("user_id"), col("event_type"),
+        bucketOfMs(col("bucket_ms"), 3600000L).as("bucket_ms1h"))
+      .agg(
+        (sum((col("sin_avg") * col("sample_count")).cast(DecimalType(28, 12))).cast("double") /
+          sum("sample_count")).as("w_sin"),
+        (sum((col("cos_avg") * col("sample_count")).cast(DecimalType(28, 12))).cast("double") /
+          sum("sample_count")).as("w_cos"),
+        sum("sample_count").as("sample_count"))
+      .select(col("user_id"), col("event_type"), col("bucket_ms1h").as("bucket_ms"),
+        r6(atan2(col("w_sin"), col("w_cos"))).as("value_avg"),
+        r6(col("w_sin")).as("value_sin_avg"),
+        r6(col("w_cos")).as("value_cos_avg"),
+        col("sample_count"))
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  val angularTierOracle: String =
+    """WITH t5 AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS sin_avg,
+      |    CAST(SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS cos_avg,
+      |    COUNT(*) AS sample_count
+      |  FROM events GROUP BY 1, 2, 3
+      |), t1h AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(sin_avg * sample_count AS DECIMAL(28,12))) AS DOUBLE) / SUM(sample_count) AS w_sin,
+      |    CAST(SUM(CAST(cos_avg * sample_count AS DECIMAL(28,12))) AS DOUBLE) / SUM(sample_count) AS w_cos,
+      |    SUM(sample_count) AS sample_count
+      |  FROM t5 GROUP BY 1, 2, 3
+      |)
+      |SELECT user_id, event_type, bucket_ms,
+      |  ROUND(ATAN2(w_sin, w_cos), 6) AS value_avg,
+      |  ROUND(w_sin, 6) AS value_sin_avg,
+      |  ROUND(w_cos, 6) AS value_cos_avg,
+      |  sample_count
+      |FROM t1h ORDER BY user_id, event_type, bucket_ms""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_angular_avg" -> (angularAvg _),
+    "sk_angular_tier" -> (angularTier _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_angular_avg" -> angularAvgOracle,
+    "sk_angular_tier" -> angularTierOracle)
+}

@@ -1,0 +1,332 @@
+package graft.spatial
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Geo operators mirroring the reference's spatial analytics
+  * (geo-calculator.ts, spatial-queries.ts, README "Spatial Analysis").
+  *
+  * The testdata has no position columns, so positions are derived
+  * deterministically from `view` events (funcs.synthLat/synthLon) —
+  * both engines compute the identical linear transform.
+  *
+  * Scale: every spatial op keys on (vessel, time-bucket) or a coarse
+  * geo key before the precise predicate, so joins are equi-joins (no
+  * cross products) and windows stay within a series partition.
+  */
+object Spatial {
+
+  /** Deterministic position fixes: `view` events as GPS points. */
+  def positions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        synthLat(col("value")).as("lat"), synthLon(col("value")).as("lon"))
+
+  private val posSql =
+    """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |    40.0 + value * 0.001 AS lat, -74.0 + value * 0.002 AS lon
+      |  FROM events WHERE event_type = 'view'""".stripMargin
+
+  // --------------------------------------------------------------- #19
+  /** Bounding-box filter (meridian wrap handled in funcs.inBbox). */
+  def bboxFilter(spark: SparkSession, dir: String): DataFrame =
+    positions(spark, dir)
+      .where(inBbox(col("lat"), col("lon"), -73.9, 40.05, -73.7, 40.15))
+      .orderBy("event_id")
+
+  val bboxFilterOracle: String =
+    s"""WITH pos AS ($posSql)
+       |SELECT * FROM pos
+       |WHERE lat >= 40.05 AND lat <= 40.15 AND lon >= -73.9 AND lon <= -73.7
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- #20
+  /** Radius filter: haversine distance to a center point ≤ r. The
+    * distance is rounded to mm before the comparison so the boundary
+    * decision is identical in both engines. */
+  def radiusFilter(spark: SparkSession, dir: String): DataFrame =
+    positions(spark, dir)
+      .withColumn("dist_m", round(haversineM(col("lat"), col("lon"), lit(40.1), lit(-73.8)), 3))
+      .where(col("dist_m") <= 5000.0)
+      .select("event_id", "user_id", "ts_ms", "dist_m")
+      .orderBy("event_id")
+
+  val radiusFilterOracle: String =
+    s"""WITH pos AS ($posSql)
+       |SELECT event_id, user_id, ts_ms,
+       |  ROUND(2 * 6371000 * ASIN(SQRT(
+       |    POWER(SIN(RADIANS(40.1 - lat) / 2), 2) +
+       |    COS(RADIANS(lat)) * COS(RADIANS(40.1)) *
+       |    POWER(SIN(RADIANS(-73.8 - lon) / 2), 2))), 3) AS dist_m
+       |FROM pos
+       |WHERE ROUND(2 * 6371000 * ASIN(SQRT(
+       |    POWER(SIN(RADIANS(40.1 - lat) / 2), 2) +
+       |    COS(RADIANS(lat)) * COS(RADIANS(40.1)) *
+       |    POWER(SIN(RADIANS(-73.8 - lon) / 2), 2))), 3) <= 5000.0
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- #21
+  /** Spatial correlation (HistoryAPI.ts:788-941): return `purchase`
+    * events from the hourly buckets in which the user's position was
+    * inside the bbox — a semi-join on (user, bucket), never a scan of
+    * the correlated path by location. */
+  def spatialCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val inArea = positions(spark, dir)
+      .where(inBbox(col("lat"), col("lon"), -73.9, 40.05, -73.7, 40.15))
+      .select(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .distinct()
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), 3600000L))
+      .join(inArea, Seq("user_id", "bucket_ms"), "left_semi")
+      .select("event_id", "user_id", "ts_ms", "value")
+      .orderBy("event_id")
+  }
+
+  val spatialCorrelationOracle: String =
+    s"""WITH pos AS ($posSql),
+       |in_area AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(FLOOR(ts_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms
+       |  FROM pos
+       |  WHERE lat >= 40.05 AND lat <= 40.15 AND lon >= -73.9 AND lon <= -73.7
+       |)
+       |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+       |FROM events e
+       |WHERE event_type = 'purchase' AND EXISTS (
+       |  SELECT 1 FROM in_area a
+       |  WHERE a.user_id = e.user_id
+       |    AND a.bucket_ms = CAST(FLOOR(epoch_ms(e.ts) / 3600000) * 3600000 AS BIGINT))
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- #22
+  /** Track statistics per (vessel, day): distance traveled (LAG +
+    * haversine, README "Calculate distance traveled"), centroid,
+    * bounding box, approximate area. */
+  def trackStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val withDist = positions(spark, dir)
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("dist_m", when(col("prev_lat").isNull, lit(0.0))
+        .otherwise(round(haversineM(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")), 3)))
+      .withColumn("day_ms", bucketOfMs(col("ts_ms"), 86400000L))
+    withDist.groupBy("user_id", "day_ms")
+      .agg(
+        sum(col("dist_m").cast(DecimalType(18, 3))).cast("double").as("total_distance_m"),
+        r6(davg(col("lat"))).as("centroid_lat"),
+        r6(davg(col("lon"))).as("centroid_lon"),
+        min("lat").as("min_lat"), max("lat").as("max_lat"),
+        min("lon").as("min_lon"), max("lon").as("max_lon"),
+        count(lit(1)).as("n_points"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val trackStatsOracle: String =
+    s"""WITH pos AS ($posSql),
+       |with_dist AS (
+       |  SELECT *,
+       |    CAST(FLOOR(ts_ms / 86400000) * 86400000 AS BIGINT) AS day_ms,
+       |    LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon
+       |  FROM pos
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |), d AS (
+       |  SELECT *,
+       |    CASE WHEN prev_lat IS NULL THEN 0.0 ELSE
+       |      ROUND(2 * 6371000 * ASIN(SQRT(
+       |        POWER(SIN(RADIANS(lat - prev_lat) / 2), 2) +
+       |        COS(RADIANS(prev_lat)) * COS(RADIANS(lat)) *
+       |        POWER(SIN(RADIANS(lon - prev_lon) / 2), 2))), 3) END AS dist_m
+       |  FROM with_dist
+       |)
+       |SELECT user_id, day_ms,
+       |  CAST(SUM(CAST(dist_m AS DECIMAL(18,3))) AS DOUBLE) AS total_distance_m,
+       |  ROUND(CAST(SUM(CAST(lat AS DECIMAL(18,6))) AS DOUBLE) / COUNT(lat), 6) AS centroid_lat,
+       |  ROUND(CAST(SUM(CAST(lon AS DECIMAL(18,6))) AS DOUBLE) / COUNT(lon), 6) AS centroid_lon,
+       |  MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+       |  MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+       |  COUNT(*) AS n_points
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- #23
+  /** Multi-vessel proximity: representative fix per (vessel, hour),
+    * pairs of distinct vessels within 2 km in the same hour — an
+    * equi-join on the bucket, precise haversine applied after
+    * (README "Multi-vessel proximity analysis"). */
+  def proximityJoin(spark: SparkSession, dir: String): DataFrame = {
+    val rep = positions(spark, dir)
+      .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .agg(min_by(col("lat"), col("event_id")).as("lat"),
+        min_by(col("lon"), col("event_id")).as("lon"))
+    val a = rep.select(col("bucket_ms"), col("user_id").as("user_a"),
+      col("lat").as("lat_a"), col("lon").as("lon_a"))
+    val b = rep.select(col("bucket_ms"), col("user_id").as("user_b"),
+      col("lat").as("lat_b"), col("lon").as("lon_b"))
+    a.join(b, Seq("bucket_ms"))
+      .where(col("user_a") < col("user_b"))
+      .withColumn("dist_m", round(haversineM(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 3))
+      .where(col("dist_m") <= 2000.0)
+      .select("bucket_ms", "user_a", "user_b", "dist_m")
+      .orderBy("bucket_ms", "user_a", "user_b")
+  }
+
+  val proximityJoinOracle: String =
+    s"""WITH pos AS ($posSql),
+       |rep AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR(ts_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+       |    arg_min(lat, event_id) AS lat, arg_min(lon, event_id) AS lon
+       |  FROM pos GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.bucket_ms, a.user_id AS user_a, b.user_id AS user_b,
+       |    ROUND(2 * 6371000 * ASIN(SQRT(
+       |      POWER(SIN(RADIANS(b.lat - a.lat) / 2), 2) +
+       |      COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+       |      POWER(SIN(RADIANS(b.lon - a.lon) / 2), 2))), 3) AS dist_m
+       |  FROM rep a JOIN rep b
+       |    ON a.bucket_ms = b.bucket_ms AND a.user_id < b.user_id
+       |)
+       |SELECT * FROM pairs WHERE dist_m <= 2000.0
+       |ORDER BY bucket_ms, user_a, user_b""".stripMargin
+
+  // --------------------------------------------------------------- #24
+  /** Bearing between consecutive fixes per vessel
+    * (geo-calculator.ts:calculateBearing). */
+  def bearings(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    positions(spark, dir)
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .where(col("prev_lat").isNotNull)
+      .withColumn("bearing_deg",
+        r6(bearingDeg(col("prev_lat"), col("prev_lon"), col("lat"), col("lon"))))
+      .select("event_id", "user_id", "ts_ms", "bearing_deg")
+      .orderBy("event_id")
+  }
+
+  val bearingsOracle: String =
+    s"""WITH pos AS ($posSql),
+       |p AS (
+       |  SELECT *, LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon
+       |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |)
+       |SELECT event_id, user_id, ts_ms,
+       |  ROUND((DEGREES(ATAN2(
+       |    SIN(RADIANS(lon - prev_lon)) * COS(RADIANS(lat)),
+       |    COS(RADIANS(prev_lat)) * SIN(RADIANS(lat)) -
+       |    SIN(RADIANS(prev_lat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - prev_lon))
+       |  )) + 360.0) % 360.0, 6) AS bearing_deg
+       |FROM p WHERE prev_lat IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
+  // --------------------------------------------------------------- #11
+  /** Representative position per bucket with GPS-glitch scoring —
+    * mirrors aggregation-service.ts:543-667: candidates are ranked by
+    * (clean-neighbor count desc, at/after bucket midpoint, distance to
+    * midpoint), where a neighbor is "glitchy" if the implied speed
+    * exceeds 25 m/s; bucket stats (sample_count, first/last ts) come
+    * from the full bucket. */
+  def positionBucket(spark: SparkSession, dir: String): DataFrame = {
+    val res = 21600000L // 6h buckets
+    val maxSpeed = 25.0
+    val base = positions(spark, dir)
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), res))
+    val w = Window.partitionBy("user_id", "bucket_ms").orderBy("ts_ms", "event_id")
+    val speedOk = (lat1: String, lon1: String, lat2: String, lon2: String, dtMs: org.apache.spark.sql.Column) =>
+      round(round(haversineM(col(lat1), col(lon1), col(lat2), col(lon2)), 3) /
+        greatest(dtMs / lit(1000.0), lit(0.001)), 6) <= maxSpeed
+    val scored = base
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("prev_ts", lag("ts_ms", 1).over(w))
+      .withColumn("next_lat", lead("lat", 1).over(w))
+      .withColumn("next_lon", lead("lon", 1).over(w))
+      .withColumn("next_ts", lead("ts_ms", 1).over(w))
+      .withColumn("mid_ms", col("bucket_ms") + lit(res / 2))
+      .withColumn("prev_ok", when(col("prev_ts").isNull, lit(1))
+        .otherwise(when(speedOk("prev_lat", "prev_lon", "lat", "lon", col("ts_ms") - col("prev_ts")), lit(1)).otherwise(lit(0))))
+      .withColumn("next_ok", when(col("next_ts").isNull, lit(1))
+        .otherwise(when(speedOk("lat", "lon", "next_lat", "next_lon", col("next_ts") - col("ts_ms")), lit(1)).otherwise(lit(0))))
+    val rankW = Window.partitionBy("user_id", "bucket_ms").orderBy(
+      (col("prev_ok") + col("next_ok")).desc,
+      when(col("ts_ms") >= col("mid_ms"), lit(0)).otherwise(lit(1)),
+      abs(col("ts_ms") - col("mid_ms")),
+      col("event_id"))
+    val best = scored.withColumn("rn", row_number().over(rankW)).where(col("rn") === 1)
+      .select("user_id", "bucket_ms", "lat", "lon")
+    val stats = base.groupBy("user_id", "bucket_ms")
+      .agg(count(lit(1)).as("sample_count"),
+        min("ts_ms").as("first_ts_ms"), max("ts_ms").as("last_ts_ms"))
+    best.join(stats, Seq("user_id", "bucket_ms"))
+      .select("user_id", "bucket_ms", "lat", "lon", "sample_count", "first_ts_ms", "last_ts_ms")
+      .orderBy("user_id", "bucket_ms")
+  }
+
+  val positionBucketOracle: String =
+    s"""WITH pos AS ($posSql),
+       |b AS (
+       |  SELECT *, CAST(FLOOR(ts_ms / 21600000) * 21600000 AS BIGINT) AS bucket_ms
+       |  FROM pos
+       |), n AS (
+       |  SELECT *,
+       |    LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon, LAG(ts_ms) OVER w AS prev_ts,
+       |    LEAD(lat) OVER w AS next_lat, LEAD(lon) OVER w AS next_lon, LEAD(ts_ms) OVER w AS next_ts,
+       |    bucket_ms + 10800000 AS mid_ms
+       |  FROM b
+       |  WINDOW w AS (PARTITION BY user_id, bucket_ms ORDER BY ts_ms, event_id)
+       |), s AS (
+       |  SELECT *,
+       |    CASE WHEN prev_ts IS NULL THEN 1
+       |         WHEN ROUND(ROUND(2 * 6371000 * ASIN(SQRT(
+       |             POWER(SIN(RADIANS(lat - prev_lat) / 2), 2) +
+       |             COS(RADIANS(prev_lat)) * COS(RADIANS(lat)) *
+       |             POWER(SIN(RADIANS(lon - prev_lon) / 2), 2))), 3) /
+       |           GREATEST((ts_ms - prev_ts) / 1000.0, 0.001), 6) <= 25.0 THEN 1 ELSE 0 END AS prev_ok,
+       |    CASE WHEN next_ts IS NULL THEN 1
+       |         WHEN ROUND(ROUND(2 * 6371000 * ASIN(SQRT(
+       |             POWER(SIN(RADIANS(next_lat - lat) / 2), 2) +
+       |             COS(RADIANS(lat)) * COS(RADIANS(next_lat)) *
+       |             POWER(SIN(RADIANS(next_lon - lon) / 2), 2))), 3) /
+       |           GREATEST((next_ts - ts_ms) / 1000.0, 0.001), 6) <= 25.0 THEN 1 ELSE 0 END AS next_ok
+       |  FROM n
+       |), r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id, bucket_ms
+       |    ORDER BY (prev_ok + next_ok) DESC,
+       |      CASE WHEN ts_ms >= mid_ms THEN 0 ELSE 1 END,
+       |      ABS(ts_ms - mid_ms), event_id) AS rn
+       |  FROM s
+       |), stats AS (
+       |  SELECT user_id, bucket_ms, COUNT(*) AS sample_count,
+       |    MIN(ts_ms) AS first_ts_ms, MAX(ts_ms) AS last_ts_ms
+       |  FROM b GROUP BY 1, 2
+       |)
+       |SELECT r.user_id, r.bucket_ms, r.lat, r.lon,
+       |  stats.sample_count, stats.first_ts_ms, stats.last_ts_ms
+       |FROM r JOIN stats ON r.user_id = stats.user_id AND r.bucket_ms = stats.bucket_ms
+       |WHERE r.rn = 1
+       |ORDER BY r.user_id, r.bucket_ms""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_bbox_filter" -> (bboxFilter _),
+    "sk_radius_filter" -> (radiusFilter _),
+    "sk_spatial_correlation" -> (spatialCorrelation _),
+    "sk_track_stats" -> (trackStats _),
+    "sk_proximity_join" -> (proximityJoin _),
+    "sk_bearing" -> (bearings _),
+    "sk_position_bucket" -> (positionBucket _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_bbox_filter" -> bboxFilterOracle,
+    "sk_radius_filter" -> radiusFilterOracle,
+    "sk_spatial_correlation" -> spatialCorrelationOracle,
+    "sk_track_stats" -> trackStatsOracle,
+    "sk_proximity_join" -> proximityJoinOracle,
+    "sk_bearing" -> bearingsOracle,
+    "sk_position_bucket" -> positionBucketOracle)
+}
