@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeSeries.queries ++ Angular.queries ++
-      graft.spatial.Spatial.queries
+      graft.spatial.Spatial.queries ++ Sessions.queries ++ SchemaOps.queries ++
+      graft.sources.Gpx.queries ++ graft.sources.HiveStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeSeries.oracles ++ Angular.oracles ++
-      graft.spatial.Spatial.oracles
+      graft.spatial.Spatial.oracles ++ Sessions.oracles ++ SchemaOps.oracles ++
+      graft.sources.Gpx.oracles ++ graft.sources.HiveStore.oracles
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateful series operators: episode sessionization and threshold
+  * automation — the reference's regimen machinery.
+  */
+object Sessions {
+
+  // --------------------------------------------------------------- #15
+  /** Regimen episode boundary detection
+    * (claude-analyzer.ts:3206-3260): a boolean command series yields
+    * episodes [start at false→true, end at the next true→false), with
+    * duration and active/completed status. Here the boolean regimen is
+    * derived as `value > 100` on the `click` series.
+    *
+    * Boundaries alternate strictly, so pairing each start with the
+    * next boundary (LEAD over boundary rows) is exact — no join back.
+    */
+  def episodes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val boundaries = Tables.events(spark, dir)
+      .where(col("event_type") === "click")
+      .withColumn("state", col("value") > 100.0)
+      .withColumn("prev_state", lag("state", 1).over(w))
+      .withColumn("boundary",
+        when(col("state") && (col("prev_state").isNull || !col("prev_state")), "start")
+          .when(!col("state") && col("prev_state"), "end"))
+      .where(col("boundary").isNotNull)
+    val wb = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    boundaries
+      .withColumn("end_ms", lead("ts_ms", 1).over(wb))
+      .where(col("boundary") === "start")
+      .select(
+        col("user_id"),
+        col("ts_ms").as("start_ms"),
+        col("end_ms"),
+        when(col("end_ms").isNull, "active").otherwise("completed").as("status"),
+        ((col("end_ms") - col("ts_ms")) / 1000.0).as("duration_s"))
+      .orderBy("user_id", "start_ms")
+  }
+
+  val episodesOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, (value > 100.0) AS state,
+      |    LAG(value > 100.0) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events WHERE event_type = 'click'
+      |), b AS (
+      |  SELECT *, CASE
+      |      WHEN state AND (prev_state IS NULL OR NOT prev_state) THEN 'start'
+      |      WHEN NOT state AND prev_state THEN 'end' END AS boundary
+      |  FROM s
+      |  WHERE (state AND (prev_state IS NULL OR NOT prev_state))
+      |     OR (NOT state AND prev_state)
+      |), p AS (
+      |  SELECT *, LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS end_ms
+      |  FROM b
+      |)
+      |SELECT user_id, ts_ms AS start_ms, end_ms,
+      |  CASE WHEN end_ms IS NULL THEN 'active' ELSE 'completed' END AS status,
+      |  (end_ms - ts_ms) / 1000.0 AS duration_s
+      |FROM p WHERE boundary = 'start'
+      |ORDER BY user_id, start_ms""".stripMargin
+
+  // --------------------------------------------------------------- #16
+  /** Threshold automation with hysteresis (README "Stable Triggers"):
+    * fire when the condition holds, then suppress re-fires for H
+    * seconds. Greedy over the ordered series — implemented as an
+    * ordered left fold with a (last_fire, fires) accumulator, the
+    * streaming-safe formulation of the reference's monitor. Condition:
+    * `value > 150` on the `error` series, H = 24 h. */
+  def thresholdHysteresis(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error" && col("value") > 150.0)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(col("ts_ms"))).as("ts_list"))
+      .withColumn("fires", expr(
+        """aggregate(ts_list,
+          |  named_struct('last_fire', CAST(-1000000000000000 AS BIGINT), 'fires', CAST(array() AS ARRAY<BIGINT>)),
+          |  (acc, t) -> IF(t >= acc.last_fire + 86400000,
+          |    named_struct('last_fire', t, 'fires', concat(acc.fires, array(t))),
+          |    acc)).fires""".stripMargin))
+      .select(col("user_id"), explode(col("fires")).as("fire_ms"))
+      .orderBy("user_id", "fire_ms")
+
+  val thresholdHysteresisOracle: String =
+    """WITH RECURSIVE cond AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms FROM events
+      |  WHERE event_type = 'error' AND value > 150.0
+      |), fires AS (
+      |  SELECT user_id, MIN(ts_ms) AS fire_ms FROM cond GROUP BY user_id
+      |  UNION ALL
+      |  SELECT f.user_id,
+      |    (SELECT MIN(c.ts_ms) FROM cond c WHERE c.user_id = f.user_id AND c.ts_ms >= f.fire_ms + 86400000)
+      |  FROM fires f
+      |  WHERE (SELECT MIN(c.ts_ms) FROM cond c WHERE c.user_id = f.user_id AND c.ts_ms >= f.fire_ms + 86400000) IS NOT NULL
+      |)
+      |SELECT user_id, fire_ms FROM fires ORDER BY user_id, fire_ms""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_episodes" -> (episodes _),
+    "sk_threshold_hysteresis" -> (thresholdHysteresis _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_episodes" -> episodesOracle,
+    "sk_threshold_hysteresis" -> thresholdHysteresisOracle)
+}

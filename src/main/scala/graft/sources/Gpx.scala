@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.funcs._
+import graft.spatial.Spatial
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GPX track import — mirrors the reference's dependency-free GPX
+  * 1.0/1.1 parser (src/utils/gpx-parser.ts): extract `<trkpt>`
+  * lat/lon/time (+ optional ele) into typed records.
+  *
+  * Fully distributed: documents stay in executors; trackpoints are
+  * extracted with codegen'd regexp functions and exploded — one GPX
+  * file per row in, one record per trackpoint out.
+  */
+object Gpx {
+
+  /** Parse a column of GPX XML documents into trackpoint rows
+    * (`lat`, `lon`, `time_str`, `ele`). Other columns are preserved. */
+  def parseTrkpts(df: DataFrame, xmlCol: String): DataFrame =
+    df.withColumn("_trkpt", explode(expr(
+        s"regexp_extract_all($xmlCol, '(?s)<trkpt.*?</trkpt>', 0)")))
+      .withColumn("lat", regexp_extract(col("_trkpt"), "lat=\"([-0-9.]+)\"", 1).cast("double"))
+      .withColumn("lon", regexp_extract(col("_trkpt"), "lon=\"([-0-9.]+)\"", 1).cast("double"))
+      .withColumn("time_str", regexp_extract(col("_trkpt"), "<time>([^<]*)</time>", 1))
+      .withColumn("ele", when(col("_trkpt").rlike("<ele>"),
+        regexp_extract(col("_trkpt"), "<ele>([-0-9.]+)</ele>", 1).cast("double")))
+      .drop("_trkpt", xmlCol)
+
+  /** Serialize position fixes into one GPX document per vessel —
+    * deterministic (sorted trackpoints, fixed 6-dp coordinates). */
+  def toGpx(positions: DataFrame): DataFrame =
+    positions
+      .withColumn("pt", concat(
+        lit("<trkpt lat=\""), round(col("lat"), 6).cast("string"),
+        lit("\" lon=\""), round(col("lon"), 6).cast("string"), lit("\">"),
+        lit("<time>"),
+        date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        lit("</time></trkpt>")))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("pt")))).as("pts"))
+      .withColumn("gpx", concat(
+        lit("<?xml version=\"1.0\"?><gpx version=\"1.1\"><trk><trkseg>"),
+        concat_ws("", expr("transform(pts, p -> p.pt)")),
+        lit("</trkseg></trk></gpx>")))
+      .select("user_id", "gpx")
+
+  // --------------------------------------------------------------- #27
+  /** Round-trip: vessel fixes → GPX documents → parsed records. The
+    * oracle computes the expected records relationally, so any parser
+    * defect breaks the hash match. */
+  def gpxImport(spark: SparkSession, dir: String): DataFrame =
+    parseTrkpts(toGpx(Spatial.positions(spark, dir)), "gpx")
+      .withColumn("ts_ms", unix_millis(to_timestamp(col("time_str"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")))
+      .select("user_id", "ts_ms", "lat", "lon")
+      .orderBy("user_id", "ts_ms", "lat", "lon")
+
+  val gpxImportOracle: String =
+    """SELECT user_id, epoch_ms(ts) AS ts_ms,
+      |  ROUND(40.0 + value * 0.001, 6) AS lat,
+      |  ROUND(-74.0 + value * 0.002, 6) AS lon
+      |FROM events WHERE event_type = 'view'
+      |ORDER BY user_id, ts_ms, lat, lon""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_gpx_import" -> (gpxImport _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_gpx_import" -> gpxImportOracle)
+}

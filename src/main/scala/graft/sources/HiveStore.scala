@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-partitioned store mirroring the reference's layout
+  * (`tier=…/context=…/path=…/year=YYYY/day=DDD/`, hive-path-builder.ts)
+  * via Spark's native partitioned parquet — partition pruning on any
+  * prefix of (tier, context, path, year, day) is then free, exactly
+  * the property the reference's time/path-ranged queries rely on.
+  */
+object HiveStore {
+
+  /** Sanitize a context/path value for use as a partition directory —
+    * mirrors hive-path-builder.ts (`.`→`__`, `:`→`-`). */
+  def sanitize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, "\\.", "__"), ":", "-")
+
+  /** Write records into the reference layout. Expects columns
+    * `tier, context, path, year, day` plus payload. */
+  def write(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("tier", "context", "path", "year", "day")
+      .parquet(dir)
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  // --------------------------------------------------------------- #28
+  /** Round-trip: events → hive layout → pruned read-back of one path
+    * partition, counted per (path, year, day). The oracle counts the
+    * same slice relationally; the Spark side proves layout + pruning
+    * (the read filter hits only `path=click` directories). */
+  def hiveWrite(spark: SparkSession, dir: String): DataFrame = {
+    // Keep partition values as strings on read-back so day "003" is
+    // not inferred back to int 3.
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val out = sys.props("java.io.tmpdir") + "/graft_hive_store"
+    val df = Tables.events(spark, dir)
+      .withColumn("tier", lit("raw"))
+      .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
+      .withColumn("path", col("event_type"))
+      .withColumn("ts", timestamp_millis(col("ts_ms")))
+      .withColumn("year", year(col("ts")))
+      .withColumn("day", lpad(dayofyear(col("ts")).cast("string"), 3, "0"))
+      .drop("ts")
+    write(df, out)
+    read(spark, out)
+      .where(col("tier") === "raw" && col("path") === "click")
+      .groupBy("path", "year", "day")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("year", col("year").cast("int"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("path", "year", "day")
+  }
+
+  val hiveWriteOracle: String =
+    """SELECT event_type AS path,
+      |  CAST(year(ts) AS INT) AS year,
+      |  lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS day,
+      |  COUNT(*) AS n_records
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_hive_write" -> (hiveWrite _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_hive_write" -> hiveWriteOracle)
+}
