@@ -13,12 +13,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TimeSeries.queries ++ Angular.queries ++
       graft.spatial.Spatial.queries ++ Sessions.queries ++ SchemaOps.queries ++
-      graft.sources.Gpx.queries ++ graft.sources.HiveStore.queries
+      graft.sources.Gpx.queries ++ graft.sources.HiveStore.queries ++
+      graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
+      graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
+      graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ TimeSeries.oracles ++ Angular.oracles ++
       graft.spatial.Spatial.oracles ++ Sessions.oracles ++ SchemaOps.oracles ++
-      graft.sources.Gpx.oracles ++ graft.sources.HiveStore.oracles
+      graft.sources.Gpx.oracles ++ graft.sources.HiveStore.oracles ++
+      graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
+      graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
+      graft.streaming.Streaming.oracles
 }

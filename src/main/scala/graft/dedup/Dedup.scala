@@ -1,0 +1,206 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here is O(n²) on the full corpus. Exact dedup
+  * is a hash groupBy; Jaccard runs inside deterministic blocks;
+  * MinHash/SimHash generate candidates through equi-joins on band
+  * keys (LSH), and the precise similarity runs only on candidates.
+  * Signatures are computed with codegen'd array expressions — no UDFs,
+  * no per-token explode shuffle.
+  */
+object Dedup {
+
+  /** Distinct word tokens, sorted for deterministic array compare. */
+  private val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
+
+  /** Exact Jaccard between two sorted-distinct token arrays. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
+  }
+
+  // --------------------------------------------------------------- #29
+  /** Exact duplicate groups: md5(text) groupBy, keeper = min doc_id —
+    * the canonical 100 TB dedup pattern (single shuffle on the hash). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
+      .where(col("n_docs") > 1)
+      .orderBy("content_md5")
+
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------- #30
+  /** Blocked n-gram (unigram-set) Jaccard: candidate pairs within a
+    * deterministic block (lang, n_chars bucket), exact Jaccard ≥ 0.95.
+    * Blocking bounds the pair count; at scale the block key is the
+    * shuffle key. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 50).cast("long").as("size_bucket"), tokens.as("toks"))
+    val a = docs.select(col("lang"), col("size_bucket"),
+      col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val b = docs.select(col("lang"), col("size_bucket"),
+      col("doc_id").as("id_b"), col("toks").as("toks_b"))
+    a.join(b, Seq("lang", "size_bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .where(col("jaccard") >= 0.95)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  val ngramJaccardOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+      |    list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM t a JOIN t b
+      |  ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+      |WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.95
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- #31
+  /** MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs, exact
+    * Jaccard verification ≥ 0.95. At the 0.95 threshold band recall is
+    * 1 - (1-0.95⁴)³² ≈ 1 - 1e-23, so the LSH candidate set provably
+    * contains every qualifying pair and the output equals the exact
+    * O(n²) answer — which is what the oracle computes.
+    *
+    * Signatures: token → polynomial hash h; perm_i(h) = (aᵢ·h+bᵢ) mod
+    * 1e9+7; sig[i] = min over tokens. All computed as nested array
+    * expressions inside codegen, one row per doc. */
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+      .withColumn("thashes", expr(
+        "transform(toks, t -> aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 127), i -> array_min(transform(thashes, h -> ((2*i + 3) * h + 1000003 * i) % 1000000007)))"))
+      .withColumn("bands", expr(
+        "transform(sequence(0, 31), j -> struct(j AS band_idx, hash(sig[4*j], sig[4*j+1], sig[4*j+2], sig[4*j+3]) AS band_key))"))
+    val candidates = docs
+      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      .groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    val toksById = Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+    candidates
+      .join(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .where(col("jaccard") >= 0.95)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle: the exact O(n²) answer (tractable at verify scale). */
+  val minHashLshOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.95
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- #32
+  /** 60-bit SimHash (two 30-bit polynomial hash families) + hamming ≤ 3
+    * pairs. Candidates via 4×15-bit band equi-join — pigeonhole: ≤3
+    * differing bits leave at least one of 4 bands identical, so band
+    * candidates provably include every qualifying pair. The oracle
+    * computes the exact O(n²) answer with the same simhash. */
+  def simHashExpr: Column = expr(
+    """aggregate(sequence(0, 59),
+      |  CAST(0 AS BIGINT),
+      |  (acc, j) -> acc + IF(
+      |    aggregate(thp, CAST(0 AS BIGINT),
+      |      (s, h) -> s + (CAST(shiftright(IF(j < 30, h[0], h[1]), j % 30) AS BIGINT) & 1) * 2 - 1) >= 0,
+      |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+
+  def simHashDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+      .withColumn("thp", expr(
+        """transform(toks, t -> array(
+          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007),
+          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 37 + x) % 1000000007)))""".stripMargin))
+      .withColumn("simhash", simHashExpr)
+      .select("doc_id", "simhash")
+
+  def simHash(spark: SparkSession, dir: String): DataFrame = {
+    val sims = simHashDocs(spark, dir)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), b -> struct(b AS band_idx, shiftright(simhash, 15*b) & 32767 AS band_key))")).as("band"))
+      .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("sim_a ^ sim_b")).cast("long").as("hamming"))
+      .where(col("hamming") <= 3)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  val simHashOracle: String = {
+    val thp =
+      """list_transform(list_distinct(string_split(text, ' ')), t -> [
+        |  list_reduce(list_transform(string_split(t, ''), ch -> ascii(ch)::BIGINT), (a, b) -> (a * 31 + b) % 1000000007),
+        |  list_reduce(list_transform(string_split(t, ''), ch -> ascii(ch)::BIGINT), (a, b) -> (a * 37 + b) % 1000000007)])""".stripMargin
+    s"""WITH th AS (
+       |  SELECT doc_id, $thp AS thp FROM documents
+       |), sim AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(range(0, 60), j ->
+       |      CASE WHEN list_reduce(list_transform(thp, h ->
+       |          (((CASE WHEN j < 30 THEN h[1] ELSE h[2] END >> (j % 30)) & 1) * 2 - 1)::BIGINT),
+       |          (x, y) -> x + y) >= 0
+       |        THEN (1::BIGINT << j) ELSE 0::BIGINT END),
+       |      (x, y) -> x + y) AS simhash
+       |  FROM th
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh" -> (minHashLsh _),
+    "dedup_simhash" -> (simHash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> exactDedupOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_simhash" -> simHashOracle)
+}

@@ -1,0 +1,140 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity operators: near-dup detection, brute-force
+  * cosine top-k, and an LSH-bucketed ANN variant.
+  *
+  * Vectors stay as `array<float>` columns (cast to double for math);
+  * dot products are codegen'd `zip_with` + ordered fold so both
+  * engines produce bit-identical sums. Scale: probes broadcast against
+  * the corpus (no shuffle of the big side); near-dup pairs are blocked
+  * on a coarse key; the ANN path buckets by hyperplane signature so
+  * candidate sets shrink ~2^planes-fold.
+  */
+object Embeddings {
+
+  /** Ordered-fold dot product of two double arrays (index order, so
+    * cross-engine deterministic). */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", dot("v", "v"))
+      .select("vec_id", "label", "v", "norm2")
+
+  private def cosine: Column =
+    round(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))), 6)
+
+  /** DuckDB equivalents of the same fold arithmetic. */
+  private val vecsSql =
+    """SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+      |      embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS norm2
+      |  FROM embeddings""".stripMargin
+
+  private val cosSql =
+    """ROUND(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      | / (SQRT(a.norm2) * SQRT(b.norm2)), 6)""".stripMargin
+
+  // --------------------------------------------------------------- #33
+  /** Embedding-cosine near-duplicate pairs within label blocks,
+    * cosine ≥ 0.4. */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"), col("norm2").as("norm2_b"))
+    a.join(b, Seq("label"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine)
+      .where(col("cos") >= 0.4)
+      .select("id_a", "id_b", "label", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingDedupOracle: String =
+    s"""WITH e AS ($vecsSql)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label, $cosSql AS cos
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $cosSql >= 0.4
+       |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------- #34
+  /** Brute-force cosine top-10 neighbors for probe vectors (vec_id <
+    * 5). Probes broadcast; ranking is total (rounded cosine desc, then
+    * neighbor id). */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_b"), col("norm2").as("norm2_b"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  val annTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |scored AS (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  // --------------------------------------------------------------- #35
+  /** LSH-bucketed ANN: multi-table random-hyperplane hashing — 4
+    * tables × 6 deterministic pseudo-random hyperplanes; a candidate
+    * matches if it shares the probe's bucket in ANY table (classic
+    * recall amplification), then exact cosine ranks candidates.
+    * Approximate by construction → verified by a recall spec against
+    * [[annTopK]] rather than a SQL oracle (rows-only check). */
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+      .withColumn("table_bucket", explode(expr(
+        """transform(sequence(0, 3), t -> struct(t AS tbl,
+          |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) -> acc + IF(
+          |    aggregate(zip_with(v, transform(sequence(0, 63), d -> sin(CAST((t * 6 + p) * 97 + d * 31 AS DOUBLE))), (x, y) -> x * y),
+          |      CAST(0.0 AS DOUBLE), (s, u) -> s + u) >= 0.0,
+          |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))""".stripMargin)))
+      .select(col("vec_id"), col("label"), col("v"), col("norm2"),
+        col("table_bucket.tbl"), col("table_bucket.bucket"))
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"),
+        col("norm2").as("norm2_a"), col("tbl"), col("bucket"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_b"),
+      col("norm2").as("norm2_b"), col("tbl"), col("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(corpus, Seq("tbl", "bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id", "v_a", "norm2_a", "v_b", "norm2_b")
+      .distinct()
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_embedding" -> (embeddingDedup _),
+    "ann_topk" -> (annTopK _),
+    "ann_lsh_topk" -> (annLshTopK _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_embedding" -> embeddingDedupOracle,
+    "ann_topk" -> annTopKOracle)
+}
