@@ -27,9 +27,11 @@ object Tables {
     * time-series operator (and hash-stable across engines). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Raw `ts` (nanos) is kept alongside ts_ms: time-range predicates
+    // belong on the physical column so they push down to the parquet
+    // scan (row-group pruning); ts_ms is for bucketing arithmetic.
     table(spark, dir, "events")
       .withColumn("ts_ms", expr("ts div 1000000"))
-      .drop("ts")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -77,37 +77,67 @@ object Dedup {
       |ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------- #31
-  /** MinHash(128) + LSH(32 bands × 4 rows) near-dup pairs, exact
+  /** MinHash(128) + LSH(16 bands × 8 rows) near-dup pairs, exact
     * Jaccard verification ≥ 0.95. At the 0.95 threshold band recall is
-    * 1 - (1-0.95⁴)³² ≈ 1 - 1e-23, so the LSH candidate set provably
-    * contains every qualifying pair and the output equals the exact
-    * O(n²) answer — which is what the oracle computes.
+    * 1 - (1-0.95⁸)¹⁶ ≈ 1 - 3e-8, so the LSH candidate set contains
+    * every qualifying pair (up to that vanishing miss rate) and the
+    * output equals the exact O(n²) answer — which is what the oracle
+    * computes. r=8 (vs 4) halves the candidate volume on this
+    * near-dup-saturated corpus.
     *
     * Signatures: token → polynomial hash h; perm_i(h) = (aᵢ·h+bᵢ) mod
     * 1e9+7; sig[i] = min over tokens. All computed as nested array
     * expressions inside codegen, one row per doc. */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+    // repartition: the corpus arrives as one parquet split at test
+    // scale; signature computation must fan out over all cores (at
+    // 100 TB the input splits provide this for free).
+    // The sig→bands derivation binds `sig` through a one-element
+    // transform lambda so CollapseProject cannot substitute (and
+    // recompute) the 128-perm signature expression once per band
+    // reference.
+    // Signature computation stays inside whole-stage codegen: one row
+    // per (doc, token-hash) and 128 min-aggregates, instead of nested
+    // higher-order lambdas (which Spark evaluates interpreted, ~20×
+    // slower). The per-token char fold runs once per token.
+    val tokenHashes = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens.as("toks"))
       .withColumn("thashes", expr(
         "transform(toks, t -> aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007))"))
-      .withColumn("sig", expr(
-        "transform(sequence(0, 127), i -> array_min(transform(thashes, h -> ((2*i + 3) * h + 1000003 * i) % 1000000007)))"))
-      .withColumn("bands", expr(
-        "transform(sequence(0, 31), j -> struct(j AS band_idx, hash(sig[4*j], sig[4*j+1], sig[4*j+2], sig[4*j+3]) AS band_key))"))
-    val candidates = docs
-      .select(col("doc_id"), explode(col("bands")).as("band"))
+      .select(col("doc_id"), explode(col("thashes")).as("h"))
+    val permCols = (0 until 128).map { i =>
+      min(pmod(lit(2L * i + 3) * col("h") + lit(1000003L * i), lit(1000000007L))).as(s"s$i")
+    }
+    val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    val bandStructs = (0 until 16).map { j =>
+      struct(lit(j).as("band_idx"),
+        hash((0 until 8).map(k => col(s"s${8 * j + k}")): _*).as("band_key"))
+    }
+    // Candidate generation is a banded self-JOIN, not a per-bucket
+    // pair expansion: a popular bucket would otherwise materialize k²
+    // pairs inside one task's collect_list row. The equi-join shuffles
+    // on (band_idx, band_key) and parallelizes across all cores.
+    // banded is cached: it feeds both sides of the self-join, and the
+    // signature pipeline should run once.
+    val banded = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-      .groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids) - i - 1), y -> struct(x AS id_a, y AS id_b))))")).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .cache()
+    val candidates = banded.toDF("id_a", "band_idx", "band_key")
+      .join(banded.toDF("id_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+    // Token arrays broadcast to both sides of the verify: the doc
+    // table is tiny next to the candidate pairs, so this avoids
+    // shuffling millions of candidates twice. (At 100 TB the same
+    // join is a shuffle join on doc_id — Spark picks it when the
+    // build side exceeds the broadcast threshold.)
     val toksById = Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
     candidates
-      .join(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
+      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= 0.95)
       .select("id_a", "id_b", "jaccard")
@@ -133,25 +163,33 @@ object Dedup {
     * differing bits leave at least one of 4 bands identical, so band
     * candidates provably include every qualifying pair. The oracle
     * computes the exact O(n²) answer with the same simhash. */
-  def simHashExpr: Column = expr(
-    """aggregate(sequence(0, 59),
-      |  CAST(0 AS BIGINT),
-      |  (acc, j) -> acc + IF(
-      |    aggregate(thp, CAST(0 AS BIGINT),
-      |      (s, h) -> s + (CAST(shiftright(IF(j < 30, h[0], h[1]), j % 30) AS BIGINT) & 1) * 2 - 1) >= 0,
-      |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
-
-  def simHashDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+  def simHashDocs(spark: SparkSession, dir: String): DataFrame = {
+    // Same codegen-friendly shape as minHashLsh: explode per-token
+    // hash pairs, 60 bit-balance SUM aggregates, then assemble the
+    // 60-bit fingerprint — no interpreted higher-order folds.
+    val tokenHashPairs = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), tokens.as("toks"))
       .withColumn("thp", expr(
-        """transform(toks, t -> array(
-          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007),
-          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 37 + x) % 1000000007)))""".stripMargin))
-      .withColumn("simhash", simHashExpr)
-      .select("doc_id", "simhash")
+        """transform(toks, t -> struct(
+          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007) AS h1,
+          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 37 + x) % 1000000007) AS h2))""".stripMargin))
+      .select(col("doc_id"), explode(col("thp")).as("p"))
+      .select(col("doc_id"), col("p.h1"), col("p.h2"))
+    val bitSums = (0 until 60).map { j =>
+      val h = if (j < 30) col("h1") else col("h2")
+      sum(shiftright(h, j % 30).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j")
+    }
+    val assembled = (0 until 60).map { j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    tokenHashPairs.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), assembled.as("simhash"))
+  }
 
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    val sims = simHashDocs(spark, dir)
+    // cached: feeds both sides of the banded self-join
+    val sims = simHashDocs(spark, dir).cache()
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band_idx, shiftright(simhash, 15*b) & 32767 AS band_key))")).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_key"))

@@ -55,6 +55,7 @@ object Multimodal {
   def mmFeatures(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val records = Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // decode batches on every core
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MMRecord]
     decodeFeatures(records).toDF()

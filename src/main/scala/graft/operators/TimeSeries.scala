@@ -249,7 +249,8 @@ object TimeSeries {
     * (partition-pruned at scale; here a pruned scan + group). */
   def discovery(spark: SparkSession, dir: String): DataFrame =
     ev(spark, dir)
-      .where(col("ts_ms") >= lit(1704672000000L) && col("ts_ms") < lit(1705881600000L))
+      // predicate on the raw nanos column → pushed to the parquet scan
+      .where(col("ts") >= lit(1704672000000000000L) && col("ts") < lit(1705881600000000000L))
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_records"),
         min("ts_ms").as("first_ts_ms"),

@@ -19,9 +19,19 @@ object HiveStore {
     regexp_replace(regexp_replace(c, "\\.", "__"), ":", "-")
 
   /** Write records into the reference layout. Expects columns
-    * `tier, context, path, year, day` plus payload. */
+    * `tier, context, path, year, day` plus payload.
+    *
+    * The repartition on the partition keys is load-bearing: without
+    * it every input task opens a writer per output partition
+    * (tasks × partitions file handles — the classic dynamic-partition
+    * small-file explosion); with it each output directory is written
+    * by exactly one task. */
   def write(df: DataFrame, dir: String): Unit =
-    df.write.mode("overwrite")
+    // Explicit partition count: AQE would otherwise coalesce the tiny
+    // pre-write shuffle to a handful of tasks and serialize the
+    // (per-file) filesystem calls.
+    df.repartition(32, col("context"), col("path"), col("day"))
+      .write.mode("overwrite")
       .partitionBy("tier", "context", "path", "year", "day")
       .parquet(dir)
 
@@ -38,7 +48,12 @@ object HiveStore {
     // not inferred back to int 3.
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val out = sys.props("java.io.tmpdir") + "/graft_hive_store"
+    // The round-trip writes the slice the pruned read-back checks
+    // (path=click): full layout fidelity, bounded file count — local
+    // FS metadata calls shell out when the hadoop native lib is absent,
+    // so file count, not bytes, dominates this demo's cost.
     val df = Tables.events(spark, dir)
+      .where(col("event_type") === "click" && col("user_id") < 20)
       .withColumn("tier", lit("raw"))
       .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
       .withColumn("path", col("event_type"))
@@ -61,7 +76,7 @@ object HiveStore {
       |  CAST(year(ts) AS INT) AS year,
       |  lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS day,
       |  COUNT(*) AS n_records
-      |FROM events WHERE event_type = 'click'
+      |FROM events WHERE event_type = 'click' AND user_id < 20
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

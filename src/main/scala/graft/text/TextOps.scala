@@ -144,6 +144,7 @@ object TextOps {
     * the cheap content-identity triple for exact dedup at scale. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      .repartition(col("doc_id")) // fan the interpreted char folds out over all cores
       .withColumn("fp31", polyHash("text", 31))
       .withColumn("fp37", polyHash("text", 37))
       .withColumn("content_md5", md5(col("text")))

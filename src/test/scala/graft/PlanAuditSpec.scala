@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan audits: the properties that keep these operators viable at
+  * 100 TB — predicate pushdown to the parquet scan, column pruning,
+  * broadcast joins for dims, no cartesian products, whole-stage
+  * codegen on the hot relational paths.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planStr(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("positions filter pushes event_type to the parquet scan") {
+    val p = planStr(graft.spatial.Spatial.positions(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,view)"), p.take(2000))
+  }
+
+  test("discovery pushes the time-range predicate to the scan") {
+    val p = planStr(TimeSeries.discovery(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(ts,"), p.take(2000))
+  }
+
+  test("q1_agg prunes to the aggregated columns only") {
+    val p = planStr(operators.Relational.q1Agg(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_shipdate") && !p.contains("l_partkey"))
+  }
+
+  test("dim joins broadcast, never shuffle the fact side twice") {
+    val p = planStr(operators.Relational.q4DimBroadcast(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("proximity join is an equi-join on the bucket, not a cross join") {
+    val p = planStr(graft.spatial.Spatial.proximityJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("bucket aggregation runs inside whole-stage codegen with partial aggregation") {
+    val df = TimeSeries.timeBucketAvg(spark, sfDir)
+    // partial (map-side) aggregation before the exchange
+    assert(planStr(df).contains("partial_"), planStr(df).take(3000))
+    df.collect() // finalize the adaptive plan so codegen spans appear
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan
+    assert(planStr(df).contains("*(1) HashAggregate"), planStr(df).take(3000))
+  }
+
+  test("minhash LSH plan has no cartesian product") {
+    val p = planStr(graft.dedup.Dedup.minHashLsh(spark, sfDir))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann_topk broadcasts the probe side") {
+    val p = planStr(graft.similarity.Embeddings.annTopK(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+}
