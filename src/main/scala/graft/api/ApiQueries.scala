@@ -1,0 +1,135 @@
+package graft.api
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-checked queries exercising the History facade and the two
+  * remaining reference surfaces: JSON value extraction (the
+  * `value_json` column / source-filter path) and column profiling
+  * (schema-examiner.ts).
+  */
+object ApiQueries {
+
+  /** events as the canonical series frame the facade consumes. */
+  def series(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select(
+      concat(lit("vessels.urn-"), col("user_id")).as("context"),
+      col("event_type").as("path"),
+      col("ts_ms"), col("value"), col("event_id").as("order_id"))
+
+  // ------------------------------------------------------- history API
+  /** Full `/history/values` round-trip through the facade: pattern-5
+    * range, 6 h resolution, four aggregate methods and a trailing SMA,
+    * aligned into one frame. */
+  def historyValues(spark: SparkSession, dir: String): DataFrame = {
+    import History._
+    val (fromMs, toMs) = History.resolveRange(
+      from = Some(1704412800000L), // 2024-01-05T00:00:00Z
+      to = Some(1706140800000L), // 2024-01-25T00:00:00Z
+      durationMs = None, now = 0L)
+    val specs = Seq(
+      PathSpec.parse("click:average:sma:5"),
+      PathSpec.parse("purchase:max"),
+      PathSpec.parse("view:first"),
+      PathSpec.parse("error:mid"))
+    History.values(series(spark, dir), "vessels.urn-3", specs, fromMs, toMs,
+        resolutionMs = 21600000L)
+      .select(col("bucket_ms"),
+        col("`click:average:sma`").as("click_sma"),
+        col("`purchase:max`").as("purchase_max"),
+        col("`view:first`").as("view_first"),
+        col("`error:mid`").as("error_mid"))
+      .orderBy("bucket_ms")
+  }
+
+  val historyValuesOracle: String =
+    """WITH s AS (
+      |  SELECT event_type AS path, epoch_ms(ts) AS ts_ms, value, event_id
+      |  FROM events
+      |  WHERE user_id = 3 AND epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1706140800000
+      |    AND event_type IN ('click', 'purchase', 'view', 'error')
+      |), b AS (
+      |  SELECT CAST(FLOOR(ts_ms / 21600000) * 21600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE path = 'click') AS DOUBLE)
+      |      / COUNT(value) FILTER (WHERE path = 'click') AS click_avg,
+      |    MAX(value) FILTER (WHERE path = 'purchase') AS purchase_max,
+      |    arg_min(value, event_id) FILTER (WHERE path = 'view') AS view_first,
+      |    ROUND(median(value) FILTER (WHERE path = 'error'), 6) AS error_mid
+      |  FROM s GROUP BY 1
+      |)
+      |SELECT bucket_ms,
+      |  CAST(SUM(CAST(click_avg AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |    / COUNT(click_avg) OVER w AS click_sma,
+      |  purchase_max, view_first, error_mid
+      |FROM b
+      |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket_ms""".stripMargin
+
+  // -------------------------------------------------------- value_json
+  /** JSON value extraction + filter — the reference's `value_json`
+    * column and source-filter semantics: extract a field from the
+    * JSON payload, filter on it, aggregate. */
+  def jsonFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .where(col("k") % 10 === 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("value_avg"))
+      .orderBy("event_type")
+
+  val jsonFilterOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
+      |FROM events
+      |WHERE CAST(json_extract(props, '$.k') AS INT) % 10 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------- profiling
+  /** Column profiling — schema-examiner.ts: per-column row count,
+    * nulls, exact distinct count, min/max. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val cols = Seq("l_quantity", "l_discount", "l_extendedprice", "l_tax")
+    cols.map { c =>
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).as("min_value"),
+        max(col(c)).as("max_value"))
+        .withColumn("column_name", lit(c))
+        .select("column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value")
+    }.reduce(_.unionAll(_)).orderBy("column_name")
+  }
+
+  val profileOracle: String =
+    """SELECT 'l_discount' AS column_name, COUNT(*) AS n_rows,
+      |  COUNT(CASE WHEN l_discount IS NULL THEN 1 END) AS n_null,
+      |  COUNT(DISTINCT l_discount) AS n_distinct,
+      |  MIN(l_discount) AS min_value, MAX(l_discount) AS max_value FROM lineitem
+      |UNION ALL
+      |SELECT 'l_extendedprice', COUNT(*),
+      |  COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+      |  COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_quantity', COUNT(*),
+      |  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END),
+      |  COUNT(DISTINCT l_quantity), MIN(l_quantity), MAX(l_quantity) FROM lineitem
+      |UNION ALL
+      |SELECT 'l_tax', COUNT(*),
+      |  COUNT(CASE WHEN l_tax IS NULL THEN 1 END),
+      |  COUNT(DISTINCT l_tax), MIN(l_tax), MAX(l_tax) FROM lineitem
+      |ORDER BY column_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_history_values" -> (historyValues _),
+    "sk_json_filter" -> (jsonFilter _),
+    "sk_profile" -> (profile _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_history_values" -> historyValuesOracle,
+    "sk_json_filter" -> jsonFilterOracle,
+    "sk_profile" -> profileOracle)
+}

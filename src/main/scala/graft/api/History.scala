@@ -1,0 +1,143 @@
+package graft.api
+
+import graft.funcs._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's History API surface, Spark-native: a user of
+  * signalk-parquet's `/history/values` endpoint can express the same
+  * request here and get the aligned frame the endpoint would return.
+  *
+  * Request model mirrors HistoryAPI.ts: a time range (one of the five
+  * standard patterns), a resolution, and per-path specs
+  * `path[:method][:smoothing:param]`. The result has one row per time
+  * bucket and one column per path spec — the endpoint's aligned
+  * `data` array.
+  */
+object History {
+
+  sealed trait Method
+  object Method {
+    case object Average extends Method
+    case object Min extends Method
+    case object Max extends Method
+    case object First extends Method
+    case object Last extends Method
+    case object Mid extends Method
+    case object MiddleIndex extends Method
+
+    def parse(s: String): Method = s match {
+      case "average" => Average; case "min" => Min; case "max" => Max
+      case "first" => First; case "last" => Last; case "mid" => Mid
+      case "middle_index" => MiddleIndex
+      case other => throw new IllegalArgumentException(s"unknown aggregate method: $other")
+    }
+  }
+
+  /** One requested series: `path[:method][:smoothing:param]` —
+    * HistoryAPI.ts splitPathExpression. */
+  case class PathSpec(path: String, method: Method = Method.Average,
+      smoothing: Option[String] = None, smoothingParam: Option[Double] = None) {
+    def columnName: String = {
+      val m = method.toString.toLowerCase
+      val sm = smoothing.map(s => s":$s").getOrElse("")
+      s"$path:$m$sm"
+    }
+  }
+
+  object PathSpec {
+    def parse(exprStr: String): PathSpec = exprStr.split(':') match {
+      case Array(p) => PathSpec(p)
+      case Array(p, m) => PathSpec(p, Method.parse(m))
+      case Array(p, m, sm) => PathSpec(p, Method.parse(m), Some(sm))
+      case Array(p, m, sm, prm) => PathSpec(p, Method.parse(m), Some(sm), Some(prm.toDouble))
+      case _ => throw new IllegalArgumentException(s"bad path expression: $exprStr")
+    }
+  }
+
+  /** Resolved [from, to) in epoch millis — the five standard SignalK
+    * time-range patterns (HistoryAPI.ts getRequestParams). `now` is a
+    * parameter (no wall-clock reads inside query planning). */
+  def resolveRange(from: Option[Long], to: Option[Long], durationMs: Option[Long],
+      now: Long): (Long, Long) = (from, to, durationMs) match {
+    case (None, None, Some(d)) => (now - d, now) // 1: duration back from now
+    case (Some(f), None, Some(d)) => (f, f + d) // 2: forward from start
+    case (None, Some(t), Some(d)) => (t - d, t) // 3: backward to end
+    case (Some(f), None, None) => (f, now) // 4: from start to now
+    case (Some(f), Some(t), None) => (f, t) // 5: explicit range
+    case _ => throw new IllegalArgumentException(
+      "invalid time range: use duration | from+duration | to+duration | from | from+to")
+  }
+
+  /** Auto resolution: range/500 buckets — HistoryAPI.ts:959. */
+  def autoResolutionMs(fromMs: Long, toMs: Long): Long =
+    math.max(1L, (toMs - fromMs) / 500)
+
+  private def aggFor(spec: PathSpec, value: Column, orderCol: Column): Column = spec.method match {
+    case Method.Average => davg(value)
+    case Method.Min => min(value)
+    case Method.Max => max(value)
+    case Method.First => min_by(value, orderCol)
+    case Method.Last => max_by(value, orderCol)
+    case Method.Mid => r6(median(value))
+    // middle_index needs positional logic; FIRST is the reference's
+    // in-bucket fallback (HistoryAPI.ts:2537-2541)
+    case Method.MiddleIndex => min_by(value, orderCol)
+  }
+
+  /** The `/history/values` equivalent: series frame in, aligned frame
+    * out. Expects columns (context, path, ts_ms, value) plus a unique
+    * `order_id` for deterministic first/last.
+    *
+    * One shuffle on the bucket; per-spec aggregates are conditional
+    * (FILTER-style) so every spec computes in one pass — the same
+    * shape the reference builds in SQL, and the shape that scales:
+    * adding specs adds zero shuffles.
+    */
+  def values(series: DataFrame, context: String, specs: Seq[PathSpec],
+      fromMs: Long, toMs: Long, resolutionMs: Long): DataFrame = {
+    val base = series
+      .where(col("context") === context &&
+        col("ts_ms") >= fromMs && col("ts_ms") < toMs &&
+        col("path").isin(specs.map(_.path): _*))
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), resolutionMs))
+    val aggs = specs.map { s =>
+      val v = when(col("path") === s.path, col("value"))
+      val o = when(col("path") === s.path, col("order_id"))
+      aggFor(s, v, o).as(s.columnName)
+    }
+    val aligned = base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*)
+    val smoothed = specs.foldLeft(aligned) { (df, s) =>
+      s.smoothing match {
+        case Some("sma") =>
+          val n = s.smoothingParam.map(_.toInt).getOrElse(10)
+          df.withColumn(s.columnName, smaOver(col(s.columnName), n))
+        case Some("ema") =>
+          // EMA over an aligned frame needs the ordered fold; exposed
+          // via Smoothing.emaSeries on the un-pivoted series instead.
+          df
+        case _ => df
+      }
+    }
+    smoothed.orderBy("bucket_ms")
+  }
+
+  /** Trailing SMA over the aligned frame (window n, ignores nulls). */
+  private def smaOver(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bucket_ms").rowsBetween(-(n - 1), Window.currentRow)
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).over(w).cast("double") /
+      count(c).over(w)
+  }
+
+  /** `/history/contexts` equivalent. */
+  def contexts(series: DataFrame, fromMs: Long, toMs: Long): DataFrame =
+    series.where(col("ts_ms") >= fromMs && col("ts_ms") < toMs)
+      .select("context").distinct().orderBy("context")
+
+  /** `/history/paths` equivalent. */
+  def paths(series: DataFrame, context: String, fromMs: Long, toMs: Long): DataFrame =
+    series.where(col("context") === context &&
+        col("ts_ms") >= fromMs && col("ts_ms") < toMs)
+      .select("path").distinct().orderBy("path")
+}

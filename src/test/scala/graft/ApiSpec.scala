@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.{Durations, History}
+import graft.api.History.{Method, PathSpec}
+
+class ApiSpec extends SparkSpec {
+
+  test("duration parsing: ISO, seconds, shorthand") {
+    assert(Durations.parseMillis("PT1H") == 3600000L)
+    assert(Durations.parseMillis("PT1H30M") == 5400000L)
+    assert(Durations.parseMillis("P1D") == 86400000L)
+    assert(Durations.parseMillis("3600") == 3600000L)
+    assert(Durations.parseMillis("1h") == 3600000L)
+    assert(Durations.parseMillis("30m") == 1800000L)
+    assert(Durations.parseMillis("2d") == 172800000L)
+    intercept[IllegalArgumentException](Durations.parseMillis("xyz"))
+  }
+
+  test("resolution parsing: seconds and time expressions") {
+    assert(Durations.parseResolutionMillis("60") == 60000L)
+    assert(Durations.parseResolutionMillis("1m") == 60000L)
+    assert(Durations.parseResolutionMillis("5s") == 5000L)
+    intercept[IllegalArgumentException](Durations.parseResolutionMillis("-5"))
+  }
+
+  test("five standard time-range patterns resolve correctly") {
+    val now = 1000000L
+    assert(History.resolveRange(None, None, Some(100L), now) == (999900L, 1000000L))
+    assert(History.resolveRange(Some(10L), None, Some(100L), now) == (10L, 110L))
+    assert(History.resolveRange(None, Some(500L), Some(100L), now) == (400L, 500L))
+    assert(History.resolveRange(Some(10L), None, None, now) == (10L, now))
+    assert(History.resolveRange(Some(10L), Some(20L), None, now) == (10L, 20L))
+    intercept[IllegalArgumentException](History.resolveRange(None, None, None, now))
+  }
+
+  test("path expression parsing") {
+    assert(PathSpec.parse("navigation.speedOverGround") ==
+      PathSpec("navigation.speedOverGround", Method.Average))
+    assert(PathSpec.parse("wind:max") == PathSpec("wind", Method.Max))
+    assert(PathSpec.parse("speed:average:sma:5") ==
+      PathSpec("speed", Method.Average, Some("sma"), Some(5.0)))
+    intercept[IllegalArgumentException](PathSpec.parse("p:bogus"))
+  }
+
+  test("history values aligns paths into one frame") {
+    val df = graft.api.ApiQueries.historyValues(spark, sfDir)
+    assert(df.columns.toSeq ==
+      Seq("bucket_ms", "click_sma", "purchase_max", "view_first", "error_mid"))
+    assert(df.count() > 0)
+  }
+
+  test("contexts and paths discovery") {
+    val s = graft.api.ApiQueries.series(spark, sfDir)
+    val ctxs = History.contexts(s, 0L, Long.MaxValue).collect().map(_.getString(0))
+    assert(ctxs.nonEmpty && ctxs.forall(_.startsWith("vessels.urn-")))
+    val ps = History.paths(s, ctxs.head, 0L, Long.MaxValue).collect().map(_.getString(0))
+    assert(ps.toSet.subsetOf(Set("click", "error", "purchase", "signup", "view")))
+  }
+
+  test("hive sanitize mirrors the reference path encoding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq("vessels.urn:mrn:imo:mmsi:368396230").toDF("c")
+      .select(graft.sources.HiveStore.sanitize(col("c"))).head().getString(0)
+    assert(out == "vessels__urn-mrn-imo-mmsi-368396230")
+  }
+}
