@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/FS before timing so the first query is not
+    // charged with session startup.
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
