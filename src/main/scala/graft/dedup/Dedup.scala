@@ -138,6 +138,11 @@ object Dedup {
     candidates
       .join(broadcast(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
       .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
+      // size-ratio bound: j ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
+      // so this integer prefilter prunes candidates before the O(n)
+      // intersection without changing the result set.
+      .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(0.95) * greatest(size(col("toks_a")), size(col("toks_b"))))
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= 0.95)
       .select("id_a", "id_b", "jaccard")

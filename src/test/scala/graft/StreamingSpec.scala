@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Fire, ThresholdEvent}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Stateful-streaming semantics: hysteresis state must carry across
+  * micro-batches (the property the batch oracle can't see). */
+class StreamingSpec extends SparkSpec {
+
+  test("thresholdFlow carries last-fire state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h = 43200000L
+    val input = MemoryStream[ThresholdEvent]
+    val q = Streaming.thresholdFlow(input.toDS()).writeStream
+      .format("memory").queryName("graft_state_carry_test")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: first event fires; second within H is suppressed
+      input.addData(ThresholdEvent(1L, 1000L, 200.0), ThresholdEvent(1L, 2000L, 200.0))
+      q.processAllAvailable()
+      // batch 2: still within H of the batch-1 fire → suppressed;
+      // then one past H → fires. State must have survived the batch boundary.
+      input.addData(ThresholdEvent(1L, h - 1000L, 200.0), ThresholdEvent(1L, 1000L + h, 200.0))
+      q.processAllAvailable()
+      val fires = spark.table("graft_state_carry_test").as[Fire]
+        .collect().map(_.fire_ms).sorted
+      assert(fires.toSeq == Seq(1000L, 1000L + h), s"got ${fires.toSeq}")
+    } finally q.stop()
+  }
+
+  test("below-threshold values never fire") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ThresholdEvent]
+    val q = Streaming.thresholdFlow(input.toDS()).writeStream
+      .format("memory").queryName("graft_no_fire_test")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      input.addData(ThresholdEvent(1L, 1000L, 50.0), ThresholdEvent(2L, 2000L, 119.9))
+      q.processAllAvailable()
+      assert(spark.table("graft_no_fire_test").count() == 0)
+    } finally q.stop()
+  }
+}
