@@ -16,7 +16,8 @@ object SparkEntry {
       graft.sources.Gpx.queries ++ graft.sources.HiveStore.queries ++
       graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
-      graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries
+      graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
+      Relational2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.sources.Gpx.oracles ++ graft.sources.HiveStore.oracles ++
       graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
-      graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles
+      graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
+      Relational2.oracles
 }

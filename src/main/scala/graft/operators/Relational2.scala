@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational breadth: filter-pushdown revenue, semi-join order
+  * priorities, multi-dim join — plus a salt-based skew-safe
+  * aggregation that provably equals the direct aggregation.
+  */
+object Relational2 {
+
+  /** TPC-H Q6-flavored: filtered revenue — the predicate set reaches
+    * the parquet scan (range + equality pushdown). */
+  def q6Revenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1994-01-01") && col("l_shipdate") < lit("1995-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Oracle: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q4-flavored: order priority counts for orders with at least
+    * one lineitem — LEFT SEMI join, the scalable EXISTS. */
+  def q4Priorities(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit("1994-01-01") && col("o_orderdate") < lit("1994-07-01"))
+      .join(Tables.lineitem(spark, dir).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q5-flavored: revenue by nation for one region — the full
+    * star join with every dim broadcast. */
+  def q5Nation(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(dsum(rev, 4).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Skew-safe aggregation: two-phase salted sum/count per key. Phase
+    * 1 aggregates (key, salt) — spreading a hot key over N reducers —
+    * phase 2 merges the partials. Result provably equals the direct
+    * aggregation (the oracle computes it directly); decimal partials
+    * keep the merge exact. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("part_sum"),
+        count(lit(1)).as("part_cnt"))
+    salted.groupBy("l_returnflag")
+      .agg((sum("part_sum").cast("double") / sum("part_cnt")).as("avg_qty"),
+        sum("part_sum").cast("double").as("sum_qty"),
+        sum("part_cnt").as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val saltedAggOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_revenue" -> (q6Revenue _),
+    "q4_priorities" -> (q4Priorities _),
+    "q5_nation" -> (q5Nation _),
+    "q_salted_agg" -> (saltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q6_revenue" -> q6Oracle,
+    "q4_priorities" -> q4Oracle,
+    "q5_nation" -> q5Oracle,
+    "q_salted_agg" -> saltedAggOracle)
+}

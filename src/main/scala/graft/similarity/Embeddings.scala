@@ -129,7 +129,49 @@ object Embeddings {
       .orderBy("probe_id", "rank")
   }
 
+  // ------------------------------------------------------------- IVF
+  /** IVF-style ANN: deterministic coarse centroids (a fixed id slice
+    * stands in for a k-means pass), every vector assigned to its
+    * nearest centroid (the inverted list), probes search only their
+    * nprobe=4 nearest lists. The scale path: lists shard the corpus so
+    * a probe touches ~nprobe/K of it; assignment is one broadcast pass.
+    * Approximate → recall-checked in specs, rows-only for the driver. */
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_c"), col("norm2").as("norm2_c"))
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          round(expr("aggregate(zip_with(v, v_c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+            (sqrt(col("norm2")) * sqrt(col("norm2_c"))), 6))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("v_c", "norm2_c", "ccos", "crank")
+    }
+    val lists = assign(e, 1).withColumnRenamed("cent_id", "bucket")
+    val probes = assign(e.where(col("vec_id") < 5), 4)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"),
+        col("norm2").as("norm2_a"), col("cent_id").as("bucket"))
+    val corpus = lists.select(col("vec_id").as("neighbor_id"), col("v").as("v_b"),
+      col("norm2").as("norm2_b"), col("bucket"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(probes).join(corpus, Seq("bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id", "v_a", "norm2_a", "v_b", "norm2_b")
+      .distinct()
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("probe_id", "neighbor_id", "cos", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "ann_topk" -> (annTopK _),
     "ann_lsh_topk" -> (annLshTopK _))

@@ -74,6 +74,15 @@ class TextDedupSpec extends SparkSpec {
     assert(approx.nonEmpty)
   }
 
+  test("ann_ivf recall against brute force is nontrivial") {
+    val exact = Embeddings.annTopK(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Embeddings.annIvfTopK(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall $recall")
+  }
+
   test("gpx parser extracts trkpt fields from crafted XML") {
     val xml = """<?xml version="1.0"?><gpx><trk><trkseg>
       |<trkpt lat="40.5" lon="-73.25"><ele>12.5</ele><time>2024-01-01T00:00:00.000Z</time></trkpt>
