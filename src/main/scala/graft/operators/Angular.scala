@@ -84,11 +84,65 @@ object Angular {
       |  sample_count
       |FROM t1h ORDER BY user_id, event_type, bucket_ms""".stripMargin
 
+  // -------------------------------------------------- weighted vector
+  /** Magnitude-weighted angular average — the reference's
+    * WEIGHTED_ANGULAR_PATHS pairing (angular-paths.ts:39-47): wind
+    * direction weighted by wind speed. Here the `click` series is the
+    * angle (rad) and the bucket-mean of the paired `purchase` series
+    * is the magnitude; per (user, day):
+    * ATAN2(Σ w·sin̄ / Σ w, Σ w·cos̄ / Σ w) over hourly buckets. */
+  def angularWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val angle = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .agg(davg(round(sin(col("value")), 6)).as("sin_avg"),
+        davg(round(cos(col("value")), 6)).as("cos_avg"))
+    val mag = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+      .agg(davg(col("value")).as("w"))
+    angle.join(mag, Seq("user_id", "bucket_ms"))
+      .groupBy(col("user_id"),
+        (floor(col("bucket_ms") / lit(86400000L)).cast("long") * lit(86400000L)).as("day_ms"))
+      .agg(
+        (sum((col("w") * col("sin_avg")).cast(DecimalType(28, 12))).cast("double") /
+          sum(col("w").cast(DecimalType(18, 6))).cast("double")).as("ws"),
+        (sum((col("w") * col("cos_avg")).cast(DecimalType(28, 12))).cast("double") /
+          sum(col("w").cast(DecimalType(18, 6))).cast("double")).as("wc"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("user_id"), col("day_ms"),
+        r6(atan2(col("ws"), col("wc"))).as("weighted_angle"),
+        col("n_buckets"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val angularWeightedOracle: String =
+    """WITH angle AS (
+      |  SELECT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS sin_avg,
+      |    CAST(SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS cos_avg
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), mag AS (
+      |  SELECT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS w
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |)
+      |SELECT a.user_id,
+      |  CAST(FLOOR(a.bucket_ms / 86400000) * 86400000 AS BIGINT) AS day_ms,
+      |  ROUND(ATAN2(
+      |    CAST(SUM(CAST(m.w * a.sin_avg AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE),
+      |    CAST(SUM(CAST(m.w * a.cos_avg AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE)
+      |  ), 6) AS weighted_angle,
+      |  COUNT(*) AS n_buckets
+      |FROM angle a JOIN mag m ON a.user_id = m.user_id AND a.bucket_ms = m.bucket_ms
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_angular_avg" -> (angularAvg _),
-    "sk_angular_tier" -> (angularTier _))
+    "sk_angular_tier" -> (angularTier _),
+    "sk_angular_weighted" -> (angularWeighted _))
 
   val oracles: Map[String, String] = Map(
     "sk_angular_avg" -> angularAvgOracle,
-    "sk_angular_tier" -> angularTierOracle)
+    "sk_angular_tier" -> angularTierOracle,
+    "sk_angular_weighted" -> angularWeightedOracle)
 }

@@ -25,6 +25,12 @@ object Gpx {
       .withColumn("time_str", regexp_extract(col("_trkpt"), "<time>([^<]*)</time>", 1))
       .withColumn("ele", when(col("_trkpt").rlike("<ele>"),
         regexp_extract(col("_trkpt"), "<ele>([-0-9.]+)</ele>", 1).cast("double")))
+      .withColumn("speed", when(col("_trkpt").rlike("<speed>"),
+        regexp_extract(col("_trkpt"), "<speed>([-0-9.]+)</speed>", 1).cast("double")))
+      // course arrives in degrees; stored in radians to match
+      // navigation.courseOverGroundTrue (gpx-parser.ts / README)
+      .withColumn("course_rad", when(col("_trkpt").rlike("<course>"),
+        radians(regexp_extract(col("_trkpt"), "<course>([-0-9.]+)</course>", 1).cast("double"))))
       .drop("_trkpt", xmlCol)
 
   /** Serialize position fixes into one GPX document per vessel —

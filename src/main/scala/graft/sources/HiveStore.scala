@@ -38,6 +38,55 @@ object HiveStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Compaction (compaction-service.ts analog): rewrite each hive
+    * partition's small files into one file per partition. Same layout,
+    * same rows, ~1 file per (tier, context, path, year, day). */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val df = read(spark, dir)
+    val tmp = dir + "_compacting"
+    df.repartition(32, col("tier"), col("context"), col("path"), col("year"), col("day"))
+      .sortWithinPartitions("tier", "context", "path", "year", "day")
+      .write.mode("overwrite")
+      .partitionBy("tier", "context", "path", "year", "day")
+      .parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dir))
+  }
+
+  /** Retention sweep — aggregation-service.ts:cleanupOldData: delete
+    * partitions whose day is older than the per-tier retention,
+    * comparing at day granularity (midnight UTC) so a 1-day retention
+    * never deletes yesterday mid-afternoon. Returns deleted partition
+    * paths. */
+  def retentionSweep(spark: SparkSession, dir: String,
+      retentionDays: Map[String, Int], nowMs: Long): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(base)) return Seq.empty
+    val midnight = nowMs - Math.floorMod(nowMs, 86400000L)
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    for (tierDir <- fs.listStatus(base) if tierDir.isDirectory) {
+      val tier = tierDir.getPath.getName.stripPrefix("tier=")
+      retentionDays.get(tier).filter(_ > 0).foreach { days =>
+        val cutoff = midnight - days.toLong * 86400000L
+        val dayDirs = fs.globStatus(new org.apache.hadoop.fs.Path(
+          tierDir.getPath, "context=*/path=*/year=*/day=*"))
+        for (d <- dayDirs) {
+          val year = d.getPath.getParent.getName.stripPrefix("year=").toInt
+          val day = d.getPath.getName.stripPrefix("day=").toInt
+          val dayStart = java.time.LocalDate.ofYearDay(year, day)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          if (dayStart < cutoff) {
+            fs.delete(d.getPath, true)
+            deleted += d.getPath.toString
+          }
+        }
+      }
+    }
+    deleted.toSeq
+  }
+
   // --------------------------------------------------------------- #28
   /** Round-trip: events → hive layout → pruned read-back of one path
     * partition, counted per (path, year, day). The oracle counts the
