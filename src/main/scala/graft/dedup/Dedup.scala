@@ -89,6 +89,7 @@ object Dedup {
     * 1e9+7; sig[i] = min over tokens. All computed as nested array
     * expressions inside codegen, one row per doc. */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
     // repartition: the corpus arrives as one parquet split at test
     // scale; signature computation must fan out over all cores (at
     // 100 TB the input splits provide this for free).
@@ -104,7 +105,7 @@ object Dedup {
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens.as("toks"))
       .withColumn("thashes", expr(
-        "transform(toks, t -> aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007))"))
+        "transform(toks, t -> graft_polyhash(t, 31))"))
       .select(col("doc_id"), explode(col("thashes")).as("h"))
     val permCols = (0 until 128).map { i =>
       min(pmod(lit(2L * i + 3) * col("h") + lit(1000003L * i), lit(1000000007L))).as(s"s$i")
@@ -169,6 +170,7 @@ object Dedup {
     * candidates provably include every qualifying pair. The oracle
     * computes the exact O(n²) answer with the same simhash. */
   def simHashDocs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
     // Same codegen-friendly shape as minHashLsh: explode per-token
     // hash pairs, 60 bit-balance SUM aggregates, then assemble the
     // 60-bit fingerprint — no interpreted higher-order folds.
@@ -177,8 +179,8 @@ object Dedup {
       .select(col("doc_id"), tokens.as("toks"))
       .withColumn("thp", expr(
         """transform(toks, t -> struct(
-          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007) AS h1,
-          |  aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 37 + x) % 1000000007) AS h2))""".stripMargin))
+          |  graft_polyhash(t, 31) AS h1,
+          |  graft_polyhash(t, 37) AS h2))""".stripMargin))
       .select(col("doc_id"), explode(col("thp")).as("p"))
       .select(col("doc_id"), col("p.h1"), col("p.h2"))
     val bitSums = (0 until 60).map { j =>

@@ -24,6 +24,14 @@ object TextOps {
     s"aggregate(transform(sequence(1, length($colName)), i -> CAST(ascii(substring($colName, i, 1)) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> (acc * $mult + x) % 1000000007)")
 
+  /** Native codegen form of the same hash (graft.functions.PolyHash):
+    * identical result for ASCII input, compiled to a byte loop. */
+  def polyHashNative(spark: org.apache.spark.sql.SparkSession,
+      colName: String, mult: Int): Column = {
+    graft.functions.PolyHash.register(spark)
+    expr(s"graft_polyhash($colName, $mult)")
+  }
+
   /** Same hash as DuckDB SQL (for oracle strings). */
   def polyHashSql(col: String, mult: Int): String =
     s"list_reduce(list_transform(string_split($col, ''), ch -> ascii(ch)::BIGINT), (a, b) -> (a * $mult + b) % 1000000007)"
@@ -144,9 +152,9 @@ object TextOps {
     * the cheap content-identity triple for exact dedup at scale. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .repartition(col("doc_id")) // fan the interpreted char folds out over all cores
-      .withColumn("fp31", polyHash("text", 31))
-      .withColumn("fp37", polyHash("text", 37))
+      .repartition(col("doc_id"))
+      .withColumn("fp31", polyHashNative(spark, "text", 31))
+      .withColumn("fp37", polyHashNative(spark, "text", 37))
       .withColumn("content_md5", md5(col("text")))
       .select("doc_id", "fp31", "fp37", "content_md5")
       .orderBy("doc_id")
