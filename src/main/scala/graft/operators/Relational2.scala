@@ -98,13 +98,38 @@ object Relational2 {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q10-flavored: top returned-item customers — join + filter
+    * + agg + topk in one plan. */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(dsum(rev, 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned" -> (q10Returned _),
     "q6_revenue" -> (q6Revenue _),
     "q4_priorities" -> (q4Priorities _),
     "q5_nation" -> (q5Nation _),
     "q_salted_agg" -> (saltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q10_returned" -> q10Oracle,
     "q6_revenue" -> q6Oracle,
     "q4_priorities" -> q4Oracle,
     "q5_nation" -> q5Oracle,

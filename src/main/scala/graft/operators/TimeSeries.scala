@@ -264,7 +264,26 @@ object TimeSeries {
       |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-22'
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- multi-vessel
+  /** Wildcard-context collection with exclusions — the reference's
+    * `vessels.*` + excludeMMSI filtering (README "Multi-Vessel
+    * Support"): aggregate across all contexts except an exclusion
+    * list. */
+  def contextExclude(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .where(!col("user_id").isin(2L, 5L, 7L))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_records"), davg(col("value")).as("value_avg"))
+      .orderBy("user_id", "event_type")
+
+  val contextExcludeOracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_records,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
+      |FROM events WHERE user_id NOT IN (2, 5, 7)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_context_exclude" -> (contextExclude _),
     "sk_time_bucket_avg" -> (timeBucketAvg _),
     "sk_agg_methods" -> (aggMethods _),
     "sk_tier_rollup_raw5s" -> (tierRollupRaw _),
@@ -276,6 +295,7 @@ object TimeSeries {
     "sk_discovery" -> (discovery _))
 
   val oracles: Map[String, String] = Map(
+    "sk_context_exclude" -> contextExcludeOracle,
     "sk_time_bucket_avg" -> timeBucketAvgOracle,
     "sk_agg_methods" -> aggMethodsOracle,
     "sk_tier_rollup_raw5s" -> tierRollupRawOracle,
