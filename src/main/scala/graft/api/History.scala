@@ -46,11 +46,16 @@ object History {
   }
 
   object PathSpec {
+    private def checkSmoothing(sm: String): String =
+      if (sm == "sma" || sm == "ema") sm
+      else throw new IllegalArgumentException(s"unknown smoothing: $sm (expected sma|ema)")
+
     def parse(exprStr: String): PathSpec = exprStr.split(':') match {
       case Array(p) => PathSpec(p)
       case Array(p, m) => PathSpec(p, Method.parse(m))
-      case Array(p, m, sm) => PathSpec(p, Method.parse(m), Some(sm))
-      case Array(p, m, sm, prm) => PathSpec(p, Method.parse(m), Some(sm), Some(prm.toDouble))
+      case Array(p, m, sm) => PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)))
+      case Array(p, m, sm, prm) =>
+        PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)), Some(prm.toDouble))
       case _ => throw new IllegalArgumentException(s"bad path expression: $exprStr")
     }
   }
@@ -96,6 +101,7 @@ object History {
     */
   def values(series: DataFrame, context: String, specs: Seq[PathSpec],
       fromMs: Long, toMs: Long, resolutionMs: Long): DataFrame = {
+    require(specs.nonEmpty, "at least one path spec is required")
     val base = series
       .where(col("context") === context &&
         col("ts_ms") >= fromMs && col("ts_ms") < toMs &&
@@ -107,19 +113,56 @@ object History {
       aggFor(s, v, o).as(s.columnName)
     }
     val aligned = base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*)
-    val smoothed = specs.foldLeft(aligned) { (df, s) =>
+    val withSma = specs.foldLeft(aligned) { (df, s) =>
       s.smoothing match {
         case Some("sma") =>
           val n = s.smoothingParam.map(_.toInt).getOrElse(10)
           df.withColumn(s.columnName, smaOver(col(s.columnName), n))
-        case Some("ema") =>
-          // EMA over an aligned frame needs the ordered fold; exposed
-          // via Smoothing.emaSeries on the un-pivoted series instead.
-          df
-        case _ => df
+        case Some("ema") => df // applied below, all ema specs in one pass
+        case None => df
+        case Some(other) =>
+          throw new IllegalArgumentException(s"unknown smoothing: $other")
       }
     }
+    val smoothed = emaOver(withSma, specs.filter(_.smoothing.contains("ema")))
     smoothed.orderBy("bucket_ms")
+  }
+
+  /** EMA (alpha, default 0.2) over the aligned frame, in bucket order —
+    * historical-streaming.ts:1143-1183. The recurrence is sequential,
+    * so it runs as one ordered scan; the aligned frame is bounded by
+    * construction (the API picks resolution for ~500 buckets, see
+    * [[autoResolutionMs]]), so a single partition is the right shape
+    * here. Unbounded per-series smoothing at scale lives in
+    * [[graft.operators.Smoothing.emaSeries]]. Null buckets pass
+    * through without updating the accumulator (the endpoint skips
+    * missing samples). */
+  private def emaOver(df: DataFrame, emaSpecs: Seq[PathSpec]): DataFrame = {
+    if (emaSpecs.isEmpty) return df
+    val schema = df.schema
+    val targets = emaSpecs.map(s =>
+      schema.fieldIndex(s.columnName) -> s.smoothingParam.getOrElse(0.2))
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(schema)
+    df.repartition(1).sortWithinPartitions("bucket_ms")
+      .mapPartitions { it =>
+        val state = scala.collection.mutable.Map.empty[Int, Double]
+        it.map { r =>
+          val vals = r.toSeq.toArray
+          targets.foreach { case (i, alpha) =>
+            if (!r.isNullAt(i)) {
+              val x = r.get(i).asInstanceOf[Number].doubleValue()
+              val e = state.get(i) match {
+                case Some(prev) => alpha * x + (1 - alpha) * prev
+                case None => x
+              }
+              state(i) = e
+              vals(i) = e
+            }
+          }
+          org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
   }
 
   /** Trailing SMA over the aligned frame (window n, ignores nulls). */

@@ -20,11 +20,16 @@ object Dedup {
   /** Distinct word tokens, sorted for deterministic array compare. */
   private val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
 
-  /** Exact Jaccard between two sorted-distinct token arrays. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
-  }
+  /** Exact Jaccard between two sorted-distinct token arrays. The
+    * intersection size is bound through a one-element transform lambda
+    * so it is computed ONCE per evaluation — a direct
+    * `inter/(|a|+|b|-inter)` would re-evaluate array_intersect (the
+    * O(|a|+|b|) hash-set build) twice per candidate pair. */
+  private def jaccard(a: Column, b: Column): Column =
+    element_at(
+      transform(array(size(array_intersect(a, b))),
+        i => round(i.cast("double") / (size(a) + size(b) - i), 6)),
+      1)
 
   // --------------------------------------------------------------- #29
   /** Exact duplicate groups: md5(text) groupBy, keeper = min doc_id —
@@ -141,9 +146,12 @@ object Dedup {
       .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
       // size-ratio bound: j ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
       // so this integer prefilter prunes candidates before the O(n)
-      // intersection without changing the result set.
+      // intersection without changing the result set. The constant is
+      // slightly slack (0.9499, not 0.95) because the final compare is
+      // on round(j,6) — a pair with exact j in [0.9499995, 0.95) passes
+      // the rounded threshold and must not be pruned here.
       .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
-        lit(0.95) * greatest(size(col("toks_a")), size(col("toks_b"))))
+        lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= 0.95)
       .select("id_a", "id_b", "jaccard")

@@ -38,20 +38,22 @@ object Angular {
     * sin/cos averages, re-aggregated to 1h with sample-count weighting,
     * recombined to the mean angle — lossless across tiers. */
   def angularTier(spark: SparkSession, dir: String): DataFrame = {
+    // The 5-min tier carries exact DECIMAL sin/cos SUMS (not avgs):
+    // decimal addition is associative and engine-identical, so the 1h
+    // weighted mean SUM(sums)/SUM(counts) is bit-stable — no double
+    // avg·n product whose decimal quantization differs across engines.
     val t5 = Tables.events(spark, dir)
       .groupBy(col("user_id"), col("event_type"),
         bucketOfMs(col("ts_ms"), 300000L).as("bucket_ms"))
       .agg(
-        davg(round(sin(col("value")), 6)).as("sin_avg"),
-        davg(round(cos(col("value")), 6)).as("cos_avg"),
+        sum(round(sin(col("value")), 6).cast(DecimalType(18, 6))).as("sin_sum"),
+        sum(round(cos(col("value")), 6).cast(DecimalType(18, 6))).as("cos_sum"),
         count(lit(1)).as("sample_count"))
     t5.groupBy(col("user_id"), col("event_type"),
         bucketOfMs(col("bucket_ms"), 3600000L).as("bucket_ms1h"))
       .agg(
-        (sum((col("sin_avg") * col("sample_count")).cast(DecimalType(28, 12))).cast("double") /
-          sum("sample_count")).as("w_sin"),
-        (sum((col("cos_avg") * col("sample_count")).cast(DecimalType(28, 12))).cast("double") /
-          sum("sample_count")).as("w_cos"),
+        (sum("sin_sum").cast("double") / sum("sample_count")).as("w_sin"),
+        (sum("cos_sum").cast("double") / sum("sample_count")).as("w_cos"),
         sum("sample_count").as("sample_count"))
       .select(col("user_id"), col("event_type"), col("bucket_ms1h").as("bucket_ms"),
         r6(atan2(col("w_sin"), col("w_cos"))).as("value_avg"),
@@ -65,15 +67,15 @@ object Angular {
     """WITH t5 AS (
       |  SELECT user_id, event_type,
       |    CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms,
-      |    CAST(SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS sin_avg,
-      |    CAST(SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS cos_avg,
+      |    SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS sin_sum,
+      |    SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS cos_sum,
       |    COUNT(*) AS sample_count
       |  FROM events GROUP BY 1, 2, 3
       |), t1h AS (
       |  SELECT user_id, event_type,
       |    CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
-      |    CAST(SUM(CAST(sin_avg * sample_count AS DECIMAL(28,12))) AS DOUBLE) / SUM(sample_count) AS w_sin,
-      |    CAST(SUM(CAST(cos_avg * sample_count AS DECIMAL(28,12))) AS DOUBLE) / SUM(sample_count) AS w_cos,
+      |    CAST(SUM(sin_sum) AS DOUBLE) / SUM(sample_count) AS w_sin,
+      |    CAST(SUM(cos_sum) AS DOUBLE) / SUM(sample_count) AS w_cos,
       |    SUM(sample_count) AS sample_count
       |  FROM t5 GROUP BY 1, 2, 3
       |)
@@ -100,14 +102,19 @@ object Angular {
     val mag = ev.where(col("event_type") === "purchase")
       .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
       .agg(davg(col("value")).as("w"))
+    // Quantize each factor to 6 dp BEFORE the decimal cast, then
+    // multiply in the decimal domain: DECIMAL(18,6)·DECIMAL(18,6) →
+    // DECIMAL(·,12) is exact in both engines, so the weighted sums are
+    // bit-stable (a double·double product cast to decimal is not).
+    val wD = round(col("w"), 6).cast(DecimalType(18, 6))
+    val sinD = round(col("sin_avg"), 6).cast(DecimalType(18, 6))
+    val cosD = round(col("cos_avg"), 6).cast(DecimalType(18, 6))
     angle.join(mag, Seq("user_id", "bucket_ms"))
       .groupBy(col("user_id"),
         (floor(col("bucket_ms") / lit(86400000L)).cast("long") * lit(86400000L)).as("day_ms"))
       .agg(
-        (sum((col("w") * col("sin_avg")).cast(DecimalType(28, 12))).cast("double") /
-          sum(col("w").cast(DecimalType(18, 6))).cast("double")).as("ws"),
-        (sum((col("w") * col("cos_avg")).cast(DecimalType(28, 12))).cast("double") /
-          sum(col("w").cast(DecimalType(18, 6))).cast("double")).as("wc"),
+        (sum(wD * sinD).cast("double") / sum(wD).cast("double")).as("ws"),
+        (sum(wD * cosD).cast("double") / sum(wD).cast("double")).as("wc"),
         count(lit(1)).as("n_buckets"))
       .select(col("user_id"), col("day_ms"),
         r6(atan2(col("ws"), col("wc"))).as("weighted_angle"),
@@ -129,8 +136,10 @@ object Angular {
       |SELECT a.user_id,
       |  CAST(FLOOR(a.bucket_ms / 86400000) * 86400000 AS BIGINT) AS day_ms,
       |  ROUND(ATAN2(
-      |    CAST(SUM(CAST(m.w * a.sin_avg AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE),
-      |    CAST(SUM(CAST(m.w * a.cos_avg AS DECIMAL(28,12))) AS DOUBLE) / CAST(SUM(CAST(m.w AS DECIMAL(18,6))) AS DOUBLE)
+      |    CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6)) * CAST(ROUND(a.sin_avg,6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6))) AS DOUBLE),
+      |    CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6)) * CAST(ROUND(a.cos_avg,6) AS DECIMAL(18,6))) AS DOUBLE)
+      |      / CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6))) AS DOUBLE)
       |  ), 6) AS weighted_angle,
       |  COUNT(*) AS n_buckets
       |FROM angle a JOIN mag m ON a.user_id = m.user_id AND a.bucket_ms = m.bucket_ms

@@ -90,19 +90,31 @@ object TimeSeries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------- #8
-  /** raw→tier rollup producing the aggregated-tier file schema
-    * (aggregation-service.ts:423-439): value_avg/min/max, sample_count,
-    * first/last timestamp, keyed by (context, path, bucket). */
-  def tierRollup(df: DataFrame, resolutionMs: Long): DataFrame =
+  /** raw→tier bucket partials: exact DECIMAL `value_sum` + count +
+    * min/max + first/last ts per (context, path, bucket). The decimal
+    * sum is the lossless carry that makes tier re-aggregation both
+    * exact and engine-identical (decimal addition is associative, so
+    * SUM(sums)/SUM(counts) equals the raw average bit-for-bit in any
+    * engine and any partition order). */
+  def tierPartials(df: DataFrame, resolutionMs: Long): DataFrame =
     df.groupBy(col("user_id"), col("event_type"),
         bucketOfMs(col("ts_ms"), resolutionMs).as("bucket_ms"))
       .agg(
-        davg(col("value")).as("value_avg"),
+        sum(col("value").cast(DecimalType(18, 6))).as("value_sum"),
         min("value").as("value_min"),
         max("value").as("value_max"),
         count(lit(1)).as("sample_count"),
         min("ts_ms").as("first_ts_ms"),
         max("ts_ms").as("last_ts_ms"))
+
+  /** raw→tier rollup producing the aggregated-tier file schema
+    * (aggregation-service.ts:423-439): value_avg/min/max, sample_count,
+    * first/last timestamp, keyed by (context, path, bucket). */
+  def tierRollup(df: DataFrame, resolutionMs: Long): DataFrame =
+    tierPartials(df, resolutionMs)
+      .withColumn("value_avg", col("value_sum").cast("double") / col("sample_count"))
+      .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
+        "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
 
   def tierRollupRaw(spark: SparkSession, dir: String): DataFrame =
     tierRollup(ev(spark, dir), 300000L)
@@ -118,16 +130,18 @@ object TimeSeries {
       |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------------------- #9
-  /** Tier re-aggregation: weighted SUM(avg·n)/SUM(n), MIN of mins, MAX
-    * of maxes — lossless rollup composition
-    * (aggregation-service.ts:442-461). The avg·n product is quantized
-    * to DECIMAL so the re-sum is order-independent. */
+  /** Tier re-aggregation (aggregation-service.ts:442-461): the
+    * reference computes the coarse average as weighted SUM(avg·n)/
+    * SUM(n); we carry the exact DECIMAL partial sum through the tier
+    * instead and compute SUM(sums)/SUM(counts) — mathematically the
+    * same weighted mean, but exact (no double·count product whose
+    * decimal quantization differs across engines) and associative
+    * across any number of tier levels. */
   def tierReaggregate(tier: DataFrame, resolutionMs: Long): DataFrame =
     tier.groupBy(col("user_id"), col("event_type"),
         (floor(col("bucket_ms") / lit(resolutionMs)).cast("long") * lit(resolutionMs)).as("bucket_ms2"))
       .agg(
-        (sum((col("value_avg") * col("sample_count")).cast(DecimalType(28, 10))).cast("double") /
-          sum("sample_count")).as("value_avg"),
+        (sum("value_sum").cast("double") / sum("sample_count")).as("value_avg"),
         min("value_min").as("value_min"),
         max("value_max").as("value_max"),
         sum("sample_count").as("sample_count"),
@@ -136,7 +150,7 @@ object TimeSeries {
       .withColumnRenamed("bucket_ms2", "bucket_ms")
 
   def tierReagg(spark: SparkSession, dir: String): DataFrame =
-    tierReaggregate(tierRollup(ev(spark, dir), 300000L), 3600000L)
+    tierReaggregate(tierPartials(ev(spark, dir), 300000L), 3600000L)
       .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
         "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
       .orderBy("user_id", "event_type", "bucket_ms")
@@ -145,7 +159,7 @@ object TimeSeries {
     """WITH t5 AS (
       |  SELECT user_id, event_type,
       |    CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS value_sum,
       |    MIN(value) AS value_min, MAX(value) AS value_max,
       |    COUNT(*) AS sample_count,
       |    MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
@@ -153,7 +167,7 @@ object TimeSeries {
       |)
       |SELECT user_id, event_type,
       |  CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
-      |  CAST(SUM(CAST(value_avg * sample_count AS DECIMAL(28,10))) AS DOUBLE) / SUM(sample_count) AS value_avg,
+      |  CAST(SUM(value_sum) AS DOUBLE) / SUM(sample_count) AS value_avg,
       |  MIN(value_min) AS value_min, MAX(value_max) AS value_max,
       |  SUM(sample_count) AS sample_count,
       |  MIN(first_ts_ms) AS first_ts_ms, MAX(last_ts_ms) AS last_ts_ms

@@ -92,11 +92,34 @@ object HiveStore {
     * partition, counted per (path, year, day). The oracle counts the
     * same slice relationally; the Spark side proves layout + pruning
     * (the read filter hits only `path=click` directories). */
+  /** Run `body` with a session conf set, restoring the previous value
+    * (or unsetting) afterwards — keeps demo queries from permanently
+    * mutating shared session state. */
+  private def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Unique per-run scratch dir (concurrent Verify/Bench runs on one
+    * machine must not race on a shared path), deleted on JVM exit. */
+  private def scratchDir(): String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_hive_store_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
+
   def hiveWrite(spark: SparkSession, dir: String): DataFrame = {
-    // Keep partition values as strings on read-back so day "003" is
-    // not inferred back to int 3.
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val out = sys.props("java.io.tmpdir") + "/graft_hive_store"
+    val out = scratchDir()
     // The round-trip writes the slice the pruned read-back checks
     // (path=click): full layout fidelity, bounded file count — local
     // FS metadata calls shell out when the hadoop native lib is absent,
@@ -111,7 +134,14 @@ object HiveStore {
       .withColumn("day", lpad(dayofyear(col("ts")).cast("string"), 3, "0"))
       .drop("ts")
     write(df, out)
-    read(spark, out)
+    // Partition values stay strings on read-back (day "003" must not be
+    // inferred back to int 3); conf is scoped to the eager file-index /
+    // schema-inference step and restored immediately.
+    val readBack = withConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      read(spark, out)
+    }
+    readBack
       .where(col("tier") === "raw" && col("path") === "click")
       .groupBy("path", "year", "day")
       .agg(count(lit(1)).as("n_records"))

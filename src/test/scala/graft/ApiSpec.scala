@@ -42,6 +42,32 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](PathSpec.parse("p:bogus"))
   }
 
+  test("ema smoothing follows the alpha recurrence over the aligned frame") {
+    val (fromMs, toMs) = (1704412800000L, 1706140800000L)
+    val series = graft.api.ApiQueries.series(spark, sfDir)
+    val plain = History.values(series, "vessels.urn-3",
+      Seq(PathSpec.parse("click:average")), fromMs, toMs, 21600000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val smoothed = History.values(series, "vessels.urn-3",
+      Seq(PathSpec.parse("click:average:ema:0.3")), fromMs, toMs, 21600000L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    var ema = Double.NaN
+    plain.sortBy(_._1).foreach { case (bucket, x) =>
+      ema = if (ema.isNaN) x else 0.3 * x + 0.7 * ema
+      assert(math.abs(smoothed(bucket) - ema) < 1e-9,
+        s"bucket $bucket: got ${smoothed(bucket)}, want $ema")
+    }
+    assert(plain.length > 2)
+  }
+
+  test("unknown smoothing and empty specs are rejected") {
+    intercept[IllegalArgumentException](PathSpec.parse("p:average:loess:0.5"))
+    intercept[IllegalArgumentException] {
+      History.values(graft.api.ApiQueries.series(spark, sfDir), "vessels.urn-3",
+        Seq.empty, 0L, 1L, 1000L)
+    }
+  }
+
   test("history values aligns paths into one frame") {
     val df = graft.api.ApiQueries.historyValues(spark, sfDir)
     assert(df.columns.toSeq ==
