@@ -98,10 +98,6 @@ object Dedup {
     // repartition: the corpus arrives as one parquet split at test
     // scale; signature computation must fan out over all cores (at
     // 100 TB the input splits provide this for free).
-    // The sig→bands derivation binds `sig` through a one-element
-    // transform lambda so CollapseProject cannot substitute (and
-    // recompute) the 128-perm signature expression once per band
-    // reference.
     // Signature computation stays inside whole-stage codegen: one row
     // per (doc, token-hash) and 128 min-aggregates, instead of nested
     // higher-order lambdas (which Spark evaluates interpreted, ~20×
@@ -116,25 +112,57 @@ object Dedup {
       min(pmod(lit(2L * i + 3) * col("h") + lit(1000003L * i), lit(1000000007L))).as(s"s$i")
     }
     val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+      .withColumn("sigarr", array((0 until 128).map(i => col(s"s$i")): _*))
+      .select("doc_id", "sigarr")
+    // SIGNATURE COLLAPSE — the load-bearing step for a near-dup-
+    // saturated corpus. Large duplicate clusters share the exact
+    // 128-perm signature, so every band bucket they touch holds the
+    // whole cluster; a doc-level banded self-join then funnels k²
+    // pairs through the single task that owns that band key (measured
+    // here: a 607-doc signature group, 3.8k-doc band buckets, 50M
+    // join rows pre-distinct — and at 100 TB that one task never
+    // finishes). Grouping by the full signature first (exact array
+    // key, no hash collision) shrinks the band join to one
+    // representative per distinct signature; member pairs are
+    // reconstructed from the group lists afterwards, already unique —
+    // no 50M-row distinct.
+    val groups = sigs.groupBy("sigarr")
+      .agg(min("doc_id").as("gid"), collect_list("doc_id").as("members"))
+      .cache()
+    // Pairs within one signature group match in every band by
+    // construction (quadratic in the group size — inherent: those
+    // pairs are all in the answer).
+    val within = groups
+      .select(col("members"), explode(col("members")).as("id_x"))
+      .select(col("id_x"), explode(col("members")).as("id_y"))
+      .where(col("id_x") < col("id_y"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+    // Cross-group candidates: banded self-join over distinct-signature
+    // representatives only, then expand each (group, group) hit to its
+    // member pairs. groups is tiny relative to the corpus → broadcast.
     val bandStructs = (0 until 16).map { j =>
       struct(lit(j).as("band_idx"),
-        hash((0 until 8).map(k => col(s"s${8 * j + k}")): _*).as("band_key"))
+        hash((0 until 8).map(k => col("sigarr")(8 * j + k)): _*).as("band_key"))
     }
-    // Candidate generation is a banded self-JOIN, not a per-bucket
-    // pair expansion: a popular bucket would otherwise materialize k²
-    // pairs inside one task's collect_list row. The equi-join shuffles
-    // on (band_idx, band_key) and parallelizes across all cores.
-    // banded is cached: it feeds both sides of the self-join, and the
-    // signature pipeline should run once.
-    val banded = sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-      .cache()
-    val candidates = banded.toDF("id_a", "band_idx", "band_key")
-      .join(banded.toDF("id_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    val repBands = groups
+      .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("gid"), col("band.band_idx"), col("band.band_key"))
+    val groupPairs = repBands.toDF("gid_a", "band_idx", "band_key")
+      .join(repBands.toDF("gid_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+      .where(col("gid_a") < col("gid_b"))
+      .select("gid_a", "gid_b")
       .distinct()
+    val membersOf = groups.select(col("gid"), col("members"))
+    val cross = groupPairs
+      .join(broadcast(membersOf.toDF("gid_a", "mem_a")), "gid_a")
+      .join(broadcast(membersOf.toDF("gid_b", "mem_b")), "gid_b")
+      .select(explode(col("mem_a")).as("id_x"), col("mem_b"))
+      .select(col("id_x"), explode(col("mem_b")).as("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    // Disjoint by construction: within-pairs share a signature, cross
+    // pairs span two groups, and each (gid_a, gid_b) is distinct.
+    val candidates = within.unionAll(cross)
     // Token arrays broadcast to both sides of the verify: the doc
     // table is tiny next to the candidate pairs, so this avoids
     // shuffling millions of candidates twice. (At 100 TB the same
