@@ -17,7 +17,8 @@ object SparkEntry {
       graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
-      Relational2.queries
+      Relational2.queries ++ Relational3.queries ++ AsOf.queries ++
+      graft.text.Pipeline.queries ++ graft.dedup.Components.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
-      Relational2.oracles
+      Relational2.oracles ++ Relational3.oracles ++ AsOf.oracles ++
+      graft.text.Pipeline.oracles ++ graft.dedup.Components.oracles
 }

@@ -18,14 +18,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word tokens, sorted for deterministic array compare. */
-  private val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
+  private[dedup] val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
 
   /** Exact Jaccard between two sorted-distinct token arrays. The
     * intersection size is bound through a one-element transform lambda
     * so it is computed ONCE per evaluation — a direct
     * `inter/(|a|+|b|-inter)` would re-evaluate array_intersect (the
     * O(|a|+|b|) hash-set build) twice per candidate pair. */
-  private def jaccard(a: Column, b: Column): Column =
+  private[dedup] def jaccard(a: Column, b: Column): Column =
     element_at(
       transform(array(size(array_intersect(a, b))),
         i => round(i.cast("double") / (size(a) + size(b) - i), 6)),
