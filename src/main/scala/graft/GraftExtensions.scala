@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.PolyHash
+
+/** Session-extension entry point: configure
+  * `spark.sql.extensions=graft.GraftExtensions` and every session
+  * (including ones created by thrift/connect servers, where runtime
+  * registration hooks don't run) gets the graft-native expressions in
+  * its function registry — the deployment-grade alternative to the
+  * per-session [[graft.functions.PolyHash.register]] used by the demo
+  * queries.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0), exprs(1))))
+  }
+}

@@ -23,30 +23,41 @@ import org.apache.spark.sql.functions._
   * dedup verify pass, run O(diameter) times. Lineage is truncated per
   * round with localCheckpoint so the plan stays constant-size (at
   * cluster scale, `checkpoint` to durable storage instead).
+  * Convergence is detected by the Σlabel checksum: min-propagation
+  * only ever decreases labels, so an unchanged sum means a fixpoint —
+  * one tiny aggregate per round instead of a join against the previous
+  * labels.
   */
 object Components {
 
   /** Connected components of an undirected edge list (src, dst).
     * Returns (id, component_id = min node id in the component). */
   def connectedComponents(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // Pre-partition the (static) edge list on the join key once: every
+    // propagation round joins on e.src, and labels come out of a
+    // groupBy("id") with the same hash partitioning, so no round ever
+    // re-shuffles the edge list — the largest dataset in the loop.
     val e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint()
+    def checksum(df: DataFrame): Long =
+      df.agg(sum("lbl")).head.getLong(0)
+    var prev = checksum(labels)
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
+    var converged = false
+    while (!converged && round < maxRounds) {
       val prop = e.join(labels, e("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
+      labels = labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .where(col("lbl") < col("old")).count()
-      labels = next
+      val cur = checksum(labels)
+      converged = cur == prev
+      prev = cur
       round += 1
     }
     labels.select(col("id"), col("lbl").as("component_id"))
@@ -55,25 +66,47 @@ object Components {
   /** Near-dup clusters over documents: blocked exact-Jaccard ≥ 0.8
     * pairs as edges, then components, summarized per cluster. The 0.8
     * threshold (vs 0.95 for pair dedup) links the looser "same family"
-    * docs a cluster-level keeper policy wants to see together. */
+    * docs a cluster-level keeper policy wants to see together.
+    *
+    * Identical token-sets are collapsed to one graph node first (the
+    * same move that fixed the MinHash band join, SURVEY §5a): docs
+    * sharing (lang, size bucket, token set) are pairwise Jaccard-1
+    * edges — already one cluster — so the quotient graph over one
+    * representative per distinct set has identical components and is
+    * dramatically smaller on a duplicate-saturated corpus. Members are
+    * re-expanded after propagation; component ids (min doc id) are
+    * unchanged because each representative is its group's min. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"),
         Dedup.tokens.as("toks"))
-    val a = docs.select(col("lang"), col("size_bucket"),
-      col("doc_id").as("src"), col("toks").as("toks_a"))
-    val b = docs.select(col("lang"), col("size_bucket"),
-      col("doc_id").as("dst"), col("toks").as("toks_b"))
-    val edges = a.join(b, Seq("lang", "size_bucket"))
+    val groups = docs.groupBy("lang", "size_bucket", "toks")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+      .localCheckpoint()
+    val a = groups.select(col("lang"), col("size_bucket"),
+      col("rep").as("src"), col("toks").as("toks_a"))
+    val b = groups.select(col("lang"), col("size_bucket"),
+      col("rep").as("dst"), col("toks").as("toks_b"))
+    val repEdges = a.join(b, Seq("lang", "size_bucket"))
       .where(col("src") < col("dst"))
       .where(Dedup.jaccard(col("toks_a"), col("toks_b")) >= 0.8)
       .select("src", "dst")
-    connectedComponents(edges)
-      .groupBy("component_id")
+    val repComp = connectedComponents(repEdges)
+    // Re-attach members: reps in the quotient graph take their
+    // propagated label; edge-less groups of size ≥ 2 are standalone
+    // clusters labeled by their own rep; true singletons drop out
+    // (matching the pair-graph node set).
+    val labeled = groups
+      .join(repComp, groups("rep") === repComp("id"), "left")
+      .withColumn("component_id", coalesce(col("component_id"), col("rep")))
+      .where(col("component_id").isNotNull &&
+        (col("id").isNotNull || size(col("members")) > 1))
+      .select(col("component_id"), explode(col("members")).as("doc_id"))
+    labeled.groupBy("component_id")
       .agg(count(lit(1)).as("n_members"),
-        sum("id").as("id_sum"),
-        max("id").as("max_id"))
+        sum("doc_id").as("id_sum"),
+        max("doc_id").as("max_id"))
       .orderBy("component_id")
   }
 

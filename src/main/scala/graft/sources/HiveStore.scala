@@ -158,9 +158,69 @@ object HiveStore {
       |FROM events WHERE event_type = 'click' AND user_id < 20
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------- federated read
+  /** Federated store read — the reference's cloud-archive fallback
+    * (README "Cloud Integration": query local parquet first, fall back
+    * to the S3/R2 archive for partitions the local store no longer
+    * holds). Primary and archive are unioned with PRIMARY precedence
+    * at hive-partition granularity: an archive partition contributes
+    * only when the primary has no directory for that
+    * (tier, context, path, year, day).
+    *
+    * The precedence test is a left-anti join of the archive rows
+    * against the primary's distinct partition tuples — metadata-sized,
+    * so it broadcasts; the data-bearing scans stay pruned and are never
+    * shuffled. */
+  def federatedRead(spark: SparkSession, primary: String, archive: String): DataFrame = {
+    val keys = Seq("tier", "context", "path", "year", "day")
+    val p = read(spark, primary)
+    val a = read(spark, archive)
+    val pParts = p.select(keys.map(col): _*).distinct()
+    val archiveOnly = a.join(broadcast(pParts), keys, "left_anti")
+    p.unionByName(archiveOnly)
+  }
+
+  /** Round-trip proving precedence: the primary holds users < 10, the
+    * archive holds a STALE copy (value+1000) of users < 15. Federated
+    * counts/averages must show original values for the overlap and
+    * stale values only for the archive-only contexts (10–14). */
+  def skFederatedRead(spark: SparkSession, dir: String): DataFrame = {
+    def slice(maxUser: Int, valueShift: Double) =
+      Tables.events(spark, dir)
+        .where(col("event_type") === "click" && col("user_id") < maxUser)
+        .withColumn("value", col("value") + valueShift)
+        .withColumn("tier", lit("raw"))
+        .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
+        .withColumn("path", col("event_type"))
+        .withColumn("ts2", timestamp_millis(col("ts_ms")))
+        .withColumn("year", year(col("ts2")))
+        .withColumn("day", lpad(dayofyear(col("ts2")).cast("string"), 3, "0"))
+        .drop("ts2")
+    val (primary, archive) = (scratchDir(), scratchDir())
+    write(slice(10, 0.0), primary)
+    write(slice(15, 1000.0), archive)
+    val fed = withConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      federatedRead(spark, primary, archive)
+    }
+    fed.groupBy("context")
+      .agg(count(lit(1)).as("n_records"), davg(col("value")).as("value_avg"))
+      .orderBy("context")
+  }
+
+  val federatedOracle: String =
+    """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,
+      |  COUNT(*) AS n_records,
+      |  CAST(SUM(CAST(value + (CASE WHEN user_id >= 10 THEN 1000.0 ELSE 0.0 END)
+      |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
+      |FROM events WHERE event_type = 'click' AND user_id < 15
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_hive_write" -> (hiveWrite _))
+    "sk_hive_write" -> (hiveWrite _),
+    "sk_federated_read" -> (skFederatedRead _))
 
   val oracles: Map[String, String] = Map(
-    "sk_hive_write" -> hiveWriteOracle)
+    "sk_hive_write" -> hiveWriteOracle,
+    "sk_federated_read" -> federatedOracle)
 }

@@ -139,11 +139,47 @@ object Streaming {
       |)
       |SELECT user_id, fire_ms FROM fires ORDER BY user_id, fire_ms""".stripMargin
 
+  private val dedupTable = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  // --------------------------------------------------------------- #43
+  /** Streaming dedup: collapse each series' 5-min burst to one row —
+    * `dropDuplicates` on (series, bucket) with the watermark bounding
+    * the dedup state (expired buckets are evicted, so state is
+    * O(active keys), not O(stream)). Which row of a burst survives is
+    * racy under parallel read, so the verified output is the
+    * deterministic part: the per-series count of distinct buckets. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = eventStream(spark, dir)
+      .withColumn("bucket_ms",
+        (floor(col("ts_ms") / lit(300000L)).cast("long") * lit(300000L)))
+      .withWatermark("event_time", "10 minutes")
+      .dropDuplicates("user_id", "event_type", "bucket_ms")
+      .select("user_id", "event_type", "bucket_ms")
+    val q = deduped.writeStream
+      .format("memory").queryName({ val n = uniqueName("stream_dedup"); dedupTable.set(n); n })
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpCheckpoint("dedup"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(dedupTable.get())
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_unique_buckets"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val streamDedupOracle: String =
+    """SELECT user_id, event_type,
+      |  COUNT(DISTINCT CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT)) AS n_unique_buckets
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bucket_agg" -> (streamBucketAgg _),
-    "stream_threshold" -> (streamThreshold _))
+    "stream_threshold" -> (streamThreshold _),
+    "stream_dedup" -> (streamDedup _))
 
   val oracles: Map[String, String] = Map(
     "stream_bucket_agg" -> streamBucketAggOracle,
-    "stream_threshold" -> streamThresholdOracle)
+    "stream_threshold" -> streamThresholdOracle,
+    "stream_dedup" -> streamDedupOracle)
 }

@@ -59,4 +59,33 @@ class PlanAuditSpec extends SparkSpec {
     val p = planStr(graft.similarity.Embeddings.annTopK(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("as-of join is one exchange on the key — no range join, no cross product") {
+    val p = planStr(AsOf.skAsOfJoin(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // the union-LOCF shape: a window over (user_id), not a join per probe
+    assert(p.contains("Window"), p.take(3000))
+  }
+
+  test("q7 star join broadcasts all four dims") {
+    val p = planStr(Relational3.q7Volume(spark, sfDir))
+    assert(p.split("BroadcastHashJoin").length >= 5, p.take(4000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q17 decorrelates to a broadcast of the per-part aggregate") {
+    val p = planStr(Relational3.q17SmallQty(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("sample_hash prunes to the grouped/sampled columns only") {
+    val p = planStr(graft.text.Pipeline.sampleHash(spark, sfDir))
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("text"), "sampling must not read the text column: " + p.take(2000))
+  }
+
+  test("tfidf broadcasts the doc-frequency side") {
+    val p = planStr(graft.text.Pipeline.tfidfTop(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
 }
