@@ -13,44 +13,51 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.PolyHash.register(spark)
 
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
 
-    val docs = Tables.documents(spark, dir)
+    // --- minhash stages
+    val tokenHashes = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-      .withColumn("thashes", expr(
-        "transform(toks, t -> aggregate(transform(sequence(1, length(t)), i -> CAST(ascii(substring(t, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007))"))
-      .withColumn("bands", expr(
-        """transform(array(transform(sequence(0, 127), i -> array_min(transform(thashes, h -> ((2*i + 3) * h + 1000003 * i) % 1000000007)))),
-          |  sig -> transform(sequence(0, 15), j -> struct(j AS band_idx,
-          |    hash(sig[8*j], sig[8*j+1], sig[8*j+2], sig[8*j+3], sig[8*j+4], sig[8*j+5], sig[8*j+6], sig[8*j+7]) AS band_key)))[0]""".stripMargin))
+      .withColumn("thashes", expr("transform(toks, t -> graft_polyhash(t, 31))"))
+      .select(col("doc_id"), explode(col("thashes")).as("h"))
+    t("token hashes")(tokenHashes.count())
+    val permCols = (0 until 128).map { i =>
+      min(pmod(lit(2L * i + 3) * col("h") + lit(1000003L * i), lit(1000000007L))).as(s"s$i")
+    }
+    val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+      .withColumn("sigarr", array((0 until 128).map(i => col(s"s$i")): _*))
+      .select("doc_id", "sigarr")
+    t("signatures (128 min-aggs)")(sigs.count())
+    val groups = sigs.groupBy("sigarr")
+      .agg(min("doc_id").as("gid"), collect_list("doc_id").as("members"))
+      .cache()
+    t("signature groups")(println("groups=" + groups.count()))
+    t("full minHashLsh")(println("pairs=" + graft.dedup.Dedup.minHashLsh(spark, dir).count()))
 
-    t("sig+bands compute")(docs.select(col("doc_id"), col("bands")).count())
-    val banded = docs
-      .select(col("doc_id"), explode(col("bands")).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-    banded.cache()
-    t("banded count")(println(banded.count()))
-    val joined = banded.toDF("id_a", "band_idx", "band_key")
-      .join(banded.toDF("id_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
-      .where(col("id_a") < col("id_b"))
-    t("join output count")(println(joined.count()))
-    val candidates = joined.select("id_a", "id_b").distinct()
-    candidates.cache()
-    t("candidates distinct count")(println(candidates.count()))
-    val toksById = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val verified = candidates
-      .join(broadcast(toksById.toDF("id_a", "toks_a")), "id_a")
-      .join(broadcast(toksById.toDF("id_b", "toks_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
-      .where(col("jaccard") >= 0.95)
-    t("verify count")(println(verified.count()))
+    // --- components stages
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 50).cast("long").as("size_bucket"),
+        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+    val g2 = docs.groupBy("lang", "size_bucket", "toks")
+      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+      .localCheckpoint()
+    t("cc: quotient groups")(println("reps=" + g2.count()))
+    val a = g2.select(col("lang"), col("size_bucket"), col("rep").as("src"), col("toks").as("toks_a"))
+    val b = g2.select(col("lang"), col("size_bucket"), col("rep").as("dst"), col("toks").as("toks_b"))
+    val repEdges = a.join(b, Seq("lang", "size_bucket"))
+      .where(col("src") < col("dst"))
+      .where(expr("element_at(transform(array(size(array_intersect(toks_a, toks_b))), i -> round(CAST(i AS DOUBLE) / (size(toks_a) + size(toks_b) - i), 6)), 1)") >= 0.8)
+      .select("src", "dst")
+    t("cc: rep edges")(println("edges=" + repEdges.count()))
+    t("cc: full")(println("components=" + graft.dedup.Components.nearDupComponents(spark, dir).count()))
+
     spark.stop()
   }
 }

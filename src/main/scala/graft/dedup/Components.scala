@@ -41,8 +41,14 @@ object Components {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src"))
       .localCheckpoint()
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // Seed with the round-0 propagation for free: every node's initial
+    // label is min(self, direct neighbors) straight off the grouped
+    // edge list — no join. On the dense near-clique graphs dedup
+    // produces, the component min is usually a direct neighbor, so
+    // this alone is often the fixpoint and the loop just confirms it.
+    var labels = e.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
       .localCheckpoint()
     def checksum(df: DataFrame): Long =
       df.agg(sum("lbl")).head.getLong(0)
@@ -90,6 +96,12 @@ object Components {
       col("rep").as("dst"), col("toks").as("toks_b"))
     val repEdges = a.join(b, Seq("lang", "size_bucket"))
       .where(col("src") < col("dst"))
+      // size-ratio bound (see Dedup.minHashLsh): j ≥ 0.8 needs
+      // min|toks| ≥ 0.8·max|toks|; the slack constant (0.7999) covers
+      // the round(j,6) window. Runs inside codegen and prunes most
+      // blocked pairs before the interpreted set intersection.
+      .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(0.7999) * greatest(size(col("toks_a")), size(col("toks_b"))))
       .where(Dedup.jaccard(col("toks_a"), col("toks_b")) >= 0.8)
       .select("src", "dst")
     val repComp = connectedComponents(repEdges)

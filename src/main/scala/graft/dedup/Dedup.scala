@@ -60,6 +60,11 @@ object Dedup {
       col("doc_id").as("id_b"), col("toks").as("toks_b"))
     a.join(b, Seq("lang", "size_bucket"))
       .where(col("id_a") < col("id_b"))
+      // size-ratio bound (see minHashLsh): prunes most pairs inside
+      // codegen before the interpreted set-intersection runs; slack
+      // constant covers the round(j,6) threshold window.
+      .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= 0.95)
       .select("id_a", "id_b", "jaccard")
