@@ -78,6 +78,22 @@ object History {
   def autoResolutionMs(fromMs: Long, toMs: Long): Long =
     math.max(1L, (toMs - fromMs) / 500)
 
+  /** Tier auto-selection — HistoryAPI.ts:737-773: pick the coarsest
+    * aggregated tier whose resolution still divides the requested
+    * bucket (≥1h → "1h", ≥1m → "60s", ≥5s → "5s", else raw), then fall
+    * back through finer tiers to raw when the preferred one is absent
+    * from `available`. Returns None for raw/flat data. At scale this
+    * choice is the read-amplification lever: answering a 1h-bucket
+    * query from the 1h tier scans ~1/720th of the raw rows. */
+  def selectTier(resolutionMs: Long, available: Set[String]): Option[String] = {
+    val preference: Seq[String] =
+      if (resolutionMs >= 3600000L) Seq("1h", "60s", "5s")
+      else if (resolutionMs >= 60000L) Seq("60s", "5s")
+      else if (resolutionMs >= 5000L) Seq("5s")
+      else Seq.empty
+    preference.find(available.contains)
+  }
+
   private def aggFor(spec: PathSpec, value: Column, orderCol: Column): Column = spec.method match {
     case Method.Average => davg(value)
     case Method.Min => min(value)

@@ -170,13 +170,97 @@ object Embeddings {
       .orderBy("probe_id", "rank")
   }
 
+  // ---------------------------------------------------------- k-means
+  /** K-means M-step: per-label centroid components via position-wise
+    * exact-decimal averages. Emitted as (label, dim, c) rows — the
+    * shuffle key is (label, dim), so the reduction is flat and
+    * partial-aggregated regardless of vector count; reassembly into
+    * arrays is a downstream collect_list when needed ([[kmeansAssign]]).
+    */
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(
+        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)), 6).as("c"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
+  val embedCentroidsOracle: String =
+    """SELECT label, i AS dim,
+      |  ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c,
+      |  COUNT(*) AS n_vectors
+      |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+      |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** K-means E-step: every vector assigned to its nearest centroid by
+    * cosine (ties broken by centroid label). Centroid components come
+    * from [[embedCentroids]] (rounded → cross-engine identical), are
+    * reassembled into arrays, and broadcast — the corpus side never
+    * shuffles. A full k-means alternates these two operators with a
+    * checkpoint per round. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
+    val cents = embedCentroids(spark, dir)
+      .groupBy(col("label").as("cent_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .withColumn("cnorm2", expr(
+        "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
+    vecs(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(
+        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("cent_label").as("assigned"),
+        col("ccos").as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val kmeansAssignOracle: String =
+    """WITH comp AS (
+      |  SELECT label, i AS dim,
+      |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+      |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      |  GROUP BY 1, 2
+      |), cents AS (
+      |  SELECT label AS cent_label, list(c ORDER BY dim) AS vc FROM comp GROUP BY 1
+      |), cents2 AS (
+      |  SELECT cent_label, vc,
+      |    list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] * vc[i]), (x, y) -> x + y) AS cnorm2
+      |  FROM cents
+      |), e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |    list_reduce(list_transform(range(1, len(embedding) + 1), i ->
+      |      embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS norm2
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT e.vec_id, e.label, c.cent_label,
+      |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
+      |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS ccos
+      |  FROM e CROSS JOIN cents2 c
+      |)
+      |SELECT vec_id, label, cent_label AS assigned, ccos AS cos FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_label) AS rnk
+      |  FROM scored)
+      |WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "ann_topk" -> (annTopK _),
-    "ann_lsh_topk" -> (annLshTopK _))
+    "ann_lsh_topk" -> (annLshTopK _),
+    "embed_centroids" -> (embedCentroids _),
+    "kmeans_assign" -> (kmeansAssign _))
 
   val oracles: Map[String, String] = Map(
     "dedup_embedding" -> embeddingDedupOracle,
-    "ann_topk" -> annTopKOracle)
+    "ann_topk" -> annTopKOracle,
+    "embed_centroids" -> embedCentroidsOracle,
+    "kmeans_assign" -> kmeansAssignOracle)
 }

@@ -33,6 +33,19 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](History.resolveRange(None, None, None, now))
   }
 
+  test("tier auto-selection follows resolution with fallback") {
+    val all = Set("1h", "60s", "5s")
+    assert(History.selectTier(3600000L, all).contains("1h"))
+    assert(History.selectTier(7200000L, all).contains("1h"))
+    assert(History.selectTier(60000L, all).contains("60s"))
+    assert(History.selectTier(5000L, all).contains("5s"))
+    assert(History.selectTier(1000L, all).isEmpty) // sub-5s → raw
+    // fallback through finer tiers when the preferred one is absent
+    assert(History.selectTier(3600000L, Set("60s", "5s")).contains("60s"))
+    assert(History.selectTier(3600000L, Set("5s")).contains("5s"))
+    assert(History.selectTier(3600000L, Set.empty).isEmpty)
+  }
+
   test("path expression parsing") {
     assert(PathSpec.parse("navigation.speedOverGround") ==
       PathSpec("navigation.speedOverGround", Method.Average))
