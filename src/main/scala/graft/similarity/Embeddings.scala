@@ -250,6 +250,57 @@ object Embeddings {
       |  FROM scored)
       |WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
+  /** Full k-means: deterministic init (k lowest vec_ids), then
+    * alternate [[kmeansAssign]]-style E-steps and
+    * [[embedCentroids]]-style M-steps until assignments stop changing
+    * (Σassigned-centroid checksum) or maxIters. Each round is two
+    * shuffles — assignment is broadcast-only, the M-step reduces on
+    * (cluster, dim) — and lineage is cut per round with
+    * localCheckpoint, the same iterate-to-fixpoint shape as
+    * [[graft.dedup.Components.connectedComponents]]. Returns
+    * (vec_id, cluster, cos). */
+  def kmeansFit(vectors: DataFrame, k: Int, maxIters: Int = 10): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("v"), col("norm2")).localCheckpoint()
+    var cents = e.orderBy("vec_id").limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")).cast("long").as("cid"),
+        col("v").as("vc"), col("norm2").as("cnorm2"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    def estep() = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(
+        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
+    var assign = estep().localCheckpoint()
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("cid") * col("vec_id"))).head.getLong(0)
+    var prev = checksum(assign)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      cents = assign
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1)), 6).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("vc"))
+        .withColumn("cnorm2", expr(
+          "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .localCheckpoint()
+      assign = estep().localCheckpoint()
+      val cur = checksum(assign)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    assign.select(col("vec_id"), col("cid").as("cluster"), col("ccos").as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),

@@ -96,6 +96,23 @@ class Round2Spec extends SparkSpec {
     }
   }
 
+  test("kmeansFit converges to a deterministic stable clustering") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)"))
+      .select("vec_id", "v", "norm2")
+    val a = graft.similarity.Embeddings.kmeansFit(vecs, k = 5, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val b = graft.similarity.Embeddings.kmeansFit(vecs, k = 5, maxIters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "re-running k-means must reproduce the clustering")
+    val n = vecs.count()
+    assert(a.length == n, "every vector assigned")
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size > 1, "more than one non-empty cluster")
+  }
+
   test("quality_gopher keep flag matches its own emitted metrics") {
     val rows = Pipeline.qualityGopher(spark, sfDir).collect()
     rows.foreach { r =>
