@@ -76,6 +76,27 @@ object funcs {
   def vectorAvg(c: Column): Column =
     atan2(davg(round(sin(c), 6), 6), davg(round(cos(c), 6), 6))
 
+  /** Normalize an angle to [0, 360) — angle-converter.ts:normalizeDegrees. */
+  def normalizeDeg(deg: Column): Column = pmod(deg, lit(360.0))
+
+  /** Normalize an angle to [0, 2π) — angle-converter.ts:normalizeRadians. */
+  def normalizeRad(rad: Column): Column = pmod(rad, lit(2.0 * math.Pi))
+
+  /** Shortest signed angular difference a1→a2 in degrees, range
+    * [-180, 180) — angle-converter.ts:angularDifferenceDegrees
+    * (positive = clockwise). The reference's while-loop leaves an
+    * exact +180 as +180; this closed form maps it to -180 — same
+    * heading, and branch-free for codegen. */
+  def angularDiffDeg(a1: Column, a2: Column): Column =
+    pmod(a2 - a1 + lit(180.0), lit(360.0)) - lit(180.0)
+
+  /** Wrapping sector test: is `a` inside the clockwise sector from
+    * `start` to `end` — angle-converter.ts:isAngleInRangeDegrees. */
+  def inAngularRangeDeg(a: Column, start: Column, end: Column): Column = {
+    val n = normalizeDeg(a); val s = normalizeDeg(start); val e = normalizeDeg(end)
+    when(s <= e, n >= s && n <= e).otherwise(n >= s || n <= e)
+  }
+
   /** Bounding-box containment with 180° meridian wrap — mirrors
     * geo-calculator.ts:isPointInBoundingBox. */
   def inBbox(lat: Column, lon: Column,

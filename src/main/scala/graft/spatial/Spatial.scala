@@ -312,7 +312,49 @@ object Spatial {
        |WHERE r.rn = 1
        |ORDER BY r.user_id, r.bucket_ms""".stripMargin
 
+  // ------------------------------------------------------- turn rate
+  /** Course change between consecutive fixes: the shortest signed
+    * bearing difference (angle-converter.ts:angularDifferenceDegrees),
+    * positive = clockwise turn. Window-chained on the [[bearings]]
+    * output — still a single per-vessel sort at scale, since both
+    * windows share the (user_id; ts, event_id) ordering. */
+  def turnRate(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    bearings(spark, dir)
+      .withColumn("prev_bearing", lag("bearing_deg", 1).over(w))
+      .where(col("prev_bearing").isNotNull)
+      .withColumn("turn_deg",
+        r6(graft.funcs.angularDiffDeg(col("prev_bearing"), col("bearing_deg"))))
+      .select("event_id", "user_id", "ts_ms", "bearing_deg", "turn_deg")
+      .orderBy("event_id")
+  }
+
+  val turnRateOracle: String =
+    s"""WITH pos AS ($posSql),
+       |p AS (
+       |  SELECT *, LAG(lat) OVER w AS prev_lat, LAG(lon) OVER w AS prev_lon
+       |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |),
+       |b AS (
+       |  SELECT event_id, user_id, ts_ms,
+       |    ROUND((DEGREES(ATAN2(
+       |      SIN(RADIANS(lon - prev_lon)) * COS(RADIANS(lat)),
+       |      COS(RADIANS(prev_lat)) * SIN(RADIANS(lat)) -
+       |      SIN(RADIANS(prev_lat)) * COS(RADIANS(lat)) * COS(RADIANS(lon - prev_lon))
+       |    )) + 360.0) % 360.0, 6) AS bearing_deg
+       |  FROM p WHERE prev_lat IS NOT NULL
+       |),
+       |t AS (
+       |  SELECT *, LAG(bearing_deg) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_bearing
+       |  FROM b
+       |)
+       |SELECT event_id, user_id, ts_ms, bearing_deg,
+       |  ROUND((((bearing_deg - prev_bearing + 180.0) % 360.0 + 360.0) % 360.0) - 180.0, 6) AS turn_deg
+       |FROM t WHERE prev_bearing IS NOT NULL
+       |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_turn_rate" -> (turnRate _),
     "sk_bbox_filter" -> (bboxFilter _),
     "sk_radius_filter" -> (radiusFilter _),
     "sk_spatial_correlation" -> (spatialCorrelation _),
@@ -322,6 +364,7 @@ object Spatial {
     "sk_position_bucket" -> (positionBucket _))
 
   val oracles: Map[String, String] = Map(
+    "sk_turn_rate" -> turnRateOracle,
     "sk_bbox_filter" -> bboxFilterOracle,
     "sk_radius_filter" -> radiusFilterOracle,
     "sk_spatial_correlation" -> spatialCorrelationOracle,
