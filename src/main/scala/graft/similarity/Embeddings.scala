@@ -177,7 +177,7 @@ object Embeddings {
     * partial-aggregated regardless of vector count; reassembly into
     * arrays is a downstream collect_list when needed ([[kmeansAssign]]).
     */
-  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+  private def centroidsBase(spark: SparkSession, dir: String): DataFrame =
     vecs(spark, dir)
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
@@ -185,7 +185,9 @@ object Embeddings {
         round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
           .cast("double") / count(lit(1)), 6).as("c"),
         count(lit(1)).as("n_vectors"))
-      .orderBy("label", "dim")
+
+  def embedCentroids(spark: SparkSession, dir: String): DataFrame =
+    centroidsBase(spark, dir).orderBy("label", "dim")
 
   val embedCentroidsOracle: String =
     """SELECT label, i AS dim,
@@ -202,7 +204,9 @@ object Embeddings {
     * shuffles. A full k-means alternates these two operators with a
     * checkpoint per round. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame = {
-    val cents = embedCentroids(spark, dir)
+    // centroidsBase (not embedCentroids): the presentation sort would
+    // be a wasted exchange before the groupBy re-shuffles on label.
+    val cents = centroidsBase(spark, dir)
       .groupBy(col("label").as("cent_label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
       .withColumn("cnorm2", expr(

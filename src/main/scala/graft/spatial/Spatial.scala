@@ -197,7 +197,7 @@ object Spatial {
   // --------------------------------------------------------------- #24
   /** Bearing between consecutive fixes per vessel
     * (geo-calculator.ts:calculateBearing). */
-  def bearings(spark: SparkSession, dir: String): DataFrame = {
+  private def bearingsBase(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     positions(spark, dir)
       .withColumn("prev_lat", lag("lat", 1).over(w))
@@ -206,8 +206,10 @@ object Spatial {
       .withColumn("bearing_deg",
         r6(bearingDeg(col("prev_lat"), col("prev_lon"), col("lat"), col("lon"))))
       .select("event_id", "user_id", "ts_ms", "bearing_deg")
-      .orderBy("event_id")
   }
+
+  def bearings(spark: SparkSession, dir: String): DataFrame =
+    bearingsBase(spark, dir).orderBy("event_id")
 
   val bearingsOracle: String =
     s"""WITH pos AS ($posSql),
@@ -320,7 +322,10 @@ object Spatial {
     * windows share the (user_id; ts, event_id) ordering. */
   def turnRate(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
-    bearings(spark, dir)
+    // bearingsBase (not bearings): the presentation orderBy would sit
+    // as a global exchange+sort between the two windows; the chained
+    // windows share their (user_id; ts, event_id) sort instead.
+    bearingsBase(spark, dir)
       .withColumn("prev_bearing", lag("bearing_deg", 1).over(w))
       .where(col("prev_bearing").isNotNull)
       .withColumn("turn_deg",
