@@ -199,7 +199,30 @@ object Relational3 {
       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 25)
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
 
+  // ------------------------------------------------------------ Q13
+  /** Customer order-count distribution: LEFT OUTER join keeps
+    * zero-order customers, then a second aggregation over the counts —
+    * the classic two-level group-by. The outer join shuffles on the
+    * customer key; the distribution aggregation is tiny. */
+  def q13Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    counts.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_distribution" -> (q13Distribution _),
     "q7_volume" -> (q7Volume _),
     "q14_promo" -> (q14Promo _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -208,6 +231,7 @@ object Relational3 {
     "q19_disjunctive" -> (q19Disjunctive _))
 
   val oracles: Map[String, String] = Map(
+    "q13_distribution" -> q13Oracle,
     "q7_volume" -> q7Oracle,
     "q14_promo" -> q14Oracle,
     "q15_top_supplier" -> q15Oracle,
