@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.PolyHash
+import graft.functions.{JaccardSim, PolyHash}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and every session
@@ -19,5 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[PolyHash].getName, "graft_polyhash"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
+      (exprs: Seq[Expression]) => JaccardSim(exprs(0), exprs(1))))
   }
 }

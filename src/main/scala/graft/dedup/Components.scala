@@ -46,10 +46,13 @@ object Components {
     // edge list — no join. On the dense near-clique graphs dedup
     // produces, the component min is usually a direct neighbor, so
     // this alone is often the fixpoint and the loop just confirms it.
+    // Lazy checkpoints: materialization folds into the checksum action
+    // (one job per round instead of checkpoint-job + checksum-job);
+    // the lineage cut still happens at first evaluation.
     var labels = e.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     def checksum(df: DataFrame): Long =
       df.agg(sum("lbl")).head.getLong(0)
     var prev = checksum(labels)
@@ -60,7 +63,7 @@ object Components {
         .select(col("dst").as("id"), col("lbl"))
       labels = labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val cur = checksum(labels)
       converged = cur == prev
       prev = cur
@@ -83,6 +86,7 @@ object Components {
     * re-expanded after propagation; component ids (min doc id) are
     * unchanged because each representative is its group's min. */
   def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaccardSim.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"),

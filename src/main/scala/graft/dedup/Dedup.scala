@@ -20,16 +20,13 @@ object Dedup {
   /** Distinct word tokens, sorted for deterministic array compare. */
   private[dedup] val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
 
-  /** Exact Jaccard between two sorted-distinct token arrays. The
-    * intersection size is bound through a one-element transform lambda
-    * so it is computed ONCE per evaluation — a direct
-    * `inter/(|a|+|b|-inter)` would re-evaluate array_intersect (the
-    * O(|a|+|b|) hash-set build) twice per candidate pair. */
+  /** Exact Jaccard between two sorted-distinct token arrays: the
+    * native merge-walk expression ([[graft.functions.JaccardSim]]) —
+    * one O(|A|+|B|) codegen'd pass, no hash-set build, no interpreted
+    * lambda, evaluated once. Callers must register it on the session
+    * first ([[graft.functions.JaccardSim.register]]). */
   private[dedup] def jaccard(a: Column, b: Column): Column =
-    element_at(
-      transform(array(size(array_intersect(a, b))),
-        i => round(i.cast("double") / (size(a) + size(b) - i), 6)),
-      1)
+    round(call_function("graft_jaccard", a, b), 6)
 
   // --------------------------------------------------------------- #29
   /** Exact duplicate groups: md5(text) groupBy, keeper = min doc_id —
@@ -51,6 +48,7 @@ object Dedup {
     * Blocking bounds the pair count; at scale the block key is the
     * shuffle key. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaccardSim.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"), tokens.as("toks"))
@@ -100,6 +98,7 @@ object Dedup {
     * expressions inside codegen, one row per doc. */
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
+    graft.functions.JaccardSim.register(spark)
     // repartition: the corpus arrives as one parquet split at test
     // scale; signature computation must fan out over all cores (at
     // 100 TB the input splits provide this for free).
