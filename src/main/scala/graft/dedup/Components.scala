@@ -54,7 +54,7 @@ object Components {
       .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
       .localCheckpoint(false)
     def checksum(df: DataFrame): Long =
-      df.agg(sum("lbl")).head.getLong(0)
+      df.agg(coalesce(sum("lbl"), lit(0L))).head.getLong(0)
     var prev = checksum(labels)
     var round = 0
     var converged = false

@@ -281,7 +281,7 @@ object Embeddings {
       .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
     var assign = estep().localCheckpoint()
     def checksum(df: DataFrame): Long =
-      df.agg(sum(col("cid") * col("vec_id"))).head.getLong(0)
+      df.agg(coalesce(sum(col("cid") * col("vec_id")), lit(0L))).head.getLong(0)
     var prev = checksum(assign)
     var iter = 0
     var converged = false

@@ -68,6 +68,11 @@ class Round2Spec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L))
   }
 
+  test("connectedComponents of an empty edge list is empty, not a crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Components.connectedComponents(empty).count() == 0)
+  }
+
   test("sampleHash is deterministic and stratified") {
     val a = Pipeline.sampleHash(spark, sfDir).collect()
     val b = Pipeline.sampleHash(spark, sfDir).collect()
