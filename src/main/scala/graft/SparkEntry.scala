@@ -17,7 +17,7 @@ object SparkEntry {
       graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
-      Relational2.queries ++ Relational3.queries ++ AsOf.queries ++
+      Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ AsOf.queries ++
       graft.text.Pipeline.queries ++ graft.dedup.Components.queries ++
       Analytics.queries
 
@@ -30,7 +30,7 @@ object SparkEntry {
       graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
-      Relational2.oracles ++ Relational3.oracles ++ AsOf.oracles ++
+      Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ AsOf.oracles ++
       graft.text.Pipeline.oracles ++ graft.dedup.Components.oracles ++
       Analytics.oracles
 }
