@@ -18,7 +18,8 @@ object SparkEntry {
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
       Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ AsOf.queries ++
-      graft.text.Pipeline.queries ++ graft.dedup.Components.queries ++
+      graft.text.Pipeline.queries ++ graft.text.Pipeline2.queries ++
+      graft.dedup.Components.queries ++
       Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,6 +32,7 @@ object SparkEntry {
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
       Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ AsOf.oracles ++
-      graft.text.Pipeline.oracles ++ graft.dedup.Components.oracles ++
+      graft.text.Pipeline.oracles ++ graft.text.Pipeline2.oracles ++
+      graft.dedup.Components.oracles ++
       Analytics.oracles
 }
