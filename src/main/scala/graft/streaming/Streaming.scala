@@ -173,13 +173,87 @@ object Streaming {
       |  COUNT(DISTINCT CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT)) AS n_unique_buckets
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  private val episodesTable = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  // --------------------------------------------------------------- #44
+  case class ClickEvent(user_id: Long, ts_ms: Long, event_id: Long, value: Double)
+  case class EpisodeState(inEpisode: Boolean, startMs: Long)
+  case class Episode(user_id: Long, start_ms: Long, end_ms: Long, duration_s: Double)
+
+  /** Streaming sessionization: the batch episode detector
+    * (Sessions.episodes, claude-analyzer.ts:3206-3260) as a stateful
+    * stream. State per user is just (inEpisode, startMs); a completed
+    * episode emits at its false edge. Open episodes stay in state —
+    * append mode can only emit finals, so the verified surface is the
+    * completed set (identical to the batch operator's "completed"
+    * rows). */
+  def episodeFlow(events: Dataset[ClickEvent]): Dataset[Episode] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EpisodeState, Episode](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[ClickEvent], state: GroupState[EpisodeState]) =>
+          var st = state.getOption.getOrElse(EpisodeState(inEpisode = false, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[Episode]()
+          it.toSeq.sortBy(e => (e.ts_ms, e.event_id)).foreach { e =>
+            val s = e.value > 100.0
+            if (s && !st.inEpisode) st = EpisodeState(inEpisode = true, e.ts_ms)
+            else if (!s && st.inEpisode) {
+              out += Episode(user, st.startMs, e.ts_ms, (e.ts_ms - st.startMs) / 1000.0)
+              st = EpisodeState(inEpisode = false, 0L)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  def streamEpisodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = eventStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      .as[ClickEvent]
+    val q = episodeFlow(src).toDF()
+      .writeStream
+      .format("memory").queryName({ val n = uniqueName("stream_episodes"); episodesTable.set(n); n })
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpCheckpoint("episodes"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(episodesTable.get()).orderBy("user_id", "start_ms")
+  }
+
+  val streamEpisodesOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, (value > 100.0) AS state,
+      |    LAG(value > 100.0) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_state
+      |  FROM events WHERE event_type = 'click'
+      |), b AS (
+      |  SELECT *, CASE
+      |      WHEN state AND (prev_state IS NULL OR NOT prev_state) THEN 'start'
+      |      WHEN NOT state AND prev_state THEN 'end' END AS boundary
+      |  FROM s
+      |  WHERE (state AND (prev_state IS NULL OR NOT prev_state))
+      |     OR (NOT state AND prev_state)
+      |), p AS (
+      |  SELECT *, LEAD(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS end_ms
+      |  FROM b
+      |)
+      |SELECT user_id, ts_ms AS start_ms, end_ms, (end_ms - ts_ms) / 1000.0 AS duration_s
+      |FROM p WHERE boundary = 'start' AND end_ms IS NOT NULL
+      |ORDER BY user_id, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bucket_agg" -> (streamBucketAgg _),
     "stream_threshold" -> (streamThreshold _),
-    "stream_dedup" -> (streamDedup _))
+    "stream_dedup" -> (streamDedup _),
+    "stream_episodes" -> (streamEpisodes _))
 
   val oracles: Map[String, String] = Map(
     "stream_bucket_agg" -> streamBucketAggOracle,
     "stream_threshold" -> streamThresholdOracle,
-    "stream_dedup" -> streamDedupOracle)
+    "stream_dedup" -> streamDedupOracle,
+    "stream_episodes" -> streamEpisodesOracle)
 }

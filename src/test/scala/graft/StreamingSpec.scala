@@ -48,4 +48,40 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("graft_no_fire_test").count() == 0)
     } finally q.stop()
   }
+
+  test("episodeFlow carries an open episode across batches") {
+    import graft.streaming.Streaming.{ClickEvent, Episode}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[ClickEvent]
+    val q = Streaming.episodeFlow(input.toDS()).writeStream
+      .format("memory").queryName("graft_episode_carry_test")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1 opens an episode (false→true); nothing emits yet
+      input.addData(ClickEvent(1L, 1000L, 1L, 50.0), ClickEvent(1L, 2000L, 2L, 150.0))
+      q.processAllAvailable()
+      assert(spark.table("graft_episode_carry_test").count() == 0)
+      // batch 2 closes it: the episode spans the batch boundary
+      input.addData(ClickEvent(1L, 5000L, 3L, 50.0))
+      q.processAllAvailable()
+      val eps = spark.table("graft_episode_carry_test").as[Episode].collect()
+      assert(eps.toSeq == Seq(Episode(1L, 2000L, 5000L, 3.0)), s"got ${eps.toSeq}")
+    } finally q.stop()
+  }
+
+  test("stream_episodes matches the batch operator's completed rows") {
+    import org.apache.spark.sql.functions.col
+    val streamed = Streaming.streamEpisodes(spark, sfDir)
+      .select("user_id", "start_ms", "end_ms", "duration_s")
+      .collect().toSet
+    val batch = graft.operators.Sessions.episodes(spark, sfDir)
+      .where(col("status") === "completed")
+      .select("user_id", "start_ms", "end_ms", "duration_s")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
