@@ -14,6 +14,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.PolyHash.register(spark)
+    graft.functions.JaccardSim.register(spark)
 
     def t[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
@@ -23,7 +24,7 @@ object Profile {
     // --- minhash stages
     val tokenHashes = Tables.documents(spark, dir)
       .repartition(col("doc_id"))
-      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+      .select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
       .withColumn("thashes", expr("transform(toks, t -> graft_polyhash(t, 31))"))
       .select(col("doc_id"), explode(col("thashes")).as("h"))
     t("token hashes")(tokenHashes.count())
@@ -33,31 +34,52 @@ object Profile {
     val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
       .withColumn("sigarr", array((0 until 128).map(i => col(s"s$i")): _*))
       .select("doc_id", "sigarr")
-    t("signatures (128 min-aggs)")(sigs.count())
+    t("signatures")(sigs.count())
     val groups = sigs.groupBy("sigarr")
       .agg(min("doc_id").as("gid"), collect_list("doc_id").as("members"))
       .cache()
-    t("signature groups")(println("groups=" + groups.count()))
-    t("full minHashLsh")(println("pairs=" + graft.dedup.Dedup.minHashLsh(spark, dir).count()))
-
-    // --- components stages
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / 50).cast("long").as("size_bucket"),
-        array_sort(array_distinct(split(col("text"), " "))).as("toks"))
-    val g2 = docs.groupBy("lang", "size_bucket", "toks")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
-      .localCheckpoint()
-    t("cc: quotient groups")(println("reps=" + g2.count()))
-    val a = g2.select(col("lang"), col("size_bucket"), col("rep").as("src"), col("toks").as("toks_a"))
-    val b = g2.select(col("lang"), col("size_bucket"), col("rep").as("dst"), col("toks").as("toks_b"))
-    val repEdges = a.join(b, Seq("lang", "size_bucket"))
-      .where(col("src") < col("dst"))
-      .where(expr("element_at(transform(array(size(array_intersect(toks_a, toks_b))), i -> round(CAST(i AS DOUBLE) / (size(toks_a) + size(toks_b) - i), 6)), 1)") >= 0.8)
-      .select("src", "dst")
-    t("cc: rep edges")(println("edges=" + repEdges.count()))
-    t("cc: full")(println("components=" + graft.dedup.Components.nearDupComponents(spark, dir).count()))
-
+    t("groups")(println("n=" + groups.count()))
+    val within = groups
+      .select(col("members"), explode(col("members")).as("id_x"))
+      .select(col("id_x"), explode(col("members")).as("id_y"))
+      .where(col("id_x") < col("id_y"))
+      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+    t("within pairs")(println("n=" + within.count()))
+    val bandStructs = (0 until 16).map { j =>
+      struct(lit(j).as("band_idx"),
+        hash((0 until 8).map(k => col("sigarr")(8 * j + k)): _*).as("band_key"))
+    }
+    val repBands = groups
+      .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("gid"), col("band.band_idx"), col("band.band_key"))
+    val groupPairs = repBands.toDF("gid_a", "band_idx", "band_key")
+      .join(repBands.toDF("gid_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+      .where(col("gid_a") < col("gid_b"))
+      .select("gid_a", "gid_b")
+      .distinct()
+    t("group pairs")(println("n=" + groupPairs.count()))
+    val membersOf = groups.select(col("gid"), col("members"))
+    val cross = groupPairs
+      .join(broadcast(membersOf.toDF("gid_a", "mem_a")), "gid_a")
+      .join(broadcast(membersOf.toDF("gid_b", "mem_b")), "gid_b")
+      .select(explode(col("mem_a")).as("id_x"), col("mem_b"))
+      .select(col("id_x"), explode(col("mem_b")).as("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    val candidates = within.unionAll(cross)
+    t("candidates")(println("n=" + candidates.count()))
+    val toksById = Tables.documents(spark, dir).select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
+    val out = candidates
+      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
+      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
+      .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
+      .withColumn("jaccard", graft.dedup.Dedup.jaccard(col("toks_a"), col("toks_b")))
+      .where(col("jaccard") >= 0.95)
+      .select("id_a", "id_b", "jaccard")
+    t("verify")(println("n=" + out.count()))
+    t("full op")(graft.dedup.Dedup.minHashLsh(spark, dir).count())
+    t("full op again")(graft.dedup.Dedup.minHashLsh(spark, dir).count())
     spark.stop()
   }
 }

@@ -94,10 +94,18 @@ object Components {
     val groups = docs.groupBy("lang", "size_bucket", "toks")
       .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
       .localCheckpoint()
+    // Explicitly-numbered repartition on the block key: the pair
+    // volume downstream of this exchange is ~n²/blocks, far larger
+    // than the exchange's own byte size — AQE, seeing only the latter,
+    // coalesces an un-numbered exchange to ~1 task and the Jaccard
+    // filter runs single-threaded (measured 2.2 s → 0.5 s at sf0.1).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = groups.select(col("lang"), col("size_bucket"),
       col("rep").as("src"), col("toks").as("toks_a"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
     val b = groups.select(col("lang"), col("size_bucket"),
       col("rep").as("dst"), col("toks").as("toks_b"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
     val repEdges = a.join(b, Seq("lang", "size_bucket"))
       .where(col("src") < col("dst"))
       // size-ratio bound (see Dedup.minHashLsh): j ≥ 0.8 needs

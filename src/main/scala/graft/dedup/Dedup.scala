@@ -18,14 +18,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word tokens, sorted for deterministic array compare. */
-  private[dedup] val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
+  private[graft] val tokens: Column = array_sort(array_distinct(split(col("text"), " ")))
 
   /** Exact Jaccard between two sorted-distinct token arrays: the
     * native merge-walk expression ([[graft.functions.JaccardSim]]) —
     * one O(|A|+|B|) codegen'd pass, no hash-set build, no interpreted
     * lambda, evaluated once. Callers must register it on the session
     * first ([[graft.functions.JaccardSim.register]]). */
-  private[dedup] def jaccard(a: Column, b: Column): Column =
+  private[graft] def jaccard(a: Column, b: Column): Column =
     round(call_function("graft_jaccard", a, b), 6)
 
   // --------------------------------------------------------------- #29
@@ -52,10 +52,17 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"), tokens.as("toks"))
+    // Numbered repartition on the block key: the downstream pair
+    // volume is quadratic in block size, so AQE's byte-based view
+    // would coalesce an un-numbered exchange to ~1 task and serialize
+    // the Jaccard pass (see Components.nearDupComponents).
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = docs.select(col("lang"), col("size_bucket"),
       col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
     val b = docs.select(col("lang"), col("size_bucket"),
       col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
     a.join(b, Seq("lang", "size_bucket"))
       .where(col("id_a") < col("id_b"))
       // size-ratio bound (see minHashLsh): prunes most pairs inside
