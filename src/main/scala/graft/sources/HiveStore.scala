@@ -95,7 +95,7 @@ object HiveStore {
   /** Run `body` with a session conf set, restoring the previous value
     * (or unsetting) afterwards — keeps demo queries from permanently
     * mutating shared session state. */
-  private def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
+  private[sources] def withConf[A](spark: SparkSession, key: String, value: String)(body: => A): A = {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, value)
     try body
@@ -107,7 +107,7 @@ object HiveStore {
 
   /** Unique per-run scratch dir (concurrent Verify/Bench runs on one
     * machine must not race on a shared path), deleted on JVM exit. */
-  private def scratchDir(): String = {
+  private[sources] def scratchDir(): String = {
     val p = java.nio.file.Files.createTempDirectory("graft_hive_store_")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {

@@ -245,15 +245,56 @@ object Streaming {
       |FROM p WHERE boundary = 'start' AND end_ms IS NOT NULL
       |ORDER BY user_id, start_ms""".stripMargin
 
+  // --------------------------------------------------------------- #45
+  /** Streaming parquet export — the reference's ParquetExportService:
+    * buffered records are periodically flushed to parquet files, and a
+    * restart must not re-export what a previous run already wrote
+    * (crash recovery via the pending-record check,
+    * parquet-export-service.ts). Spark-native: the file sink's
+    * checkpoint+manifest IS that exactly-once contract — the stream is
+    * deliberately started twice on the same checkpoint, and the second
+    * run exports nothing. Counts double (and the hash compare fails)
+    * if recovery re-processes. */
+  def streamExportSink(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_export_sink").toString
+    val ckpt = tmpCheckpoint("export")
+    def runOnce(): Unit = {
+      val q = eventStream(spark, dir)
+        .select("event_id", "user_id", "event_type", "ts_ms", "value")
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce()
+    spark.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_records"),
+        (sum(col("value").cast(DecimalType(18, 6))).cast("double")).as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val streamExportSinkOracle: String =
+    """SELECT event_type, COUNT(*) AS n_records,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_bucket_agg" -> (streamBucketAgg _),
     "stream_threshold" -> (streamThreshold _),
     "stream_dedup" -> (streamDedup _),
-    "stream_episodes" -> (streamEpisodes _))
+    "stream_episodes" -> (streamEpisodes _),
+    "stream_export_sink" -> (streamExportSink _))
 
   val oracles: Map[String, String] = Map(
     "stream_bucket_agg" -> streamBucketAggOracle,
     "stream_threshold" -> streamThresholdOracle,
     "stream_dedup" -> streamDedupOracle,
-    "stream_episodes" -> streamEpisodesOracle)
+    "stream_episodes" -> streamEpisodesOracle,
+    "stream_export_sink" -> streamExportSinkOracle)
 }
