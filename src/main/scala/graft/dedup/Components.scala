@@ -85,7 +85,20 @@ object Components {
     * dramatically smaller on a duplicate-saturated corpus. Members are
     * re-expanded after propagation; component ids (min doc id) are
     * unchanged because each representative is its group's min. */
-  def nearDupComponents(spark: SparkSession, dir: String): DataFrame = {
+  def nearDupComponents(spark: SparkSession, dir: String): DataFrame =
+    clusterAssignments(spark, dir)
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("doc_id").as("id_sum"),
+        max("doc_id").as("max_id"))
+      .orderBy("component_id")
+
+  /** (component_id, doc_id) assignment for every doc that belongs to a
+    * near-dup cluster (component_id = min doc id in the cluster); docs
+    * with no near-duplicate don't appear. Shared by the cluster
+    * summary ([[nearDupComponents]]) and the keeper policy
+    * ([[resolveClusters]]). */
+  def clusterAssignments(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.JaccardSim.register(spark)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
@@ -127,12 +140,52 @@ object Components {
       .where(col("component_id").isNotNull &&
         (col("id").isNotNull || size(col("members")) > 1))
       .select(col("component_id"), explode(col("members")).as("doc_id"))
-    labeled.groupBy("component_id")
-      .agg(count(lit(1)).as("n_members"),
-        sum("doc_id").as("id_sum"),
-        max("doc_id").as("max_id"))
-      .orderBy("component_id")
+    labeled
   }
+
+  // -------------------------------------------------------------- #40m
+  /** Cluster resolution — the keeper policy that turns clusters into a
+    * deduplicated corpus: keep the canonical doc (min id ≡ the
+    * component id) of every near-dup cluster, drop the rest, keep all
+    * singleton docs. The drop set is cluster-membership-sized (≪
+    * corpus), so it broadcasts into an anti-join and the corpus scan
+    * itself never shuffles — the shape that survives a 100 TB corpus
+    * with a few million duplicate members. */
+  def resolveClusters(spark: SparkSession, dir: String): DataFrame = {
+    val drops = clusterAssignments(spark, dir)
+      .where(col("doc_id") =!= col("component_id"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(broadcast(drops), Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
+  val resolveOracle: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS size_bucket,
+      |    list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+      |  WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.8
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), n AS (SELECT DISTINCT src AS id FROM e),
+      |reach AS (
+      |  SELECT id, id AS lbl FROM n
+      |  UNION
+      |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON e.src = r.id WHERE r.lbl < e.dst
+      |), comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY 1)
+      |SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+      |FROM documents d
+      |WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> component_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val componentsOracle: String =
     """WITH RECURSIVE t AS (
@@ -158,8 +211,10 @@ object Components {
       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_components" -> (nearDupComponents _))
+    "dedup_components" -> (nearDupComponents _),
+    "dedup_resolve" -> (resolveClusters _))
 
   val oracles: Map[String, String] = Map(
-    "dedup_components" -> componentsOracle)
+    "dedup_components" -> componentsOracle,
+    "dedup_resolve" -> resolveOracle)
 }

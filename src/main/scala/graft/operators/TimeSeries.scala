@@ -173,6 +173,55 @@ object TimeSeries {
       |  MIN(first_ts_ms) AS first_ts_ms, MAX(last_ts_ms) AS last_ts_ms
       |FROM t5 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------- #9b
+  /** Incremental tier maintenance — aggregation-service.ts's
+    * processAggregations only touches dates newer than lastProcessed;
+    * the tier analog: merge a delta of fresh partials into an existing
+    * tier WITHOUT re-aggregating the untouched mass. Buckets absent
+    * from the delta pass through untouched (anti-join against the
+    * delta's bucket set — delta-sized, so it broadcasts); only buckets
+    * the delta touches are re-aggregated. At 100 TB that is the
+    * difference between an hourly maintenance job proportional to the
+    * last hour and one proportional to the archive. Exactness: the
+    * partials carry decimal sums, so merge-then-average equals
+    * full-recompute bit-for-bit. */
+  def mergeTierPartials(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = Seq("user_id", "event_type", "bucket_ms")
+    val touched = delta.select(keys.map(col): _*).distinct()
+    val pass = existing.join(broadcast(touched), keys, "left_anti")
+    val reagg = existing.join(broadcast(touched), keys, "left_semi")
+      .unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("value_sum").as("value_sum"),
+        min("value_min").as("value_min"),
+        max("value_max").as("value_max"),
+        sum("sample_count").as("sample_count"),
+        min("first_ts_ms").as("first_ts_ms"),
+        max("last_ts_ms").as("last_ts_ms"))
+    // sum-of-decimal widens precision; align for the union
+    pass.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+      .unionByName(reagg.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6))))
+  }
+
+  def tierIncremental(spark: SparkSession, dir: String): DataFrame = {
+    // split mid-range: existing tier = everything before, delta = after
+    // (the boundary bucket exists on both sides and must merge exactly)
+    val splitMs = 1705300000000L
+    val all = ev(spark, dir)
+    val existing = tierPartials(all.where(col("ts_ms") < splitMs), 300000L)
+    val delta = tierPartials(all.where(col("ts_ms") >= splitMs), 300000L)
+    mergeTierPartials(existing, delta)
+      .withColumn("value_avg", col("value_sum").cast("double") / col("sample_count"))
+      .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
+        "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  /** Oracle = the full recompute: incremental maintenance must be
+    * indistinguishable from rebuilding the tier from raw. */
+  val tierIncrementalOracle: String = tierRollupRawOracle
+
   // --------------------------------------------------------------- #12
   /** Multi-path time alignment: one row per bucket, one column per
     * path — the History API's aligned response shape (README "Time
@@ -302,6 +351,7 @@ object TimeSeries {
     "sk_agg_methods" -> (aggMethods _),
     "sk_tier_rollup_raw5s" -> (tierRollupRaw _),
     "sk_tier_reagg" -> (tierReagg _),
+    "sk_tier_incremental" -> (tierIncremental _),
     "sk_time_align" -> (timeAlign _),
     "sk_sma" -> (sma _),
     "sk_ema" -> (ema _),
@@ -314,6 +364,7 @@ object TimeSeries {
     "sk_agg_methods" -> aggMethodsOracle,
     "sk_tier_rollup_raw5s" -> tierRollupRawOracle,
     "sk_tier_reagg" -> tierReaggOracle,
+    "sk_tier_incremental" -> tierIncrementalOracle,
     "sk_time_align" -> timeAlignOracle,
     "sk_sma" -> smaOracle,
     "sk_ema" -> emaOracle,

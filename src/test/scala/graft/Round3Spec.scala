@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.TimeSeries
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def partials(rows: Seq[(Long, String, Long, Double, Double, Double, Long, Long, Long)]) =
+    rows.toDF("user_id", "event_type", "bucket_ms", "value_sum", "value_min",
+      "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
+      .withColumn("value_sum", col("value_sum").cast(DecimalType(28, 6)))
+
+  test("mergeTierPartials re-aggregates only touched buckets and passes the rest through") {
+    val existing = partials(Seq(
+      (1L, "click", 0L, 10.0, 1.0, 9.0, 4L, 10L, 290L), // untouched
+      (1L, "click", 300000L, 6.0, 2.0, 4.0, 2L, 300010L, 300020L))) // touched
+    val delta = partials(Seq(
+      (1L, "click", 300000L, 3.0, 0.5, 3.0, 1L, 300500L, 300500L),
+      (1L, "click", 600000L, 7.0, 7.0, 7.0, 1L, 600000L, 600000L))) // new bucket
+    val out = TimeSeries.mergeTierPartials(existing, delta)
+      .orderBy("bucket_ms")
+      .select(col("bucket_ms"), col("value_sum").cast("double"),
+        col("value_min"), col("value_max"), col("sample_count"),
+        col("first_ts_ms"), col("last_ts_ms"))
+      .as[(Long, Double, Double, Double, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 10.0, 1.0, 9.0, 4L, 10L, 290L),
+      (300000L, 9.0, 0.5, 4.0, 3L, 300010L, 300500L),
+      (600000L, 7.0, 7.0, 7.0, 1L, 600000L, 600000L)))
+  }
+
+  test("incremental tier equals full recompute on real data") {
+    val full = TimeSeries.tierRollupRaw(spark, sfDir).collect().toSeq
+    val inc = TimeSeries.tierIncremental(spark, sfDir).collect().toSeq
+    assert(inc == full)
+  }
+
+  test("scrub replaces all matches and counts them") {
+    val (scrubbed, hits) = graft.text.Scrub.scrub(col("t"), "\\b(customer|order)\\b", "[X]")
+    val r = Seq("customer order customerx order")
+      .toDF("t").select(scrubbed.as("s"), hits.as("n"))
+      .as[(String, Int)].head()
+    assert(r == (("[X] [X] customerx [X]", 3)))
+  }
+
+  test("resolveClusters keeps singletons and one canonical doc per cluster") {
+    // every dropped doc must be a non-min member of some cluster, and
+    // total kept + dropped = corpus size
+    val n = Tables.documents(spark, sfDir).count()
+    val assigns = graft.dedup.Components.clusterAssignments(spark, sfDir)
+    val dropped = assigns.where(col("doc_id") =!= col("component_id")).count()
+    val kept = graft.dedup.Components.resolveClusters(spark, sfDir)
+      .agg(sum("n_kept")).as[Long].head()
+    assert(kept == n - dropped)
+    // canonical member of each cluster is never dropped
+    assert(assigns.where(col("doc_id") === col("component_id")).count() ==
+      assigns.select("component_id").distinct().count())
+  }
+}
