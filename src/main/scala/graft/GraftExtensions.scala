@@ -23,5 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
       (exprs: Seq[Expression]) => JaccardSim(exprs(0), exprs(1))))
+    // whole-operator extension: plans graft.plans.AsOfJoin nodes
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

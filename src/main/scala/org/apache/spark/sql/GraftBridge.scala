@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.ClassicConversions._
+
+/** Minimal bridge into `private[sql]` surface: wrap an already-built
+  * logical plan as a DataFrame. Used by graft's custom operators
+  * (e.g. [[graft.plans.AsOfJoinNative]]) to hand a custom LogicalPlan
+  * node to the session's QueryExecution — the same door the built-in
+  * Dataset API uses. Nothing else from the private surface is touched.
+  */
+object GraftBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
