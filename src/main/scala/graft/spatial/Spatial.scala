@@ -358,7 +358,86 @@ object Spatial {
        |FROM t WHERE prev_bearing IS NOT NULL
        |ORDER BY event_id""".stripMargin
 
+  // -------------------------------------------------------- anchorage
+  /** Anchorage detection — analysis-templates.ts:90 "Anchoring
+    * Behavior Analysis" (anchoring locations, durations, drag): a
+    * stationary episode is a maximal run of fixes each moving less
+    * than `thresholdM` from the previous fix; each episode reports
+    * span, fix count, the anchor position (first stationary fix) and
+    * the anchor-drag metric (max drift from that position).
+    *
+    * Gaps-and-islands over the per-vessel ordered window: one shuffle
+    * on the vessel key, every window stays inside it — at 100 TB the
+    * same exchange every per-series operator pays, nothing quadratic.
+    * Haversine outputs are rounded to 6 dp before the threshold and
+    * the max so both engines agree bit-for-bit. */
+  def anchorages(spark: SparkSession, dir: String): DataFrame = {
+    val thresholdM = 8000.0
+    val minFixes = 5
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val stepped = positions(spark, dir)
+      .withColumn("step_m", r6(haversineM(
+        lag("lat", 1).over(w), lag("lon", 1).over(w), col("lat"), col("lon"))))
+      .withColumn("moving",
+        col("step_m").isNull || col("step_m") >= lit(thresholdM))
+      .withColumn("grp",
+        sum(when(col("moving"), 1L).otherwise(0L)).over(w))
+    val wg = Window.partitionBy("user_id", "grp").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    stepped.where(!col("moving"))
+      .withColumn("anchor_lat", first("lat").over(wg))
+      .withColumn("anchor_lon", first("lon").over(wg))
+      .withColumn("drift_m", r6(haversineM(
+        col("anchor_lat"), col("anchor_lon"), col("lat"), col("lon"))))
+      .groupBy("user_id", "grp")
+      .agg(
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        ((max("ts_ms") - min("ts_ms")) / lit(1000.0)).as("duration_s"),
+        count(lit(1)).as("n_fixes"),
+        min_by(col("anchor_lat"), col("ts_ms")).as("anchor_lat"),
+        min_by(col("anchor_lon"), col("ts_ms")).as("anchor_lon"),
+        max("drift_m").as("max_drift_m"))
+      .where(col("n_fixes") >= minFixes)
+      .drop("grp")
+      .orderBy("user_id", "start_ms")
+  }
+
+  val anchoragesOracle: String =
+    s"""WITH pos AS ($posSql),
+       |d AS (
+       |  SELECT user_id, ts_ms, event_id, lat, lon,
+       |    ROUND(2 * 6371000 * ASIN(SQRT(
+       |      POWER(SIN(RADIANS(lat - LAG(lat) OVER w) / 2), 2) +
+       |      COS(RADIANS(LAG(lat) OVER w)) * COS(RADIANS(lat)) *
+       |      POWER(SIN(RADIANS(lon - LAG(lon) OVER w) / 2), 2))), 6) AS step_m
+       |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |), g AS (
+       |  SELECT *, SUM(CASE WHEN step_m IS NULL OR step_m >= 8000.0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS grp
+       |  FROM d
+       |), s AS (
+       |  SELECT *,
+       |    first_value(lat) OVER wg AS anchor_lat,
+       |    first_value(lon) OVER wg AS anchor_lon
+       |  FROM g WHERE NOT (step_m IS NULL OR step_m >= 8000.0)
+       |  WINDOW wg AS (PARTITION BY user_id, grp ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+       |  (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_s,
+       |  COUNT(*) AS n_fixes,
+       |  arg_min(anchor_lat, ts_ms) AS anchor_lat,
+       |  arg_min(anchor_lon, ts_ms) AS anchor_lon,
+       |  MAX(ROUND(2 * 6371000 * ASIN(SQRT(
+       |    POWER(SIN(RADIANS(lat - anchor_lat) / 2), 2) +
+       |    COS(RADIANS(anchor_lat)) * COS(RADIANS(lat)) *
+       |    POWER(SIN(RADIANS(lon - anchor_lon) / 2), 2))), 6)) AS max_drift_m
+       |FROM s GROUP BY user_id, grp HAVING COUNT(*) >= 5
+       |ORDER BY user_id, start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_anchorage" -> (anchorages _),
     "sk_turn_rate" -> (turnRate _),
     "sk_bbox_filter" -> (bboxFilter _),
     "sk_radius_filter" -> (radiusFilter _),
@@ -369,6 +448,7 @@ object Spatial {
     "sk_position_bucket" -> (positionBucket _))
 
   val oracles: Map[String, String] = Map(
+    "sk_anchorage" -> anchoragesOracle,
     "sk_turn_rate" -> turnRateOracle,
     "sk_bbox_filter" -> bboxFilterOracle,
     "sk_radius_filter" -> radiusFilterOracle,
