@@ -111,11 +111,106 @@ object Analytics {
       |  ROUND(sy / n, 6) AS mean_level
       |FROM sums ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- correlation
+  /** Cross-series Pearson correlation per context — the reference's
+    * `correlation` analysisType (analysis-templates.ts "Weather Impact
+    * Analysis": wind speed vs vessel speed). Series are aligned on
+    * hourly buckets first (exact decimal bucket means, rounded to
+    * 6 dp), then r comes from exact decimal Σa, Σb, Σab, Σa², Σb² with
+    * the closed form evaluated in DOUBLE in the same operand order in
+    * both engines. One shuffle for the bucket alignment, one
+    * series-key aggregation — nothing quadratic. */
+  def seriesCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    def hourly(tpe: String, out: String) =
+      ev(spark, dir).where(col("event_type") === tpe)
+        .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
+        .agg(r6(davg(col("value"))).as(out))
+    val a = hourly("click", "a")
+    val b = hourly("purchase", "b")
+    val ad = col("a").cast(DecimalType(12, 6))
+    val bd = col("b").cast(DecimalType(12, 6))
+    a.join(b, Seq("user_id", "bucket_ms"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(ad).cast("double").as("sa"),
+        sum(bd).cast("double").as("sb"),
+        sum(ad * bd).cast("double").as("sab"),
+        sum(ad * ad).cast("double").as("saa"),
+        sum(bd * bd).cast("double").as("sbb"))
+      // degenerate series (single bucket / zero variance) have no
+      // defined r — filter on the exact same double expression both
+      // engines compute, so the row sets agree
+      .withColumn("denom",
+        sqrt(col("n_buckets") * col("saa") - col("sa") * col("sa")) *
+          sqrt(col("n_buckets") * col("sbb") - col("sb") * col("sb")))
+      .where(col("n_buckets") >= 2 && col("denom") > 0.0)
+      .withColumn("pearson_r", r6(
+        (col("n_buckets") * col("sab") - col("sa") * col("sb")) / col("denom")))
+      .select("user_id", "n_buckets", "pearson_r")
+      .orderBy("user_id")
+  }
+
+  val correlationOracle: String =
+    """WITH a AS (
+      |  SELECT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS DECIMAL(12,6)) AS a
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), b AS (
+      |  SELECT user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6) AS DECIMAL(12,6)) AS b
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), sums AS (
+      |  SELECT a.user_id, COUNT(*) AS n_buckets,
+      |    CAST(SUM(a.a) AS DOUBLE) AS sa, CAST(SUM(b.b) AS DOUBLE) AS sb,
+      |    CAST(SUM(a.a * b.b) AS DOUBLE) AS sab,
+      |    CAST(SUM(a.a * a.a) AS DOUBLE) AS saa,
+      |    CAST(SUM(b.b * b.b) AS DOUBLE) AS sbb
+      |  FROM a JOIN b ON a.user_id = b.user_id AND a.bucket_ms = b.bucket_ms
+      |  GROUP BY 1
+      |)
+      |SELECT user_id, n_buckets,
+      |  ROUND((n_buckets * sab - sa * sb) /
+      |    (SQRT(n_buckets * saa - sa * sa) * SQRT(n_buckets * sbb - sb * sb)), 6) AS pearson_r
+      |FROM sums
+      |WHERE n_buckets >= 2
+      |  AND SQRT(n_buckets * saa - sa * sa) * SQRT(n_buckets * sbb - sb * sb) > 0.0
+      |ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- wind rose
+  /** Wind rose — analysis-templates.ts "Wind Pattern Analysis"
+    * (predominant directions + speed distribution per sector): angles
+    * binned into 16 compass sectors of 22.5°, with count and mean
+    * magnitude per sector. A single partial-aggregated shuffle on the
+    * sector id; the binning is pure codegen'd arithmetic. `value` is
+    * the angle in radians; the JSON props field `k` plays the paired
+    * magnitude (integers, so the decimal mean is exact). */
+  def windRose(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir).where(col("event_type") === "click")
+      .withColumn("sector",
+        floor(pmod(degrees(col("value")), lit(360.0)) / lit(22.5)).cast("int"))
+      .withColumn("mag", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("sector")
+      .agg(count(lit(1)).as("n_obs"), r6(davg(col("mag"), 0)).as("mag_avg"))
+      .orderBy("sector")
+
+  val windRoseOracle: String =
+    """SELECT CAST(FLOOR(((DEGREES(value) % 360.0) + 360.0) % 360.0 / 22.5) AS INT) AS sector,
+      |  COUNT(*) AS n_obs,
+      |  ROUND(CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE)
+      |    / COUNT(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS mag_avg
+      |FROM events WHERE event_type = 'click'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_anomaly_zscore" -> (anomalyZscore _),
-    "sk_trend_slope" -> (trendSlope _))
+    "sk_trend_slope" -> (trendSlope _),
+    "sk_series_correlation" -> (seriesCorrelation _),
+    "sk_wind_rose" -> (windRose _))
 
   val oracles: Map[String, String] = Map(
     "sk_anomaly_zscore" -> anomalyOracle,
-    "sk_trend_slope" -> trendOracle)
+    "sk_trend_slope" -> trendOracle,
+    "sk_series_correlation" -> correlationOracle,
+    "sk_wind_rose" -> windRoseOracle)
 }
