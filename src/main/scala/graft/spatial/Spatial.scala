@@ -436,7 +436,53 @@ object Spatial {
        |FROM s GROUP BY user_id, grp HAVING COUNT(*) >= 5
        |ORDER BY user_id, start_ms""".stripMargin
 
+  // ---------------------------------------------------------- z-order
+  /** Z-order (Morton) key over quantized (lat, lon) — the
+    * multi-dimensional layout tool the flat hive layout lacks: sorting
+    * or range-partitioning files by this key clusters 2-D-close fixes
+    * into the same parquet row groups, so BOTH lat and lon range
+    * predicates prune via column min/max stats (a lat-sorted layout
+    * prunes only lat). At 100 TB: `repartitionByRange(zkey)` +
+    * sortWithinPartitions before the write; queries keep their plain
+    * bbox predicates and the skipping is free.
+    *
+    * 10 bits per dimension, bit-interleaved with plain shift/mask
+    * arithmetic — codegen'd in Spark, bit-identical in the oracle. The
+    * demo emits the key plus a coarse z-range histogram column so the
+    * locality property itself is hash-checked. */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ql = floor((col("lat") - lit(39.0)) * lit(1000.0)).cast("long").bitwiseAND(lit(1023L))
+    val qn = floor((col("lon") + lit(75.0)) * lit(500.0)).cast("long").bitwiseAND(lit(1023L))
+    val z = (0 until 10).map { i =>
+      shiftleft(shiftright(ql, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(qn, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    positions(spark, dir)
+      .withColumn("zkey", z)
+      .withColumn("z_bucket", expr("zkey div 65536"))
+      .select("event_id", "user_id", "lat", "lon", "zkey", "z_bucket")
+      .orderBy("event_id")
+  }
+
+  val zorderOracle: String = {
+    val terms = (0 until 10).map { i =>
+      s"(((ql >> $i) & 1) << ${2 * i + 1}) | (((qn >> $i) & 1) << ${2 * i})"
+    }.mkString(" | ")
+    s"""WITH pos AS ($posSql),
+       |q AS (
+       |  SELECT event_id, user_id, lat, lon,
+       |    CAST(FLOOR((lat - 39.0) * 1000.0) AS BIGINT) & 1023 AS ql,
+       |    CAST(FLOOR((lon + 75.0) * 500.0) AS BIGINT) & 1023 AS qn
+       |  FROM pos
+       |)
+       |SELECT event_id, user_id, lat, lon,
+       |  $terms AS zkey,
+       |  ($terms) // 65536 AS z_bucket
+       |FROM q ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_zorder_key" -> (zorderKeys _),
     "sk_anchorage" -> (anchorages _),
     "sk_turn_rate" -> (turnRate _),
     "sk_bbox_filter" -> (bboxFilter _),
@@ -448,6 +494,7 @@ object Spatial {
     "sk_position_bucket" -> (positionBucket _))
 
   val oracles: Map[String, String] = Map(
+    "sk_zorder_key" -> zorderOracle,
     "sk_anchorage" -> anchoragesOracle,
     "sk_turn_rate" -> turnRateOracle,
     "sk_bbox_filter" -> bboxFilterOracle,
