@@ -222,6 +222,42 @@ object TimeSeries {
     * indistinguishable from rebuilding the tier from raw. */
   val tierIncrementalOracle: String = tierRollupRawOracle
 
+  // ---------------------------------------------------------------- #9c
+  /** Tier auto-selection, end to end — HistoryAPI.ts:737-773 routes a
+    * request to the coarsest tier whose resolution divides the
+    * requested bucket; here a 2 h request over stores ("5s","60s","1h")
+    * must pick the 1 h tier and answer FROM it. The oracle recomputes
+    * the same answer from raw, proving the routing is lossless (the
+    * decimal partial sums make tier re-aggregation exact). Only the
+    * chosen tier's frame is ever executed — the others stay lazy,
+    * mirroring the on-disk stores a real deployment reads. At scale
+    * this routing is the read-amplification lever: the 1 h tier is
+    * ~1/720th of raw. */
+  def tierSelectQuery(spark: SparkSession, dir: String): DataFrame = {
+    val raw = ev(spark, dir)
+    val tiers = Map(
+      "5s" -> (() => tierPartials(raw, 5000L)),
+      "60s" -> (() => tierPartials(raw, 60000L)),
+      "1h" -> (() => tierPartials(raw, 3600000L)))
+    val requestedResMs = 7200000L
+    val chosen = graft.api.History.selectTier(requestedResMs, tiers.keySet)
+      .getOrElse(sys.error("no tier selected for 2h request"))
+    require(chosen == "1h", s"expected the 1h tier, got $chosen")
+    tierReaggregate(tiers(chosen)(), requestedResMs)
+      .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
+        "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  val tierSelectOracle: String =
+    """SELECT user_id, event_type,
+      |  CAST(FLOOR(epoch_ms(ts) / 7200000) * 7200000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |  MIN(value) AS value_min, MAX(value) AS value_max,
+      |  COUNT(*) AS sample_count,
+      |  MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms
+      |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   // --------------------------------------------------------------- #12
   /** Multi-path time alignment: one row per bucket, one column per
     * path — the History API's aligned response shape (README "Time
@@ -352,6 +388,7 @@ object TimeSeries {
     "sk_tier_rollup_raw5s" -> (tierRollupRaw _),
     "sk_tier_reagg" -> (tierReagg _),
     "sk_tier_incremental" -> (tierIncremental _),
+    "sk_tier_select" -> (tierSelectQuery _),
     "sk_time_align" -> (timeAlign _),
     "sk_sma" -> (sma _),
     "sk_ema" -> (ema _),
@@ -365,6 +402,7 @@ object TimeSeries {
     "sk_tier_rollup_raw5s" -> tierRollupRawOracle,
     "sk_tier_reagg" -> tierReaggOracle,
     "sk_tier_incremental" -> tierIncrementalOracle,
+    "sk_tier_select" -> tierSelectOracle,
     "sk_time_align" -> timeAlignOracle,
     "sk_sma" -> smaOracle,
     "sk_ema" -> emaOracle,

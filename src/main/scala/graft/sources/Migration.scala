@@ -58,7 +58,7 @@ object Migration {
     // but empty target (fresh scratch dir, first-ever run) is fresh
     val targetHasData = fs.exists(targetPath) &&
       fs.listStatus(targetPath).exists(_.getPath.getName.startsWith("tier="))
-    val fresh =
+    val fresh0 =
       if (targetHasData) {
         val existing = HiveStore.withConf(spark,
           "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
@@ -66,6 +66,9 @@ object Migration {
         }.select(keys.map(col): _*).distinct()
         recs.join(broadcast(existing), keys, "left_anti")
       } else recs
+    // count + write both consume fresh: cut lineage once so the flat
+    // scan + anti-join run once, not twice
+    val fresh = fresh0.localCheckpoint(false)
     val appended = fresh.count()
     if (appended > 0)
       fresh.repartition(32, col("context"), col("path"), col("day"))
