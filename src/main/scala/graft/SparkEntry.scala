@@ -15,6 +15,7 @@ object SparkEntry {
       graft.spatial.Spatial.queries ++ Sessions.queries ++ SchemaOps.queries ++
       graft.sources.Gpx.queries ++ graft.sources.HiveStore.queries ++
       graft.sources.Migration.queries ++ graft.sources.Export.queries ++
+      graft.sources.SignalKDelta.queries ++
       graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.spatial.Spatial.oracles ++ Sessions.oracles ++ SchemaOps.oracles ++
       graft.sources.Gpx.oracles ++ graft.sources.HiveStore.oracles ++
       graft.sources.Migration.oracles ++ graft.sources.Export.oracles ++
+      graft.sources.SignalKDelta.oracles ++
       graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++

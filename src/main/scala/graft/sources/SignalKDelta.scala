@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SignalK delta ingestion — the reference's core intake
+  * (data-handler.ts:209-227): a delta message
+  * `{context, updates: [{timestamp, $source, values: [{path, value}]}]}`
+  * flattens to one record per (context, timestamp, path, value) before
+  * buffering and parquet export.
+  *
+  * Spark-native: `from_json` with the delta schema + two `explode`s —
+  * a pure codegen'd projection chain, no UDF, no driver parsing; at
+  * 100 TB the delta stream partitions by context and this flattening
+  * is embarrassingly parallel. The demo round-trips: events are
+  * encoded into delta JSON with `to_json`, re-ingested, and aggregated
+  * — the oracle aggregates the raw events directly, so any loss in the
+  * JSON encode/flatten path (value precision, path mixups, dropped
+  * updates) breaks the hash compare.
+  */
+object SignalKDelta {
+
+  val deltaSchema: StructType = StructType(Seq(
+    StructField("context", StringType),
+    StructField("updates", ArrayType(StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("$source", StringType),
+      StructField("values", ArrayType(StructType(Seq(
+        StructField("path", StringType),
+        StructField("value", DoubleType)))))))))))
+
+  /** Flatten a column of SignalK delta JSON into records
+    * (context, ts_ms, source_label, path, value). */
+  def flattenDeltas(deltas: DataFrame, jsonCol: String): DataFrame =
+    deltas.select(from_json(col(jsonCol), deltaSchema).as("d"))
+      .select(col("d.context").as("context"), explode(col("d.updates")).as("u"))
+      .select(col("context"),
+        col("u.timestamp").as("ts_ms"),
+        col("u").getField("$source").as("source_label"),
+        explode(col("u.values")).as("v"))
+      .select(col("context"), col("ts_ms"), col("source_label"),
+        col("v.path").as("path"), col("v.value").as("value"))
+
+  // --------------------------------------------------------------- #55
+  /** Round-trip: events → delta JSON → flatten → per-(context, path)
+    * aggregate, hash-compared against the same aggregate over the raw
+    * rows. */
+  def skDeltaIngest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val deltas = ev.select(to_json(struct(
+      concat(lit("vessels.urn:"), col("user_id")).as("context"),
+      array(struct(
+        col("ts_ms").as("timestamp"),
+        lit("graft.sim").as("$source"),
+        array(struct(
+          col("event_type").as("path"),
+          col("value").as("value"))).as("values"))).as("updates"))).as("delta"))
+    flattenDeltas(deltas, "delta")
+      .groupBy("context", "path")
+      .agg(
+        count(lit(1)).as("n_records"),
+        dsum(col("value")).as("value_sum"),
+        min("ts_ms").as("first_ts_ms"),
+        max("ts_ms").as("last_ts_ms"),
+        max("source_label").as("source_label"))
+      .orderBy("context", "path")
+  }
+
+  val deltaIngestOracle: String =
+    """SELECT 'vessels.urn:' || CAST(user_id AS VARCHAR) AS context,
+      |  event_type AS path,
+      |  COUNT(*) AS n_records,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  MIN(epoch_ms(ts)) AS first_ts_ms, MAX(epoch_ms(ts)) AS last_ts_ms,
+      |  'graft.sim' AS source_label
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_delta_ingest" -> (skDeltaIngest _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_delta_ingest" -> deltaIngestOracle)
+}
