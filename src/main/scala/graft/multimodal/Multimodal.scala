@@ -71,9 +71,39 @@ object Multimodal {
       |  (octet_length(encode(text)) // 100 + 1)::BIGINT AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- #40p
+  /** Frame sampling plumbing: each payload is cut into fixed 100-byte
+    * "frames" and every 2nd frame is sampled — the explode/slice shape
+    * a video pipeline uses (keyframe stride), with the decode itself
+    * still stubbed to a hash. One row per sampled frame, no shuffle:
+    * the explode and slicing are per-row projections, so a 100 TB
+    * corpus fans out in place and downstream per-frame featurizers
+    * parallelize on the exploded rows. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_frames", (length(col("text")) / 100).cast("long") + 1)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(2L))).as("frame_idx"))
+      .withColumn("frame",
+        expr("substring(text, CAST(frame_idx * 100 + 1 AS INT), 100)"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame").cast("binary")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  val frameSampleOracle: String =
+    """SELECT d.doc_id, f.frame_idx,
+      |  md5(substring(d.text, CAST(f.frame_idx * 100 + 1 AS INT), 100)) AS frame_md5,
+      |  CAST(LENGTH(substring(d.text, CAST(f.frame_idx * 100 + 1 AS INT), 100)) AS BIGINT) AS frame_len
+      |FROM documents d,
+      |  LATERAL (SELECT unnest(generate_series(0, LENGTH(d.text) // 100, 2)) AS frame_idx) f
+      |ORDER BY d.doc_id, f.frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> (mmFeatures _))
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
-    "mm_features" -> mmFeaturesOracle)
+    "mm_features" -> mmFeaturesOracle,
+    "mm_frame_sample" -> frameSampleOracle)
 }
