@@ -99,14 +99,19 @@ object Embeddings {
     * tables × 6 deterministic pseudo-random hyperplanes; a candidate
     * matches if it shares the probe's bucket in ANY table (classic
     * recall amplification), then exact cosine ranks candidates.
-    * Approximate by construction → verified by a recall spec against
-    * [[annTopK]] rather than a SQL oracle (rows-only check). */
+    * Approximate but fully deterministic (rounded-sin hyperplanes,
+    * rounded-cosine total ranking), so the index is hash-checked
+    * against a full SQL oracle AND recall-checked against
+    * [[annTopK]]. */
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
+      // hyperplane weights are ROUNDED sins: the sign test feeds a
+      // hash-compared oracle, so the weights must be bit-identical
+      // across engines (raw libm sin is not)
       .withColumn("table_bucket", explode(expr(
         """transform(sequence(0, 3), t -> struct(t AS tbl,
           |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) -> acc + IF(
-          |    aggregate(zip_with(v, transform(sequence(0, 63), d -> sin(CAST((t * 6 + p) * 97 + d * 31 AS DOUBLE))), (x, y) -> x * y),
+          |    aggregate(zip_with(v, transform(sequence(0, 63), d -> round(sin(CAST((t * 6 + p) * 97 + d * 31 AS DOUBLE)), 6)), (x, y) -> x * y),
           |      CAST(0.0 AS DOUBLE), (s, u) -> s + u) >= 0.0,
           |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))""".stripMargin)))
       .select(col("vec_id"), col("label"), col("v"), col("norm2"),
@@ -129,13 +134,46 @@ object Embeddings {
       .orderBy("probe_id", "rank")
   }
 
+  /** Full DuckDB oracle for the LSH path: same rounded-sin hyperplane
+    * weights, same left-fold sign sums, same any-table bucket match,
+    * same rounded-cosine ranking — the approximation is deterministic,
+    * so the whole approximate index is hash-checkable. */
+  val annLshTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |tp AS (
+       |  SELECT t.t, p.p FROM unnest(generate_series(0, 3)) AS t(t),
+       |    unnest(generate_series(0, 5)) AS p(p)
+       |), signs AS (
+       |  SELECT e.vec_id, tp.t AS tbl, tp.p,
+       |    CASE WHEN list_reduce(list_transform(range(1, 65), d ->
+       |        e.v[d] * ROUND(SIN(CAST((tp.t * 6 + tp.p) * 97 + (d - 1) * 31 AS DOUBLE)), 6)),
+       |        (x, y) -> x + y) >= 0.0
+       |      THEN (CAST(1 AS BIGINT) << tp.p) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN tp
+       |), buckets AS (
+       |  SELECT vec_id, tbl, CAST(SUM(bit) AS BIGINT) AS bucket
+       |  FROM signs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT pb.vec_id AS probe_id, cb.vec_id AS neighbor_id
+       |  FROM buckets pb JOIN buckets cb ON pb.tbl = cb.tbl AND pb.bucket = cb.bucket
+       |  WHERE pb.vec_id < 5 AND pb.vec_id <> cb.vec_id
+       |), scored AS (
+       |  SELECT c.probe_id, c.neighbor_id, $cosSql AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.probe_id JOIN e b ON b.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
   // ------------------------------------------------------------- IVF
   /** IVF-style ANN: deterministic coarse centroids (a fixed id slice
     * stands in for a k-means pass), every vector assigned to its
     * nearest centroid (the inverted list), probes search only their
     * nprobe=4 nearest lists. The scale path: lists shard the corpus so
     * a probe touches ~nprobe/K of it; assignment is one broadcast pass.
-    * Approximate → recall-checked in specs, rows-only for the driver. */
+    * Deterministic end to end → full SQL oracle + recall spec. */
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
@@ -169,6 +207,40 @@ object Embeddings {
       .select("probe_id", "neighbor_id", "cos", "rank")
       .orderBy("probe_id", "rank")
   }
+
+  /** Full DuckDB oracle for the IVF path: same fixed-slice centroids,
+    * same rounded-cosine assignment with (ccos desc, cent_id) ties,
+    * same nprobe=4 probe fan-out. */
+  val annIvfTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS v_c, norm2 AS norm2_c
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 116
+       |), assign AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.v_c[i]), (x, y) -> x + y)
+       |      / (SQRT(e.norm2) * SQRT(c.norm2_c)), 6) AS ccos
+       |  FROM e CROSS JOIN cent c
+       |), ra AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM assign
+       |), lists AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS bucket FROM ra WHERE crank <= 1
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, cent_id AS bucket FROM ra WHERE vec_id < 5 AND crank <= 4
+       |), cand AS (
+       |  SELECT DISTINCT p.probe_id, l.neighbor_id
+       |  FROM probes p JOIN lists l ON p.bucket = l.bucket
+       |  WHERE p.probe_id <> l.neighbor_id
+       |), scored AS (
+       |  SELECT c.probe_id, c.neighbor_id, $cosSql AS cos
+       |  FROM cand c JOIN e a ON a.vec_id = c.probe_id JOIN e b ON b.vec_id = c.neighbor_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
   // ---------------------------------------------------------- k-means
   /** K-means M-step: per-label centroid components via position-wise
@@ -314,6 +386,8 @@ object Embeddings {
     "kmeans_assign" -> (kmeansAssign _))
 
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" -> annLshTopKOracle,
+    "ann_ivf_topk" -> annIvfTopKOracle,
     "dedup_embedding" -> embeddingDedupOracle,
     "ann_topk" -> annTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
