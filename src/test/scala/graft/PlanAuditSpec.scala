@@ -88,4 +88,34 @@ class PlanAuditSpec extends SparkSpec {
     val p = planStr(graft.text.Pipeline.tfidfTop(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
+
+  test("delta ingestion flattens with no shuffle before the final aggregate") {
+    val p = planStr(graft.sources.SignalKDelta.skDeltaIngest(spark, sfDir))
+    // one exchange for the groupBy, one for the presentation sort —
+    // the encode/parse/explode chain itself must be shuffle-free
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("Generate"), p.take(2000)) // the explodes
+  }
+
+  test("scrub audit is a single partial-aggregated pass") {
+    val p = planStr(graft.text.Scrub.piiScrub(spark, sfDir))
+    assert(p.contains("partial_"), p.take(3000))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
+  test("zorder keys never shuffle except the presentation sort") {
+    val p = planStr(graft.spatial.Spatial.zorderKeys(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("cluster resolution broadcasts the drop set against the corpus") {
+    val p = planStr(graft.dedup.Components.resolveClusters(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(4000))
+  }
+
+  test("incremental tier merge broadcasts the touched-bucket set both ways") {
+    val p = planStr(TimeSeries.tierIncremental(spark, sfDir))
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
 }
