@@ -284,7 +284,52 @@ object Streaming {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val staticDedupTable = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  // --------------------------------------------------------------- #46
+  /** Stream-static dedup — the shape an incremental training-data
+    * pipeline runs: incoming documents stream against a STATIC
+    * historical fingerprint store (here: md5 of docs with id < 250),
+    * each batch flagging which arrivals duplicate history. The static
+    * side is planned per micro-batch as an ordinary broadcast join —
+    * no state store grows with history size, which is what makes this
+    * viable when the historical corpus is 100 TB and indexed once. */
+  def streamStaticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val history = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 250)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val arrivals = spark.readStream.schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(broadcast(history.withColumn("is_dup", lit(1L))), Seq("fp"), "left")
+      .select(col("lang"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    val q = arrivals.writeStream
+      .format("memory")
+      .queryName({ val n = uniqueName("stream_static_dedup"); staticDedupTable.set(n); n })
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpCheckpoint("static_dedup"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(staticDedupTable.get())
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("is_dup").as("n_dups"))
+      .orderBy("lang")
+  }
+
+  val streamStaticDedupOracle: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE md5(text) IN (
+      |    SELECT md5(text) FROM documents WHERE doc_id < 250)) AS BIGINT) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_static_dedup" -> (streamStaticDedup _),
     "stream_bucket_agg" -> (streamBucketAgg _),
     "stream_threshold" -> (streamThreshold _),
     "stream_dedup" -> (streamDedup _),
@@ -292,6 +337,7 @@ object Streaming {
     "stream_export_sink" -> (streamExportSink _))
 
   val oracles: Map[String, String] = Map(
+    "stream_static_dedup" -> streamStaticDedupOracle,
     "stream_bucket_agg" -> streamBucketAggOracle,
     "stream_threshold" -> streamThresholdOracle,
     "stream_dedup" -> streamDedupOracle,
