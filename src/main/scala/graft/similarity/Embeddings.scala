@@ -103,15 +103,29 @@ object Embeddings {
     * rounded-cosine total ranking), so the index is hash-checked
     * against a full SQL oracle AND recall-checked against
     * [[annTopK]]. */
+  /** Hyperplane weights, precomputed once on the driver: rounded sins
+    * of the same deterministic grid the oracle recomputes in SQL.
+    * `Math.sin` + HALF_UP-6 is exactly what Spark's `round(sin(x), 6)`
+    * evaluates to, and the 6-dp rounding absorbs the ≤1-ulp libm
+    * disagreement with DuckDB — embedding them as a literal removes
+    * 24×64 interpreted sin evals per ROW (they are row-invariant; the
+    * lambda formulation recomputed them every time because
+    * higher-order lambdas don't constant-fold). */
+  private lazy val lshWeights: Array[Array[Double]] =
+    Array.tabulate(24) { tp =>
+      Array.tabulate(64) { d =>
+        BigDecimal(math.sin((tp * 97 + d * 31).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+
   def annLshTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-      // hyperplane weights are ROUNDED sins: the sign test feeds a
-      // hash-compared oracle, so the weights must be bit-identical
-      // across engines (raw libm sin is not)
+      .withColumn("w", typedLit(lshWeights))
       .withColumn("table_bucket", explode(expr(
         """transform(sequence(0, 3), t -> struct(t AS tbl,
           |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) -> acc + IF(
-          |    aggregate(zip_with(v, transform(sequence(0, 63), d -> round(sin(CAST((t * 6 + p) * 97 + d * 31 AS DOUBLE)), 6)), (x, y) -> x * y),
+          |    aggregate(zip_with(v, w[t * 6 + p], (x, y) -> x * y),
           |      CAST(0.0 AS DOUBLE), (s, u) -> s + u) >= 0.0,
           |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))""".stripMargin)))
       .select(col("vec_id"), col("label"), col("v"), col("norm2"),
