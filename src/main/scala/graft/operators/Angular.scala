@@ -76,7 +76,7 @@ object Angular {
       |    CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
       |    CAST(SUM(sin_sum) AS DOUBLE) / SUM(sample_count) AS w_sin,
       |    CAST(SUM(cos_sum) AS DOUBLE) / SUM(sample_count) AS w_cos,
-      |    SUM(sample_count) AS sample_count
+      |    CAST(SUM(sample_count) AS BIGINT) AS sample_count
       |  FROM t5 GROUP BY 1, 2, 3
       |)
       |SELECT user_id, event_type, bucket_ms,

@@ -169,7 +169,7 @@ object TimeSeries {
       |  CAST(FLOOR(bucket_ms / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
       |  CAST(SUM(value_sum) AS DOUBLE) / SUM(sample_count) AS value_avg,
       |  MIN(value_min) AS value_min, MAX(value_max) AS value_max,
-      |  SUM(sample_count) AS sample_count,
+      |  CAST(SUM(sample_count) AS BIGINT) AS sample_count,
       |  MIN(first_ts_ms) AS first_ts_ms, MAX(last_ts_ms) AS last_ts_ms
       |FROM t5 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 

@@ -49,7 +49,17 @@ def main():
             for c in spark_df.columns:
                 a, b = spark_df[c].values, duck_df[c].values
                 try:
-                    if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+                    # Driver's hash is type-sensitive: a DuckDB HUGEINT sum
+                    # arriving as float64 vs Spark int64 hash-mismatches even
+                    # when every value is equal. Treat int-vs-float dtype
+                    # disagreement as failure (fix: CAST(... AS BIGINT)).
+                    a_f = np.issubdtype(a.dtype, np.floating)
+                    b_f = np.issubdtype(b.dtype, np.floating)
+                    if a_f != b_f:
+                        ok = False
+                        msgs.append(f"col {c}: dtype mismatch spark={a.dtype} duck={b.dtype} (cast oracle SUM/AVG to BIGINT/DOUBLE)")
+                        continue
+                    if a_f or b_f:
                         af = a.astype(np.float64); bf = b.astype(np.float64)
                         neq = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
                     else:
