@@ -107,7 +107,7 @@ object HiveStore {
 
   /** Unique per-run scratch dir (concurrent Verify/Bench runs on one
     * machine must not race on a shared path), deleted on JVM exit. */
-  private[sources] def scratchDir(): String = {
+  private[graft] def scratchDir(): String = {
     val p = java.nio.file.Files.createTempDirectory("graft_hive_store_")
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
