@@ -202,13 +202,49 @@ object Analytics {
       |FROM events WHERE event_type = 'click'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- percentiles
+  /** Exact per-path percentiles (p50/p90/p99) — the distribution
+    * summary behind the reference's analysis templates, computed with
+    * Spark's exact `percentile` aggregate (linear interpolation at
+    * rank p·(n-1), the same definition DuckDB's quantile_cont uses;
+    * outputs rounded to 6 dp for the cross-engine compare).
+    *
+    * Scale note: exact percentiles need the group's values together —
+    * one shuffle on the path key, fine for per-path rollups whose
+    * groups fit an executor. For percentiles over arbitrary 100 TB
+    * slices the approximate companion is `approx_percentile` with a
+    * bounded error budget; it partial-aggregates map-side, trading
+    * exactness for a collect-free merge. The exact variant is the one
+    * an oracle can check. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    ev(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("value"), lit(0.5)).as("p50_raw"),
+        percentile(col("value"), lit(0.9)).as("p90_raw"),
+        percentile(col("value"), lit(0.99)).as("p99_raw"))
+      .select(col("event_type"), col("n"),
+        r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"),
+        r6(col("p99_raw")).as("p99"))
+      .orderBy("event_type")
+
+  val percentilesOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 6) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 6) AS p99
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_percentiles" -> (percentiles _),
     "sk_anomaly_zscore" -> (anomalyZscore _),
     "sk_trend_slope" -> (trendSlope _),
     "sk_series_correlation" -> (seriesCorrelation _),
     "sk_wind_rose" -> (windRose _))
 
   val oracles: Map[String, String] = Map(
+    "sk_percentiles" -> percentilesOracle,
     "sk_anomaly_zscore" -> anomalyOracle,
     "sk_trend_slope" -> trendOracle,
     "sk_series_correlation" -> correlationOracle,

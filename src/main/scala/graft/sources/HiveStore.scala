@@ -125,7 +125,7 @@ object HiveStore {
     // FS metadata calls shell out when the hadoop native lib is absent,
     // so file count, not bytes, dominates this demo's cost.
     val df = Tables.events(spark, dir)
-      .where(col("event_type") === "click" && col("user_id") < 20)
+      .where(col("event_type") === "click" && col("user_id") < 8)
       .withColumn("tier", lit("raw"))
       .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
       .withColumn("path", col("event_type"))
@@ -155,7 +155,7 @@ object HiveStore {
       |  CAST(year(ts) AS INT) AS year,
       |  lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS day,
       |  COUNT(*) AS n_records
-      |FROM events WHERE event_type = 'click' AND user_id < 20
+      |FROM events WHERE event_type = 'click' AND user_id < 8
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   // ---------------------------------------------------- federated read
@@ -180,10 +180,10 @@ object HiveStore {
     p.unionByName(archiveOnly)
   }
 
-  /** Round-trip proving precedence: the primary holds users < 5, the
-    * archive holds a STALE copy (value+1000) of users < 8. Federated
+  /** Round-trip proving precedence: the primary holds users < 3, the
+    * archive holds a STALE copy (value+1000) of users < 5. Federated
     * counts/averages must show original values for the overlap and
-    * stale values only for the archive-only contexts (5–7). */
+    * stale values only for the archive-only contexts (3–4). */
   def skFederatedRead(spark: SparkSession, dir: String): DataFrame = {
     def slice(maxUser: Int, valueShift: Double) =
       Tables.events(spark, dir)
@@ -197,8 +197,8 @@ object HiveStore {
         .withColumn("day", lpad(dayofyear(col("ts2")).cast("string"), 3, "0"))
         .drop("ts2")
     val (primary, archive) = (scratchDir(), scratchDir())
-    write(slice(5, 0.0), primary)
-    write(slice(8, 1000.0), archive)
+    write(slice(3, 0.0), primary)
+    write(slice(5, 1000.0), archive)
     val fed = withConf(spark,
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
       federatedRead(spark, primary, archive)
@@ -211,9 +211,9 @@ object HiveStore {
   val federatedOracle: String =
     """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,
       |  COUNT(*) AS n_records,
-      |  CAST(SUM(CAST(value + (CASE WHEN user_id >= 5 THEN 1000.0 ELSE 0.0 END)
+      |  CAST(SUM(CAST(value + (CASE WHEN user_id >= 3 THEN 1000.0 ELSE 0.0 END)
       |    AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
-      |FROM events WHERE event_type = 'click' AND user_id < 8
+      |FROM events WHERE event_type = 'click' AND user_id < 5
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -85,7 +85,7 @@ object Migration {
   def skFlatMigration(spark: SparkSession, dir: String): DataFrame = {
     val (flat, target) = (HiveStore.scratchDir(), HiveStore.scratchDir())
     val slice = Tables.events(spark, dir)
-      .where(col("event_type").isin("purchase", "signup") && col("user_id") < 12)
+      .where(col("event_type") === "signup" && col("user_id") < 6)
       .select(col("event_id"), col("user_id"), col("ts_ms"), col("value"),
         concat(lit("vessels__urn-"), col("user_id")).as("context"),
         col("event_type").as("path"))
@@ -107,7 +107,7 @@ object Migration {
       |  CAST(year(ts) AS INT) AS year,
       |  lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS day,
       |  COUNT(*) AS n_records
-      |FROM events WHERE event_type IN ('purchase', 'signup') AND user_id < 12
+      |FROM events WHERE event_type = 'signup' AND user_id < 6
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -436,6 +436,68 @@ object Spatial {
        |FROM s GROUP BY user_id, grp HAVING COUNT(*) >= 5
        |ORDER BY user_id, start_ms""".stripMargin
 
+  // -------------------------------------------------------------- trips
+  /** Trip segmentation — the dual of [[anchorages]] and the README's
+    * track analysis unit of account: a vessel's fix stream splits into
+    * trips wherever the inter-fix time gap exceeds `gapMs` (the
+    * reference's track renderer breaks polylines on the same rule).
+    * Per trip: span, fix count, distance (sum of per-step haversine,
+    * excluding the gap-crossing step into the trip) and mean speed.
+    *
+    * Same gaps-and-islands shape as anchorage: one shuffle on the
+    * vessel key, every window inside it. Step distances are rounded to
+    * 6 dp and summed through an exact decimal accumulator, so the trip
+    * totals are bit-stable across engines and partition orders. */
+  def trips(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 172800000L // 2 days — several trips per synthetic series
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val stepped = positions(spark, dir)
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .withColumn("step_m", r6(haversineM(
+        lag("lat", 1).over(w), lag("lon", 1).over(w), col("lat"), col("lon"))))
+      .withColumn("is_new", col("gap_ms").isNull || col("gap_ms") > lit(gapMs))
+      .withColumn("trip", sum(when(col("is_new"), 1L).otherwise(0L)).over(w))
+    stepped
+      .groupBy("user_id", "trip")
+      .agg(
+        min("ts_ms").as("start_ms"),
+        max("ts_ms").as("end_ms"),
+        count(lit(1)).as("n_fixes"),
+        ((max("ts_ms") - min("ts_ms")) / lit(1000.0)).as("duration_s"),
+        r6(dsum(when(col("is_new"), lit(0.0)).otherwise(col("step_m")))).as("dist_m"))
+      .withColumn("avg_speed_mps",
+        when(col("duration_s") > 0.0, r6(col("dist_m") / col("duration_s"))))
+      .orderBy("user_id", "start_ms")
+  }
+
+  val tripsOracle: String =
+    s"""WITH pos AS ($posSql),
+       |d AS (
+       |  SELECT user_id, ts_ms, event_id, lat, lon,
+       |    ts_ms - LAG(ts_ms) OVER w AS gap_ms,
+       |    ROUND(2 * 6371000 * ASIN(SQRT(
+       |      POWER(SIN(RADIANS(lat - LAG(lat) OVER w) / 2), 2) +
+       |      COS(RADIANS(LAG(lat) OVER w)) * COS(RADIANS(lat)) *
+       |      POWER(SIN(RADIANS(lon - LAG(lon) OVER w) / 2), 2))), 6) AS step_m
+       |  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+       |), g AS (
+       |  SELECT *, (gap_ms IS NULL OR gap_ms > 172800000) AS is_new,
+       |    SUM(CASE WHEN gap_ms IS NULL OR gap_ms > 172800000 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS trip
+       |  FROM d
+       |), t AS (
+       |  SELECT user_id, CAST(trip AS BIGINT) AS trip,
+       |    MIN(ts_ms) AS start_ms, MAX(ts_ms) AS end_ms,
+       |    COUNT(*) AS n_fixes,
+       |    (MAX(ts_ms) - MIN(ts_ms)) / 1000.0 AS duration_s,
+       |    ROUND(CAST(SUM(CAST(CASE WHEN is_new THEN 0.0 ELSE step_m END
+       |      AS DECIMAL(18,6))) AS DOUBLE), 6) AS dist_m
+       |  FROM g GROUP BY user_id, trip
+       |)
+       |SELECT user_id, trip, start_ms, end_ms, n_fixes, duration_s, dist_m,
+       |  CASE WHEN duration_s > 0.0 THEN ROUND(dist_m / duration_s, 6) END AS avg_speed_mps
+       |FROM t ORDER BY user_id, start_ms""".stripMargin
+
   // ---------------------------------------------------------- z-order
   /** Z-order (Morton) key over quantized (lat, lon) — the
     * multi-dimensional layout tool the flat hive layout lacks: sorting
@@ -483,6 +545,7 @@ object Spatial {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_zorder_key" -> (zorderKeys _),
+    "sk_trips" -> (trips _),
     "sk_anchorage" -> (anchorages _),
     "sk_turn_rate" -> (turnRate _),
     "sk_bbox_filter" -> (bboxFilter _),
@@ -495,6 +558,7 @@ object Spatial {
 
   val oracles: Map[String, String] = Map(
     "sk_zorder_key" -> zorderOracle,
+    "sk_trips" -> tripsOracle,
     "sk_anchorage" -> anchoragesOracle,
     "sk_turn_rate" -> turnRateOracle,
     "sk_bbox_filter" -> bboxFilterOracle,
