@@ -158,6 +158,44 @@ object HiveStore {
       |FROM events WHERE event_type = 'click' AND user_id < 8
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------- retention sweep
+  /** Round-trip for [[retentionSweep]] (aggregation-service.ts
+    * cleanupOldData): write a slice into the layout, sweep with a
+    * fixed "now" (2024-01-31 UTC) and a 10-day raw-tier retention —
+    * day dirs whose UTC midnight is older than Jan 21 are deleted at
+    * partition granularity — then count what survived. The oracle
+    * applies the same day-of-year cutoff relationally. */
+  def skRetention(spark: SparkSession, dir: String): DataFrame = {
+    val out = scratchDir()
+    val df = Tables.events(spark, dir)
+      .where(col("event_type") === "click" && col("user_id") < 4)
+      .withColumn("tier", lit("raw"))
+      .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
+      .withColumn("path", col("event_type"))
+      .withColumn("ts2", timestamp_millis(col("ts_ms")))
+      .withColumn("year", year(col("ts2")))
+      .withColumn("day", lpad(dayofyear(col("ts2")).cast("string"), 3, "0"))
+      .drop("ts2")
+    write(df, out)
+    retentionSweep(spark, out, Map("raw" -> 10), nowMs = 1706659200000L)
+    withConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      read(spark, out)
+    }
+      .groupBy("context", "day")
+      .agg(count(lit(1)).as("n_records"))
+      .withColumn("day", col("day").cast("string"))
+      .orderBy("context", "day")
+  }
+
+  val retentionOracle: String =
+    """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,
+      |  lpad(CAST(dayofyear(ts) AS VARCHAR), 3, '0') AS day,
+      |  COUNT(*) AS n_records
+      |FROM events
+      |WHERE event_type = 'click' AND user_id < 4 AND dayofyear(ts) >= 21
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------- federated read
   /** Federated store read — the reference's cloud-archive fallback
     * (README "Cloud Integration": query local parquet first, fall back
@@ -218,9 +256,11 @@ object HiveStore {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hive_write" -> (hiveWrite _),
+    "sk_retention_sweep" -> (skRetention _),
     "sk_federated_read" -> (skFederatedRead _))
 
   val oracles: Map[String, String] = Map(
     "sk_hive_write" -> hiveWriteOracle,
+    "sk_retention_sweep" -> retentionOracle,
     "sk_federated_read" -> federatedOracle)
 }

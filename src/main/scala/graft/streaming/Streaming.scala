@@ -328,7 +328,57 @@ object Streaming {
       |    SELECT md5(text) FROM documents WHERE doc_id < 250)) AS BIGINT) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- #42e
+  private val rangeJoinTable = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Stream-stream time-range join: each click joined to the same
+    * user's error samples arriving within the following 48 h — the
+    * streaming form of [[graft.operators.Intervals]]' containment join
+    * (episode-scoped analysis as a live pipeline). Both sides carry
+    * watermarks, and the range condition bounds each side's join state
+    * to watermark + range — Spark evicts older rows, so state is
+    * O(rate·window) however long the stream runs. The batch oracle is
+    * the same non-equi join over the finished input. */
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = eventStream(spark, dir)
+      .where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ms").as("click_ms"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "1 hour")
+    val errors = eventStream(spark, dir)
+      .where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts_ms").as("error_ms"),
+        col("value").as("error_value"), col("event_time").as("e_time"))
+      .withWatermark("e_time", "1 hour")
+    val joined = clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_time") >= col("c_time") &&
+        col("e_time") <= col("c_time") + expr("INTERVAL 48 HOURS"))
+    val q = joined
+      .select(col("c_user").as("user_id"), col("click_ms"), col("error_ms"),
+        col("error_value"))
+      .writeStream
+      .format("memory").queryName({ val n = uniqueName("stream_range"); rangeJoinTable.set(n); n })
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", tmpCheckpoint("range"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(rangeJoinTable.get()).orderBy("user_id", "click_ms", "error_ms")
+  }
+
+  val streamRangeJoinOracle: String =
+    """SELECT c.user_id, epoch_ms(c.ts) AS click_ms, epoch_ms(e.ts) AS error_ms,
+      |  e.value AS error_value
+      |FROM events c JOIN events e
+      |  ON e.user_id = c.user_id
+      | AND epoch_ms(e.ts) >= epoch_ms(c.ts)
+      | AND epoch_ms(e.ts) <= epoch_ms(c.ts) + 172800000
+      |WHERE c.event_type = 'click' AND e.event_type = 'error'
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_range_join" -> (streamRangeJoin _),
     "stream_static_dedup" -> (streamStaticDedup _),
     "stream_bucket_agg" -> (streamBucketAgg _),
     "stream_threshold" -> (streamThreshold _),
@@ -337,6 +387,7 @@ object Streaming {
     "stream_export_sink" -> (streamExportSink _))
 
   val oracles: Map[String, String] = Map(
+    "stream_range_join" -> streamRangeJoinOracle,
     "stream_static_dedup" -> streamStaticDedupOracle,
     "stream_bucket_agg" -> streamBucketAggOracle,
     "stream_threshold" -> streamThresholdOracle,
