@@ -20,7 +20,7 @@ object SparkEntry {
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
       Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ AsOf.queries ++
-      graft.plans.AsOfJoinNative.queries ++
+      graft.plans.AsOfJoinNative.queries ++ graft.plans.IntervalJoinNative.queries ++
       graft.text.Pipeline.queries ++ graft.text.Pipeline2.queries ++
       graft.text.Scrub.queries ++
       graft.dedup.Components.queries ++
@@ -38,7 +38,7 @@ object SparkEntry {
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
       Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ AsOf.oracles ++
-      graft.plans.AsOfJoinNative.oracles ++
+      graft.plans.AsOfJoinNative.oracles ++ graft.plans.IntervalJoinNative.oracles ++
       graft.text.Pipeline.oracles ++ graft.text.Pipeline2.oracles ++
       graft.text.Scrub.oracles ++
       graft.dedup.Components.oracles ++

@@ -59,7 +59,7 @@ object Intervals {
     * Inner join — episodes without any error sample carry no signal
     * here (the oracle mirrors the inner semantics). Chunk = 1 day. */
   def skIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val episodes = Sessions.episodes(spark, dir)
+    val episodes = Sessions.episodesUnsorted(spark, dir)
       .where(col("status") === "completed")
       .select("user_id", "start_ms", "end_ms")
     val errors = Tables.events(spark, dir)

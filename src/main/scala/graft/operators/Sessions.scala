@@ -21,7 +21,14 @@ object Sessions {
     * Boundaries alternate strictly, so pairing each start with the
     * next boundary (LEAD over boundary rows) is exact — no join back.
     */
-  def episodes(spark: SparkSession, dir: String): DataFrame = {
+  def episodes(spark: SparkSession, dir: String): DataFrame =
+    episodesUnsorted(spark, dir).orderBy("user_id", "start_ms")
+
+  /** [[episodes]] without the final presentation sort: consumers that
+    * keep working on the per-user clustering (e.g. the interval joins)
+    * must not pay a range exchange that destroys it — EnsureRequirements
+    * would immediately re-hash on user_id. */
+  def episodesUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     val boundaries = Tables.events(spark, dir)
       .where(col("event_type") === "click")
@@ -41,7 +48,6 @@ object Sessions {
         col("end_ms"),
         when(col("end_ms").isNull, "active").otherwise("completed").as("status"),
         ((col("end_ms") - col("ts_ms")) / 1000.0).as("duration_s"))
-      .orderBy("user_id", "start_ms")
   }
 
   val episodesOracle: String =
