@@ -91,9 +91,12 @@ class PlanAuditSpec extends SparkSpec {
 
   test("delta ingestion flattens with no shuffle before the final aggregate") {
     val p = planStr(graft.sources.SignalKDelta.skDeltaIngest(spark, sfDir))
-    // one exchange for the groupBy, one for the presentation sort —
-    // the encode/parse/explode chain itself must be shuffle-free
-    assert("Exchange".r.findAllIn(p).size <= 2, p.take(3000))
+    // one hash exchange for the groupBy, one range for the presentation
+    // sort, plus the deliberate round-robin fan-out that spreads the
+    // per-row JSON work off the single input split — the
+    // encode/parse/explode chain itself must add no hash shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p.take(3000))
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(3000))
     assert(p.contains("Generate"), p.take(2000)) // the explodes
   }
 
