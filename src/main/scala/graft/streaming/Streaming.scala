@@ -377,14 +377,30 @@ object Streaming {
       |WHERE c.event_type = 'click' AND e.event_type = 'error'
       |ORDER BY 1, 2, 3""".stripMargin
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Stateful demo streams pay per-PARTITION state-store overhead
+    * (instances × per-commit files), not per-row: the range join took
+    * 8 s at 32 shuffle partitions and 3 s at 8 on identical data. Pin
+    * the demo streams to 8 (scoped: the conf is restored after the
+    * query starts — a stream reads it once at its first batch). At
+    * production volume the number is sized to throughput instead. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     "stream_range_join" -> (streamRangeJoin _),
     "stream_static_dedup" -> (streamStaticDedup _),
     "stream_bucket_agg" -> (streamBucketAgg _),
     "stream_threshold" -> (streamThreshold _),
     "stream_dedup" -> (streamDedup _),
     "stream_episodes" -> (streamEpisodes _),
-    "stream_export_sink" -> (streamExportSink _))
+    "stream_export_sink" -> (streamExportSink _)
+  ).map { case (name, fn) =>
+    name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
+  }
 
   val oracles: Map[String, String] = Map(
     "stream_range_join" -> streamRangeJoinOracle,
