@@ -22,7 +22,11 @@ object Embeddings {
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
+    // repartition: the single-file table otherwise pins the interpreted
+    // per-row vector folds (transform/aggregate lambdas) to ONE core;
+    // at warehouse scale the input splits provide the fan-out for free
     Tables.embeddings(spark, dir)
+      .repartition(32)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm2", dot("v", "v"))
       .select("vec_id", "label", "v", "norm2")
