@@ -24,7 +24,8 @@ object SparkEntry {
       graft.text.Pipeline.queries ++ graft.text.Pipeline2.queries ++
       graft.text.Scrub.queries ++
       graft.dedup.Components.queries ++
-      Analytics.queries ++ Intervals.queries ++ graft.sources.Compaction.queries
+      Analytics.queries ++ Intervals.queries ++ Downsample.queries ++
+      graft.sources.Compaction.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.text.Pipeline.oracles ++ graft.text.Pipeline2.oracles ++
       graft.text.Scrub.oracles ++
       graft.dedup.Components.oracles ++
-      Analytics.oracles ++ Intervals.oracles ++ graft.sources.Compaction.oracles
+      Analytics.oracles ++ Intervals.oracles ++ Downsample.oracles ++
+      graft.sources.Compaction.oracles
 }
