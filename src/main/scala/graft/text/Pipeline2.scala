@@ -180,13 +180,81 @@ object Pipeline2 {
       |  ROUND(MAX(rate), 6) AS rate
       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------- perplexity
+  /** CCNet-style perplexity bucketing with a corpus-fit unigram LM —
+    * the quality-filtering stage real pretraining pipelines run
+    * between dedup and mixing (a KenLM stands in for the unigram model
+    * at production; the Spark shape is identical): fit P(term) on the
+    * corpus itself, score each document by mean -log P(token), and cut
+    * the corpus into head/middle/tail buckets at the global score
+    * terciles.
+    *
+    * Scale shape: the LM is a term-frequency table (vocabulary-sized →
+    * broadcast); scoring is one pass over the exploded token stream
+    * with map-side partial aggregation; the tercile thresholds are
+    * exact percentiles over doc scores (doc-count-sized — fine to
+    * shuffle; at 100 TB swap in approx_percentile, SketchSpec bounds
+    * the drift). Transcendental determinism: each -log p is rounded to
+    * 6 dp before the exact decimal per-doc mean (see
+    * [[graft.funcs.dsum]]), so the bucket cuts are bit-stable. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val total = toks.count().toDouble
+    val lm = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+      .withColumn("nlogp", round(-log(col("tf") / lit(total)), 6))
+      .select("term", "nlogp")
+    val scored = toks.join(broadcast(lm), "term")
+      .groupBy("doc_id")
+      .agg(r6(davg(col("nlogp"))).as("score"))
+    val cuts = scored.agg(
+      percentile(col("score"), lit(1.0 / 3)).as("c1"),
+      percentile(col("score"), lit(2.0 / 3)).as("c2"))
+    scored.join(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("score") <= col("c1"), "head")
+          .when(col("score") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        r6(davg(col("score"))).as("score_avg"),
+        r6(min("score")).as("score_min"),
+        r6(max("score")).as("score_max"))
+      .orderBy("bucket")
+  }
+
+  val perplexityOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), lm AS (
+      |  SELECT term,
+      |    ROUND(-ln(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)), 6) AS nlogp
+      |  FROM toks GROUP BY 1
+      |), scored AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(SUM(CAST(nlogp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(nlogp), 6) AS score
+      |  FROM toks JOIN lm USING (term) GROUP BY 1
+      |), cuts AS (
+      |  SELECT quantile_cont(score, 1.0/3) AS c1, quantile_cont(score, 2.0/3) AS c2
+      |  FROM scored
+      |)
+      |SELECT CASE WHEN score <= c1 THEN 'head'
+      |            WHEN score <= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(score), 6) AS score_avg,
+      |  ROUND(MIN(score), 6) AS score_min,
+      |  ROUND(MAX(score), 6) AS score_max
+      |FROM scored, cuts GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_perplexity" -> (perplexityBuckets _),
     "decontaminate_ngram" -> (decontaminate _),
     "quality_repetition" -> (qualityRepetition _),
     "dedup_substring" -> (substringDedup _),
     "mix_balance" -> (mixBalance _))
 
   val oracles: Map[String, String] = Map(
+    "text_perplexity" -> perplexityOracle,
     "decontaminate_ngram" -> decontaminateOracle,
     "quality_repetition" -> qualityRepetitionOracle,
     "dedup_substring" -> substringDedupOracle,
