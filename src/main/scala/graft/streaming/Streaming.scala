@@ -377,6 +377,63 @@ object Streaming {
       |WHERE c.event_type = 'click' AND e.event_type = 'error'
       |ORDER BY 1, 2, 3""".stripMargin
 
+  // --------------------------------------------------------------- #42f
+  /** Streaming tier maintenance — aggregation-service.ts's scheduled
+    * processAggregations as a LIVE pipeline: each micro-batch's raw
+    * events roll into 5-min decimal partials and merge into the
+    * persistent tier store via [[graft.operators.TimeSeries
+    * .mergeTierPartials]] (touched buckets re-aggregate, untouched
+    * mass passes through a broadcast anti-join untouched; the store
+    * swap is atomic tmp+rename). Because the partials carry exact
+    * decimal sums, ANY batch boundary placement yields a final tier
+    * bit-identical to a full batch recompute — which is precisely what
+    * the oracle checks. The source is split into four files consumed
+    * one per trigger, so the merge path (not a single-batch shortcut)
+    * is what's exercised. */
+  def streamTierMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TimeSeries
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_tier_src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_tier_store").toString + "/tier5m"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
+      .parquet(dir).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = TimeSeries.tierPartials(batch, 300000L)
+          .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+        val storePath = new org.apache.hadoop.fs.Path(store)
+        val merged =
+          if (fs.exists(storePath))
+            TimeSeries.mergeTierPartials(batch.sparkSession.read.parquet(store), delta)
+          else delta
+        val tmp = store + "_next"
+        merged.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+          .write.mode("overwrite").parquet(tmp)
+        fs.delete(storePath, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), storePath)
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("tiermaint"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(store)
+      .withColumn("value_avg", col("value_sum").cast("double") / col("sample_count"))
+      .select("user_id", "event_type", "bucket_ms", "value_avg", "value_min",
+        "value_max", "sample_count", "first_ts_ms", "last_ts_ms")
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  /** Oracle = full recompute from raw: incremental streaming
+    * maintenance must be indistinguishable from rebuilding the tier. */
+  val streamTierMaintenanceOracle: String =
+    graft.operators.TimeSeries.tierRollupRawOracle
+
   /** Stateful demo streams pay per-PARTITION state-store overhead
     * (instances × per-commit files), not per-row: the range join took
     * 8 s at 32 shuffle partitions and 3 s at 8 on identical data. Pin
@@ -397,7 +454,8 @@ object Streaming {
     "stream_threshold" -> (streamThreshold _),
     "stream_dedup" -> (streamDedup _),
     "stream_episodes" -> (streamEpisodes _),
-    "stream_export_sink" -> (streamExportSink _)
+    "stream_export_sink" -> (streamExportSink _),
+    "stream_tier_maintenance" -> (streamTierMaintenance _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -409,5 +467,6 @@ object Streaming {
     "stream_threshold" -> streamThresholdOracle,
     "stream_dedup" -> streamDedupOracle,
     "stream_episodes" -> streamEpisodesOracle,
-    "stream_export_sink" -> streamExportSinkOracle)
+    "stream_export_sink" -> streamExportSinkOracle,
+    "stream_tier_maintenance" -> streamTierMaintenanceOracle)
 }
