@@ -436,6 +436,66 @@ object Spatial {
        |FROM s GROUP BY user_id, grp HAVING COUNT(*) >= 5
        |ORDER BY user_id, start_ms""".stripMargin
 
+  // -------------------------------------------- command automation
+  /** Position-triggered command automation — commands.ts's threshold
+    * monitors with a position operator (types.ts ThresholdConfig:
+    * `outsideRadius` + `activateOnMatch`, the anchor-watch pattern):
+    * the command is LEVEL-triggered (commands.ts:913 "set to
+    * activateOnMatch when condition met, opposite when not"), so the
+    * emitted events are the STATE TRANSITIONS, not every sample.
+    * Here each vessel's watch circle is centered on its first fix
+    * (the "anchor"), radius 5 km; output is every activate/deactivate
+    * edge with its timestamp and distance.
+    *
+    * One shuffle on the vessel key; first-fix anchor via a running
+    * first_value window, transition dedup via LAG — all inside the
+    * same per-vessel ordered window pass. */
+  def commandAutomation(spark: SparkSession, dir: String): DataFrame = {
+    val radiusM = 5000.0
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wg = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    positions(spark, dir)
+      .withColumn("anchor_lat", first("lat").over(wg))
+      .withColumn("anchor_lon", first("lon").over(wg))
+      .withColumn("dist_m", r6(haversineM(
+        col("anchor_lat"), col("anchor_lon"), col("lat"), col("lon"))))
+      .withColumn("active", col("dist_m") >= lit(radiusM))
+      .withColumn("prev_active", lag("active", 1).over(w))
+      .where(col("prev_active").isNull || col("active") =!= col("prev_active"))
+      .select(col("user_id"), col("ts_ms"),
+        when(col("active"), "activated").otherwise("deactivated").as("transition"),
+        col("dist_m"))
+      .orderBy("user_id", "ts_ms")
+  }
+
+  val commandAutomationOracle: String =
+    s"""WITH pos AS ($posSql),
+       |a AS (
+       |  SELECT user_id, ts_ms, event_id, lat, lon,
+       |    first_value(lat) OVER wg AS anchor_lat,
+       |    first_value(lon) OVER wg AS anchor_lon
+       |  FROM pos
+       |  WINDOW wg AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |), d AS (
+       |  SELECT user_id, ts_ms, event_id,
+       |    ROUND(2 * 6371000 * ASIN(SQRT(
+       |      POWER(SIN(RADIANS(lat - anchor_lat) / 2), 2) +
+       |      COS(RADIANS(anchor_lat)) * COS(RADIANS(lat)) *
+       |      POWER(SIN(RADIANS(lon - anchor_lon) / 2), 2))), 6) AS dist_m
+       |  FROM a
+       |), s AS (
+       |  SELECT *, dist_m >= 5000.0 AS active,
+       |    LAG(dist_m >= 5000.0) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_active
+       |  FROM d
+       |)
+       |SELECT user_id, ts_ms,
+       |  CASE WHEN active THEN 'activated' ELSE 'deactivated' END AS transition,
+       |  dist_m
+       |FROM s WHERE prev_active IS NULL OR active <> prev_active
+       |ORDER BY user_id, ts_ms""".stripMargin
+
   // -------------------------------------------------------------- trips
   /** Trip segmentation — the dual of [[anchorages]] and the README's
     * track analysis unit of account: a vessel's fix stream splits into
@@ -546,6 +606,7 @@ object Spatial {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_zorder_key" -> (zorderKeys _),
     "sk_trips" -> (trips _),
+    "sk_command_automation" -> (commandAutomation _),
     "sk_anchorage" -> (anchorages _),
     "sk_turn_rate" -> (turnRate _),
     "sk_bbox_filter" -> (bboxFilter _),
@@ -559,6 +620,7 @@ object Spatial {
   val oracles: Map[String, String] = Map(
     "sk_zorder_key" -> zorderOracle,
     "sk_trips" -> tripsOracle,
+    "sk_command_automation" -> commandAutomationOracle,
     "sk_anchorage" -> anchoragesOracle,
     "sk_turn_rate" -> turnRateOracle,
     "sk_bbox_filter" -> bboxFilterOracle,
