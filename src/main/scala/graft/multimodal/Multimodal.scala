@@ -99,11 +99,56 @@ object Multimodal {
       |  LATERAL (SELECT unnest(generate_series(0, LENGTH(d.text) // 100, 2)) AS frame_idx) f
       |ORDER BY d.doc_id, f.frame_idx""".stripMargin
 
+  // -------------------------------------------------------------- #40q
+  case class MMResized(doc_id: Long, orig_len: Long, resized_len: Long,
+      resized_md5: String)
+
+  /** Resize plumbing: payload in, smaller payload out, through the
+    * same one-resizer-per-partition typed batch shape as
+    * [[decodeFeatures]]. The resize itself is STUBBED as a
+    * deterministic 2:1 byte decimation (a real libvips/swscale call
+    * drops in without touching the pipeline); output carries the
+    * resized payload's length and digest so the oracle can check the
+    * transform byte-for-byte. */
+  def resizePayloads(records: Dataset[MMRecord]): Dataset[MMResized] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        // stub resize: keep every 2nd byte (offsets 0, 2, 4, …)
+        val resized = Array.tabulate((r.payload.length + 1) / 2)(i => r.payload(2 * i))
+        md.reset()
+        val hex = md.digest(resized).map("%02x".format(_)).mkString
+        MMResized(r.doc_id, r.payload.length.toLong, resized.length.toLong, hex)
+      }
+    }
+  }
+
+  def mmResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val records = Tables.documents(spark, dir)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MMRecord]
+    resizePayloads(records).toDF().orderBy("doc_id")
+  }
+
+  val mmResizeOracle: String =
+    """SELECT doc_id,
+      |  CAST(LENGTH(text) AS BIGINT) AS orig_len,
+      |  CAST((LENGTH(text) + 1) // 2 AS BIGINT) AS resized_len,
+      |  md5(array_to_string(
+      |    list_transform(range(1, LENGTH(text) + 2, 2), i -> substring(text, CAST(i AS INT), 1)),
+      |    '')) AS resized_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
+    "mm_resize" -> (mmResize _),
     "mm_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesOracle,
+    "mm_resize" -> mmResizeOracle,
     "mm_frame_sample" -> frameSampleOracle)
 }
