@@ -176,6 +176,55 @@ object Relational4 {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ------------------------------------------------------------ Q20
+  /** Excess-share suppliers (Q20's nested-subquery shape without
+    * partsupp): suppliers whose 1997 shipped quantity of a blue part
+    * exceeds 30% of that part's total 1997 shipments — part filter
+    * decorrelated to a broadcast semi-join, the per-part threshold to
+    * a join against the part-level aggregate, and the EXISTS head to a
+    * distinct + broadcast supplier/nation join. */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val greenParts = Tables.part(spark, dir)
+      .where(col("p_name").contains("blue")).select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"))
+    val perSuppPart = shipped.groupBy("l_suppkey", "l_partkey")
+      .agg(dsum(col("l_quantity"), 2).as("supp_qty"))
+    val perPart = shipped.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(dsum(col("l_quantity"), 2).as("total_qty"))
+    perSuppPart
+      .join(broadcast(perPart), col("l_partkey") === col("t_partkey"))
+      .where(col("supp_qty") > lit(0.3) * col("total_qty"))
+      .select("l_suppkey").distinct()
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name").as("nation"))
+      .orderBy("s_name")
+  }
+
+  val q20Oracle: String =
+    """WITH shipped AS (
+      |  SELECT l_suppkey, l_partkey, l_quantity
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%blue%'
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |), per_supp AS (
+      |  SELECT l_suppkey, l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS supp_qty
+      |  FROM shipped GROUP BY 1, 2
+      |), per_part AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |  FROM shipped GROUP BY 1
+      |)
+      |SELECT DISTINCT s_name, n_name AS nation
+      |FROM per_supp JOIN per_part USING (l_partkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE supp_qty > 0.3 * total_qty
+      |ORDER BY s_name""".stripMargin
+
   // ------------------------------------------------------------ Q21
   /** Suppliers who kept finished orders waiting: in multi-supplier
     * orders, the unique supplier whose latest line shipped strictly
@@ -267,6 +316,7 @@ object Relational4 {
     "q11_important_parts" -> (q11ImportantParts _),
     "q12_late_lines" -> (q12LateLines _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q20_excess" -> (q20Excess _),
     "q21_waiting" -> (q21Waiting _),
     "q22_idle_customers" -> (q22IdleCustomers _))
 
@@ -276,6 +326,7 @@ object Relational4 {
     "q11_important_parts" -> q11Oracle,
     "q12_late_lines" -> q12Oracle,
     "q16_supplier_cnt" -> q16Oracle,
+    "q20_excess" -> q20Oracle,
     "q21_waiting" -> q21Oracle,
     "q22_idle_customers" -> q22Oracle)
 }

@@ -412,7 +412,12 @@ object Streaming {
             TimeSeries.mergeTierPartials(batch.sparkSession.read.parquet(store), delta)
           else delta
         val tmp = store + "_next"
+        // the tier is ~bucket-count sized (tiny next to raw); at demo
+        // scale one file per swap keeps the 4 rewrite cycles cheap —
+        // at warehouse scale drop the coalesce and let the store
+        // partition by (context, day) like the batch tiers
         merged.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+          .coalesce(2)
           .write.mode("overwrite").parquet(tmp)
         fs.delete(storePath, true)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), storePath)
