@@ -158,6 +158,85 @@ object HiveStore {
       |FROM events WHERE event_type = 'click' AND user_id < 8
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------------ backup sync
+  /** Incremental backup sync — the write side of the reference's cloud
+    * archive (README "Cloud Integration", utils/cloud-endpoint.ts):
+    * copy to the archive exactly the hive partitions it does not hold
+    * yet. The partition diff is a broadcast anti-join of the primary's
+    * partition tuples against the archive's (metadata-sized both
+    * sides); only the missing partitions' data is then scanned —
+    * partition pruning makes a nightly 100 TB sync cost one listing
+    * plus the new day's bytes. Append-only, so a re-run after a crash
+    * copies nothing twice (same idempotence contract as
+    * [[Migration.migrate]]). */
+  def backupSync(spark: SparkSession, primary: String, archive: String): Long = {
+    val keys = Seq("tier", "context", "path", "year", "day")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val archivePath = new org.apache.hadoop.fs.Path(archive)
+    val archiveHasData = fs.exists(archivePath) &&
+      fs.listStatus(archivePath).exists(_.getPath.getName.startsWith("tier="))
+    val p = withConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      read(spark, primary)
+    }
+    val missing =
+      if (archiveHasData) {
+        val have = withConf(spark,
+          "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+          read(spark, archive)
+        }.select(keys.map(col): _*).distinct()
+        p.join(broadcast(have), keys, "left_anti")
+      } else p
+    val staged = missing.localCheckpoint(false)
+    val copied = staged.count()
+    if (copied > 0)
+      staged.repartition(32, col("context"), col("path"), col("day"))
+        .write.mode("append").partitionBy(keys: _*).parquet(archive)
+    copied
+  }
+
+  /** Round-trip: primary holds users < 6; the archive already holds a
+    * stale backup of users < 2 (value+1000 marks it). One sync copies
+    * ONLY the missing partitions (stale data stays untouched — backup
+    * never rewrites); a second sync copies nothing. The read-back
+    * proves both via per-context counts and the stale marker. */
+  def skBackupSync(spark: SparkSession, dir: String): DataFrame = {
+    def slice(maxUser: Int, shift: Double) =
+      Tables.events(spark, dir)
+        .where(col("event_type") === "signup" && col("user_id") < maxUser)
+        .withColumn("value", col("value") + shift)
+        .withColumn("tier", lit("raw"))
+        .withColumn("context", concat(lit("vessels__urn-"), col("user_id")))
+        .withColumn("path", col("event_type"))
+        .withColumn("ts2", timestamp_millis(col("ts_ms")))
+        .withColumn("year", year(col("ts2")))
+        .withColumn("day", lpad(dayofyear(col("ts2")).cast("string"), 3, "0"))
+        .drop("ts2")
+    val (primary, archive) = (scratchDir(), scratchDir())
+    write(slice(6, 0.0), primary)
+    write(slice(2, 1000.0), archive)
+    val first = backupSync(spark, primary, archive)
+    val second = backupSync(spark, primary, archive)
+    require(second == 0L, s"re-sync must copy nothing, copied $second")
+    withConf(spark,
+      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+      read(spark, archive)
+    }
+      .groupBy("context")
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("value") >= 1000.0, 1L).otherwise(0L)).as("n_stale"))
+      .withColumn("first_sync_copied", lit(first > 0))
+      .orderBy("context")
+  }
+
+  val backupSyncOracle: String =
+    """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,
+      |  COUNT(*) AS n_records,
+      |  CAST(SUM(CASE WHEN user_id < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+      |  TRUE AS first_sync_copied
+      |FROM events WHERE event_type = 'signup' AND user_id < 6
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------- retention sweep
   /** Round-trip for [[retentionSweep]] (aggregation-service.ts
     * cleanupOldData): write a slice into the layout, sweep with a
@@ -257,10 +336,12 @@ object HiveStore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_hive_write" -> (hiveWrite _),
     "sk_retention_sweep" -> (skRetention _),
+    "sk_backup_sync" -> (skBackupSync _),
     "sk_federated_read" -> (skFederatedRead _))
 
   val oracles: Map[String, String] = Map(
     "sk_hive_write" -> hiveWriteOracle,
     "sk_retention_sweep" -> retentionOracle,
+    "sk_backup_sync" -> backupSyncOracle,
     "sk_federated_read" -> federatedOracle)
 }
