@@ -246,7 +246,97 @@ object Pipeline2 {
       |  ROUND(MAX(score), 6) AS score_max
       |FROM scored, cuts GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- end to end
+  /** The whole training-data pipeline as ONE composed query — the
+    * proof that the LLM-pipeline operators are a library, not demos:
+    * Gopher quality gate → exact dedup (keep min doc per md5) →
+    * benchmark decontamination (4-gram hit against the held-out set)
+    * → ~4096-token sequence packing into per-source training shards.
+    *
+    * Plan shape: the gate and dedup are semi-joins on doc-id /
+    * content-hash aggregates; the benchmark n-gram set broadcasts;
+    * packing is the windowed cumulative sum. Stages stay lazy — the
+    * corpus is scanned a bounded number of times however many stages
+    * compose, and no stage materializes to the driver. */
+  def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val gateIds = graft.text.Pipeline.qualityGopher(spark, dir)
+      .where(col("keep")).select("doc_id")
+    val corpus0 = docs
+      .join(gateIds, Seq("doc_id"), "left_semi")
+      .where(col("doc_id") % 20 =!= 0)
+    val keeperIds = corpus0
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val kept = corpus0.join(keeperIds, Seq("doc_id"), "left_semi")
+    val bench = ngramStream(docs, 4)
+      .where(col("doc_id") % 20 === 0).select("ngram").distinct()
+    val contaminated = ngramStream(kept, 4)
+      .join(broadcast(bench), Seq("ngram"), "left_semi")
+      .select("doc_id").distinct()
+    val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    clean
+      .withColumn("chunk_id",
+        floor(coalesce(sum("n_tokens").over(w), lit(0L)) / 4096).cast("long"))
+      .groupBy("source", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("chunk_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("source", "chunk_id")
+  }
+
+  val pipelineEndToEndOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      len(string_split(text, ' ')) AS n_words,
+      |      ROUND(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS mwl,
+      |      len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'a', 'value', 'data'))) AS sc,
+      |      ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS dr
+      |    FROM documents)
+      |  WHERE n_words BETWEEN 30 AND 300 AND mwl BETWEEN 2.0 AND 8.0
+      |    AND sc >= 2 AND dr >= 0.3
+      |), corpus0 AS (
+      |  SELECT d.* FROM documents d JOIN q USING (doc_id) WHERE doc_id % 20 <> 0
+      |), keepers AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM corpus0 GROUP BY md5(text)
+      |), kept AS (
+      |  SELECT c.* FROM corpus0 c JOIN keepers USING (doc_id)
+      |), ktok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM kept
+      |), btok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id % 20 = 0
+      |), bench AS (
+      |  SELECT DISTINCT array_to_string(list_slice(ws, i, i + 3), ' ') AS ngram
+      |  FROM btok, unnest(generate_series(1, len(ws) - 3)) t(i) WHERE len(ws) >= 4
+      |), contaminated AS (
+      |  SELECT DISTINCT doc_id
+      |  FROM (SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS ngram
+      |        FROM ktok, unnest(generate_series(1, len(ws) - 3)) t(i) WHERE len(ws) >= 4)
+      |  JOIN bench USING (ngram)
+      |), clean AS (
+      |  SELECT k.doc_id, k.source, len(string_split(k.text, ' ')) AS n_tokens
+      |  FROM kept k LEFT JOIN contaminated c USING (doc_id)
+      |  WHERE c.doc_id IS NULL
+      |), chunked AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS chunk_id
+      |  FROM clean
+      |)
+      |SELECT source, chunk_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM chunked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_end_to_end" -> (pipelineEndToEnd _),
     "text_perplexity" -> (perplexityBuckets _),
     "decontaminate_ngram" -> (decontaminate _),
     "quality_repetition" -> (qualityRepetition _),
@@ -254,6 +344,7 @@ object Pipeline2 {
     "mix_balance" -> (mixBalance _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_end_to_end" -> pipelineEndToEndOracle,
     "text_perplexity" -> perplexityOracle,
     "decontaminate_ngram" -> decontaminateOracle,
     "quality_repetition" -> qualityRepetitionOracle,
