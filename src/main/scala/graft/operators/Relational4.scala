@@ -176,6 +176,54 @@ object Relational4 {
       |GROUP BY 1, 2, 3
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  // ------------------------------------------------------------- Q2
+  /** Minimum-cost supplier per part (Q2's correlated-min shape without
+    * partsupp): among AMERICA suppliers who shipped each economy/standard part,
+    * the one with the lowest account balance — the correlated
+    * `= (SELECT MIN ...)` decorrelated to a per-part min aggregate
+    * joined back on (part, min value), ties broken by supplier name
+    * order in the final sort. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val americaSupp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey") && col("r_name") === "AMERICA")
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val brassParts = Tables.part(spark, dir)
+      .where(col("p_type").isin("ECONOMY", "STANDARD") && col("p_size") < 15)
+      .select("p_partkey", "p_brand")
+    val shipped = Tables.lineitem(spark, dir)
+      .join(broadcast(brassParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(americaSupp), col("l_suppkey") === col("s_suppkey"))
+      .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .distinct()
+    val minBal = shipped.groupBy(col("p_partkey").as("m_partkey"))
+      .agg(min("s_acctbal").as("min_bal"))
+    shipped
+      .join(broadcast(minBal),
+        col("p_partkey") === col("m_partkey") && col("s_acctbal") === col("min_bal"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Oracle: String =
+    """WITH shipped AS (
+      |  SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type IN ('ECONOMY', 'STANDARD') AND p_size < 15 AND r_name = 'AMERICA'
+      |), mb AS (
+      |  SELECT p_partkey, MIN(s_acctbal) AS min_bal FROM shipped GROUP BY 1
+      |)
+      |SELECT s.s_acctbal, s.s_name, s.n_name, s.p_partkey, s.p_brand
+      |FROM shipped s JOIN mb ON s.p_partkey = mb.p_partkey AND s.s_acctbal = mb.min_bal
+      |ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, s.p_partkey
+      |LIMIT 100""".stripMargin
+
   // ------------------------------------------------------------ Q20
   /** Excess-share suppliers (Q20's nested-subquery shape without
     * partsupp): suppliers whose 1997 shipped quantity of a blue part
@@ -316,6 +364,7 @@ object Relational4 {
     "q11_important_parts" -> (q11ImportantParts _),
     "q12_late_lines" -> (q12LateLines _),
     "q16_supplier_cnt" -> (q16SupplierCnt _),
+    "q2_mincost" -> (q2MinCost _),
     "q20_excess" -> (q20Excess _),
     "q21_waiting" -> (q21Waiting _),
     "q22_idle_customers" -> (q22IdleCustomers _))
@@ -326,6 +375,7 @@ object Relational4 {
     "q11_important_parts" -> q11Oracle,
     "q12_late_lines" -> q12Oracle,
     "q16_supplier_cnt" -> q16Oracle,
+    "q2_mincost" -> q2Oracle,
     "q20_excess" -> q20Oracle,
     "q21_waiting" -> q21Oracle,
     "q22_idle_customers" -> q22Oracle)
