@@ -15,7 +15,8 @@ object Bench {
     "sk_track_stats", "sk_anchorage", "sk_flat_migration", "sk_compaction",
     "sk_interval_join", "dedup_minhash_lsh", "dedup_components",
     "dedup_substring", "ann_topk", "ann_ivf_topk", "text_tfidf",
-    "pack_chunks", "mix_balance", "stream_bucket_agg")
+    "pack_chunks", "mix_balance", "stream_bucket_agg",
+    "sk_interval_native", "sk_downsample_lttb", "pipeline_end_to_end")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,12 +26,23 @@ object Tables {
     * epoch-millis `ts_ms` BIGINT — the canonical time column for every
     * time-series operator (and hash-stable across engines). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Raw `ts` (nanos) is kept alongside ts_ms: time-range predicates
-    // belong on the physical column so they push down to the parquet
-    // scan (row-group pruning); ts_ms is for bucketing arithmetic.
-    table(spark, dir, "events")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    // The nanos conf is consumed when the relation resolves its schema,
+    // so it can be scoped: set, plan the read, restore (verified — the
+    // plan executes correctly after the restore). Keeps demo reads from
+    // permanently mutating shared session state.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      // Raw `ts` (nanos) is kept alongside ts_ms: time-range predicates
+      // belong on the physical column so they push down to the parquet
+      // scan (row-group pruning); ts_ms is for bucketing arithmetic.
+      table(spark, dir, "events")
+        .withColumn("ts_ms", expr("ts div 1000000"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
