@@ -113,15 +113,18 @@ object Intervals {
     * wire). No driver collect, no sort until the final tiny output.
     * Bit-stability: bin index and bounds come from the same IEEE
     * double ops in both engines ((v-lo)/w, floor, lo+bin·w), with the
-    * max value clamped into the last bin. */
+    * max value clamped into the last bin. A degenerate path (every
+    * value identical → w=0) puts all rows in bin 0 — without the guard
+    * 0/0=NaN clamps to bin 19 in Spark but errors in DuckDB's
+    * CAST(NaN AS BIGINT): the engines would diverge on legal input. */
   def skHistogram(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val bounds = ev.groupBy("event_type")
       .agg(min("value").as("lo"), max("value").as("hi"))
       .withColumn("w", (col("hi") - col("lo")) / lit(20.0))
     ev.join(broadcast(bounds), "event_type")
-      .withColumn("bin",
-        least(floor((col("value") - col("lo")) / col("w")).cast("long"), lit(19L)))
+      .withColumn("bin", when(col("w") === 0.0, 0L).otherwise(
+        least(floor((col("value") - col("lo")) / col("w")).cast("long"), lit(19L))))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"),
         r6(first(col("lo") + col("bin") * col("w"))).as("bin_lo"),
@@ -136,7 +139,8 @@ object Intervals {
       |  FROM events GROUP BY 1
       |), binned AS (
       |  SELECT e.event_type,
-      |    LEAST(CAST(FLOOR((e.value - b.lo) / b.w) AS BIGINT), 19) AS bin,
+      |    CASE WHEN b.w = 0 THEN 0
+      |         ELSE LEAST(CAST(FLOOR((e.value - b.lo) / b.w) AS BIGINT), 19) END AS bin,
       |    b.lo, b.w
       |  FROM events e JOIN bounds b USING (event_type)
       |)

@@ -26,10 +26,13 @@ import org.apache.spark.sql.functions._
   *   - `maxRecordsPerFile` bounds file size at scale (a year of a hot
   *     path may exceed one sane file; the reference's single-file-per-
   *     year rule does not survive 100 TB),
-  *   - the archive is written to a temp root and atomically renamed
-  *     into place BEFORE any source deletion, and the read path
-  *     resolves the overlap by construction (see [[compactedRead]]) —
-  *     so a crash at any point never loses or double-counts a row.
+  *   - publication is incremental and append-only: each run archives
+  *     only the newly cold window, moves files into place under
+  *     run-unique names, then commits an atomic `_commit_{cutoff}`
+  *     marker BEFORE any source deletion; the read path takes
+  *     precedence from the committed marker (see [[compactedRead]]) —
+  *     so repeated scheduled runs never rewrite prior archive data and
+  *     a crash at any point never loses or double-counts a row.
   *
   * The compacted archive is a separate hive root partitioned by
   * (tier, context, path, year) — the `day=` level is folded back into
@@ -42,57 +45,154 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def localFs(spark: SparkSession): FileSystem =
+    FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+
+  /** The durably-archived cutoff, read from the commit markers. The
+    * marker file's NAME carries the value (`_commit_016`), so the commit
+    * is a single atomic namespace create — there is no partially-written
+    * manifest state to misread after a crash. "000" = nothing archived
+    * (also the fresh-archive case). Underscore-prefixed, so Spark's
+    * partition discovery ignores it. */
+  def archivedCutoff(spark: SparkSession, archiveDir: String): String = {
+    val fs = localFs(spark)
+    val root = new Path(archiveDir)
+    if (!fs.exists(root)) "000"
+    else fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("_commit_")).map(_.stripPrefix("_commit_"))
+      .sorted.lastOption.getOrElse("000")
+  }
+
+  /** Test-only fault injection: when set, [[compactDays]] throws just
+    * before the named step ("commit" | "cleanup") — lets the spec prove
+    * the crash-window contracts without mocking the filesystem. */
+  private[graft] var crashPoint: Option[String] = None
+  private def maybeCrash(step: String): Unit =
+    if (crashPoint.contains(step))
+      throw new IllegalStateException(s"injected crash before $step")
+
+  private def commitCutoff(fs: FileSystem, archiveDir: String, cutoffDay: String): Unit = {
+    val root = new Path(archiveDir)
+    fs.mkdirs(root)
+    fs.create(new Path(root, s"_commit_$cutoffDay"), true).close()
+    // Opportunistic: drop superseded markers (max always wins anyway).
+    for (m <- fs.listStatus(root) if m.getPath.getName.startsWith("_commit_")
+        if m.getPath.getName.stripPrefix("_commit_") < cutoffDay)
+      fs.delete(m.getPath, false)
+  }
+
   /** Fold every day-partition strictly before `cutoffDay` (day-of-year,
     * zero-padded string as in the store layout) into the per-year
     * archive, then drop the folded day directories from the live store.
-    * Crash-safe ordering: archive commit (atomic rename) happens before
-    * any source delete. */
+    *
+    * INCREMENTAL + APPEND-ONLY: each run archives only the window
+    * [previously-committed cutoff, cutoffDay) — the scheduled service
+    * (compaction-service.ts runs repeatedly by design) costs O(newly
+    * cold data) per run, never O(archive), and previously archived
+    * rows are never rewritten, moved, or deleted. Publish protocol:
+    *
+    *   1. write the window to a temp root (Spark job),
+    *   2. move each data file into its archive partition dir under a
+    *      run-unique name (`c{cutoff}_…`) — per-file renames, no
+    *      whole-root delete, so existing archive data is untouched,
+    *   3. commit by atomically creating the `_commit_{cutoff}` marker,
+    *   4. only then delete the folded day dirs from the live store.
+    *
+    * Crash at any point never loses a row: readers take precedence from
+    * the committed marker ([[compactedRead]]), so uncommitted files from
+    * a crashed step-2 are invisible (their days still read from live),
+    * and a re-run with the same cutoff first clears its own `c{cutoff}_`
+    * leftovers — fully idempotent. A crash between commit and cleanup
+    * re-runs cleanup only. */
   def compactDays(spark: SparkSession, liveDir: String, archiveDir: String,
       cutoffDay: String, maxRecordsPerFile: Long = 4000000L): Unit = {
-    val live = HiveStore.withConf(spark,
-      "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      HiveStore.read(spark, liveDir)
+    val fs = localFs(spark)
+    val prev = archivedCutoff(spark, archiveDir)
+    if (cutoffDay > prev) {
+      val live = HiveStore.withConf(spark,
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+        HiveStore.read(spark, liveDir)
+      }
+      // Partition-column predicate → directory pruning: only the newly
+      // cold day dirs are ever opened.
+      val cold = live.where(col("day") >= prev && col("day") < cutoffDay).drop("day")
+      val keys = Seq("tier", "context", "path", "year")
+      val tmp = archiveDir + s"_compacting_$cutoffDay"
+      cold
+        .repartition(32, keys.map(col): _*)
+        .sortWithinPartitions((keys.map(col) :+ col("ts_ms")): _*)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(keys: _*)
+        .parquet(tmp)
+      // Clear leftovers of a crashed attempt at this same cutoff (they
+      // are invisible to readers: marker not yet committed).
+      for (f <- fs.globStatus(new Path(archiveDir,
+          s"tier=*/context=*/path=*/year=*/c${cutoffDay}_*")))
+        fs.delete(f.getPath, false)
+      // Per-file publish into the existing partition dirs.
+      val tmpPrefix = fs.makeQualified(new Path(tmp)).toString
+      for (f <- fs.globStatus(new Path(tmp, "tier=*/context=*/path=*/year=*/*"))
+          if !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+        val rel = fs.makeQualified(f.getPath.getParent).toString.stripPrefix(tmpPrefix)
+        require(rel.startsWith("/"), s"unexpected publish path ${f.getPath}")
+        val destDir = new Path(archiveDir + rel)
+        fs.mkdirs(destDir)
+        fs.rename(f.getPath, new Path(destDir, s"c${cutoffDay}_${f.getPath.getName}"))
+      }
+      fs.delete(new Path(tmp), true)
+      maybeCrash("commit")
+      commitCutoff(fs, archiveDir, cutoffDay)
     }
-    // Partition-column predicate → directory pruning: only cold day
-    // dirs are ever opened.
-    val cold = live.where(col("day") < cutoffDay).drop("day")
-    val keys = Seq("tier", "context", "path", "year")
-    val tmp = archiveDir + "_compacting"
-    cold
-      .repartition(32, keys.map(col): _*)
-      .sortWithinPartitions((keys.map(col) :+ col("ts_ms")): _*)
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy(keys: _*)
-      .parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(archiveDir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(archiveDir))
-    // Source cleanup — only after the archive is published.
-    for (d <- fs.globStatus(new org.apache.hadoop.fs.Path(
+    // Source cleanup — only for days the marker proves are archived.
+    maybeCrash("cleanup")
+    val committed = archivedCutoff(spark, archiveDir)
+    for (d <- fs.globStatus(new Path(
         liveDir, "tier=*/context=*/path=*/year=*/day=*"))
-        if d.getPath.getName.stripPrefix("day=") < cutoffDay) {
+        if d.getPath.getName.stripPrefix("day=") < committed) {
       fs.delete(d.getPath, true)
     }
   }
 
-  /** Unified read over (live ∪ archive) with the cutoff as the
-    * precedence rule: days < cutoff come from the archive, days ≥
-    * cutoff from the live store. Because precedence is decided by the
-    * same predicate compaction used, the result is identical before,
-    * during, and after the live-store cleanup — reads stay correct
-    * even if compaction crashed between archive publish and source
-    * delete. Both scans stay partition-pruned; no shuffle is added. */
+  /** Unified read over (live ∪ archive) with the COMMITTED cutoff as
+    * the precedence rule: days < cutoff come from the archive, days ≥
+    * cutoff from the live store. Precedence is taken from the archive's
+    * `_commit_*` marker, NOT the caller's argument (which is only a
+    * fallback for marker-less archives) — so the result is identical
+    * before, during, and after any compaction step: uncommitted archive
+    * files are excluded by the day predicate and their days still read
+    * from live; after commit the (possibly not-yet-cleaned) live copies
+    * are excluded instead. Both scans stay partition-pruned; no shuffle
+    * is added. An absent/empty archive reads as empty. */
   def compactedRead(spark: SparkSession, liveDir: String, archiveDir: String,
       cutoffDay: String): DataFrame = {
-    val (live, archive) = HiveStore.withConf(spark,
+    val fs = localFs(spark)
+    val hasArchiveData = fs.exists(new Path(archiveDir)) &&
+      fs.listStatus(new Path(archiveDir)).exists(_.getPath.getName.startsWith("tier="))
+    val committed = archivedCutoff(spark, archiveDir)
+    // Marker wins; a marker-less archive with data trusts the caller
+    // (pre-marker layout); no archive at all → everything is live.
+    val cutoff =
+      if (committed != "000") committed
+      else if (hasArchiveData) cutoffDay
+      else "000"
+    val live = HiveStore.withConf(spark,
       "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
-      (HiveStore.read(spark, liveDir), HiveStore.read(spark, archiveDir))
+      HiveStore.read(spark, liveDir)
     }
-    val dayOf = lpad(dayofyear(timestamp_millis(col("ts_ms"))).cast("string"), 3, "0")
-    live.where(col("day") >= cutoffDay).drop("day")
+    val liveSide = live.where(col("day") >= cutoff).drop("day")
       .withColumn("src", lit("live"))
-      .unionByName(archive.where(dayOf < cutoffDay).withColumn("src", lit("archive")))
+    if (!hasArchiveData) liveSide
+    else {
+      val archive = HiveStore.withConf(spark,
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false") {
+        HiveStore.read(spark, archiveDir)
+      }
+      val dayOf = lpad(dayofyear(timestamp_millis(col("ts_ms"))).cast("string"), 3, "0")
+      liveSide.unionByName(archive.where(dayOf < cutoff).withColumn("src", lit("archive")))
+    }
   }
 
   // --------------------------------------------------------------- #52

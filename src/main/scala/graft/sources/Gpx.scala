@@ -20,18 +20,21 @@ object Gpx {
   def parseTrkpts(df: DataFrame, xmlCol: String): DataFrame =
     df.withColumn("_trkpt", explode(expr(
         s"regexp_extract_all($xmlCol, '(?s)<trkpt.*?</trkpt>', 0)")))
-      .withColumn("lat", regexp_extract(col("_trkpt"), "lat=\"([-0-9.]+)\"", 1).cast("double"))
-      .withColumn("lon", regexp_extract(col("_trkpt"), "lon=\"([-0-9.]+)\"", 1).cast("double"))
+      // number pattern accepts exponent forms ('5.0E-4'): doubles
+      // outside [1e-3, 1e7) stringify scientifically in the writer, and
+      // a digits-only pattern would silently truncate them to garbage
+      .withColumn("lat", regexp_extract(col("_trkpt"), "lat=\"([-+0-9.eE]+)\"", 1).cast("double"))
+      .withColumn("lon", regexp_extract(col("_trkpt"), "lon=\"([-+0-9.eE]+)\"", 1).cast("double"))
       .withColumn("time_str", regexp_extract(col("_trkpt"), "<time>([^<]*)</time>", 1))
       .withColumn("ele", when(col("_trkpt").rlike("<ele>"),
-        regexp_extract(col("_trkpt"), "<ele>([-0-9.]+)</ele>", 1).cast("double")))
+        regexp_extract(col("_trkpt"), "<ele>([-+0-9.eE]+)</ele>", 1).cast("double")))
       .withColumn("speed", when(col("_trkpt").rlike("<speed>"),
-        regexp_extract(col("_trkpt"), "<speed>([-0-9.]+)</speed>", 1).cast("double")))
+        regexp_extract(col("_trkpt"), "<speed>([-+0-9.eE]+)</speed>", 1).cast("double")))
       // course arrives in degrees (kept, mirroring gpx-parser.ts's
       // courseDeg); the radians form feeds SignalK's
       // navigation.courseOverGroundTrue convention
       .withColumn("course_deg", when(col("_trkpt").rlike("<course>"),
-        regexp_extract(col("_trkpt"), "<course>([-0-9.]+)</course>", 1).cast("double")))
+        regexp_extract(col("_trkpt"), "<course>([-+0-9.eE]+)</course>", 1).cast("double")))
       .withColumn("course_rad", radians(col("course_deg")))
       .drop("_trkpt", xmlCol)
 
@@ -46,10 +49,14 @@ object Gpx {
     // back to the identical double, so the round-trip is exact and
     // engine-agnostic (decimal re-rounding here would reopen the
     // HALF_UP-vs-binary gap)
+    // each tag is independently null-guarded: a missing speed/course
+    // omits that tag (a bare concat would null the whole trackpoint and
+    // silently drop the fix from the document)
+    def tag(name: String, c: org.apache.spark.sql.Column) =
+      when(c.isNull, lit("")).otherwise(
+        concat(lit(s"<$name>"), c.cast("string"), lit(s"</$name>")))
     val extTags =
-      if (hasExt) concat(
-        lit("<speed>"), col("speed").cast("string"), lit("</speed>"),
-        lit("<course>"), col("course_deg").cast("string"), lit("</course>"))
+      if (hasExt) concat(tag("speed", col("speed")), tag("course", col("course_deg")))
       else lit("")
     positions
       .withColumn("pt", concat(

@@ -49,6 +49,50 @@ class CompactionSpec extends SparkSpec {
     assert(perFile.where(!col("sorted")).count() == 0)
   }
 
+  test("second scheduled run preserves previously archived days (append-only archive)") {
+    val (live, archive) = (HiveStore.scratchDir(), HiveStore.scratchDir())
+    HiveStore.write(liveSlice(sfDir), live)
+    val expected = Compaction.compactedRead(spark, live, archive, "000")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Compaction.compactDays(spark, live, archive, cutoffDay = "010")
+    Compaction.compactDays(spark, live, archive, cutoffDay = "020")
+    Compaction.compactDays(spark, live, archive, cutoffDay = "020") // same-cutoff re-run: no-op
+    val after = Compaction.compactedRead(spark, live, archive, "020")
+    val ids = after.select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == expected, s"${expected.size} rows in, ${ids.size} rows out")
+    // days < 10 must have survived the second run inside the archive
+    val firstWindow = after.where(col("src") === "archive" &&
+      dayofyear(timestamp_millis(col("ts_ms"))) < 10).count()
+    assert(firstWindow > 0, "first window's archived rows were destroyed by the second run")
+    assert(Compaction.archivedCutoff(spark, archive) == "020")
+  }
+
+  test("crash between publish and commit loses nothing; rerun completes idempotently") {
+    val (live, archive) = (HiveStore.scratchDir(), HiveStore.scratchDir())
+    HiveStore.write(liveSlice(sfDir), live)
+    val expected = Compaction.compactedRead(spark, live, archive, "000")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    Compaction.compactDays(spark, live, archive, cutoffDay = "010")
+    // Crash the second run after its publish step: data files for the
+    // [010, 016) window are in place but the marker is not and the live
+    // store was not cleaned.
+    Compaction.crashPoint = Some("commit")
+    try intercept[IllegalStateException] {
+      Compaction.compactDays(spark, live, archive, cutoffDay = "016")
+    } finally Compaction.crashPoint = None
+    assert(Compaction.archivedCutoff(spark, archive) == "010")
+    // Reads still see every row exactly once (window days come from live).
+    val mid = Compaction.compactedRead(spark, live, archive, "016")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(mid == expected, "mid-crash read lost or duplicated rows")
+    // Re-running the same compaction completes the publish.
+    Compaction.compactDays(spark, live, archive, cutoffDay = "016")
+    val fin = Compaction.compactedRead(spark, live, archive, "016")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(fin == expected)
+    assert(Compaction.archivedCutoff(spark, archive) == "016")
+  }
+
   test("compactedRead is identical mid-crash (archive published, source not yet cleaned)") {
     val (live, archive) = (HiveStore.scratchDir(), HiveStore.scratchDir())
     val (liveDirty, _) = (HiveStore.scratchDir(), ())
