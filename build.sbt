@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST lines of `sbt "runMain graft.Bench"`
+// output for a bare JSON metric line. sbt's default LoggedOutput wraps
+// every forked-process line in "[info] "/"[error] " (which breaks the
+// parse) and appends a "[success] Total time…" line after it. Pass the
+// forked JVM's stdio through untouched and drop the success banner so
+// the metric JSON is the final, prefix-free line.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

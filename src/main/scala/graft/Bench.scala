@@ -68,8 +68,15 @@ object Bench {
       s"""{"total":${r3(total)},"queries":${dict(results)},"sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val head = headline.flatMap(q => results.get(q).map(q -> _))
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${dict(head)},"sf":"$sfDir"}"""
+    // Fixed-path copy of the headline line as a parse fallback.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_headline.json"), line)
+    catch { case _: Throwable => }
     spark.stop()
-    // Last line of output, compact enough to survive the tail window.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${dict(head)},"sf":"$sfDir"}""")
+    // Last line of output, compact enough to survive the tail window
+    // (build.sbt: StdoutOutput + showSuccess=false keep it bare+last).
+    println(line)
   }
 }

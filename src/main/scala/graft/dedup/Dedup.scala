@@ -47,11 +47,27 @@ object Dedup {
     * deterministic block (lang, n_chars bucket), exact Jaccard ≥ 0.95.
     * Blocking bounds the pair count; at scale the block key is the
     * shuffle key. */
+  /** Hard per-block population cap: pair volume is quadratic in block
+    * size, so an unbounded block is the one way this exact variant can
+    * die at corpus scale (a duplicate-saturated (lang, size) block
+    * grows linearly with the corpus). The cap keeps any single task's
+    * pair work ≤ CAP²/2 regardless of input size; it is deterministic
+    * (rank by doc_id) and mirrored in the oracle, so the answer stays
+    * exact whenever no block saturates — which is why the UNCAPPED
+    * scale path is [[minHashLsh]], where banding (not blocking) bounds
+    * the pair volume. */
+  private val blockCap = 10000
+
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.JaccardSim.register(spark)
+    val wcap = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "size_bucket").orderBy("doc_id")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"), tokens.as("toks"))
+      .withColumn("blk_rk", row_number().over(wcap))
+      .where(col("blk_rk") <= blockCap)
+      .drop("blk_rk")
     // Numbered repartition on the block key: the downstream pair
     // volume is quadratic in block size, so AQE's byte-based view
     // would coalesce an un-numbered exchange to ~1 task and serialize
@@ -81,6 +97,7 @@ object Dedup {
       |  SELECT doc_id, lang, n_chars // 50 AS size_bucket,
       |    list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars // 50 ORDER BY doc_id) <= 10000
       |)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /

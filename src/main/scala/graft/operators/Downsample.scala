@@ -12,25 +12,35 @@ import org.apache.spark.sql.types.DecimalType
   * LTTB instead keeps the REAL sample per bucket that best preserves
   * the series' visual extremes, the standard for chart backends).
   *
-  * Algorithm (Steinarsson 2013): keep the first and last samples;
-  * split the middle into NB equal-count buckets; walking left→right,
-  * keep from each bucket the sample forming the largest triangle with
-  * the previously KEPT sample and the next bucket's average.
+  * Variant: FIXED-ANCHOR LTTB (the standard streaming/parallel
+  * approximation of Steinarsson 2013) — the triangle for bucket k is
+  * anchored on bucket k-1's MEAN point rather than its selected
+  * point, with the next-bucket mean as the third vertex (first/last
+  * sample stand in at the ends). Decoupling each bucket's selection
+  * from the previous bucket's PICK removes the only sequential
+  * dependency in the walk, so the whole operator is relational:
   *
-  * Spark-first shape: the per-bucket structure is relational (one
-  * shuffle on (series, bucket): sorted point lists + exact-decimal
-  * bucket averages + LEAD for the next-bucket reference), so only the
-  * inherently sequential selection walk runs as a per-series ordered
-  * fold (`aggregate` over NB bucket summaries — NB is the CHART WIDTH,
-  * ~50, regardless of input size; the 100 TB of samples never leave
-  * the bucket stage, which partial-aggregates map-side).
+  *   rank per series → bucket id → per-bucket decimal mean →
+  *   LAG/LEAD anchors over the ~NB bucket rows → per-bucket argmax
+  *   (max_by with explicit tie-break), partial-aggregated map-side.
   *
-  * Cross-engine determinism: bucket index is integer `div` arithmetic;
-  * averages go through DECIMAL sums; the triangle area uses the same
-  * IEEE double expression in both engines; argmax keeps the first
-  * strict maximum in (ts, event_id) order — mirrored in the oracle as
-  * ORDER BY area DESC, t, eid LIMIT 1 inside a recursive CTE (DuckDB
-  * 1.0's list_reduce has no initial-state form). */
+  * No per-series arrays, no fold: a bucket with a billion points
+  * costs one codegen'd max_by pass, and the samples never leave their
+  * bucket's aggregation. (The previous formulation collected every
+  * middle point into nested per-series arrays — one unbounded row per
+  * hot series — exactly the 100 TB failure this rewrite removes.)
+  *
+  * Empty buckets (series shorter than ~NB+2): LAG/LEAD skip over
+  * missing bucket ids on BOTH engines, carrying the nearest existing
+  * bucket's mean — the short-series divergence of the old recursive
+  * oracle walk is gone by construction (spec: DegenerateInputSpec).
+  *
+  * Cross-engine determinism: bucket index is integer `div`
+  * arithmetic; means go through DECIMAL sums; the triangle area uses
+  * the same IEEE double expression in both engines; the argmax keeps
+  * the first maximum in (t, eid) order — Spark max_by on a
+  * (area, -t, -eid) struct ≡ oracle ROW_NUMBER ORDER BY area DESC,
+  * t, eid. */
 object Downsample {
 
   private val NB = 50
@@ -49,58 +59,44 @@ object Downsample {
       .select(col("event_type"), col("t").as("l_t"), col("v").as("l_v"))
     val mid = idx.where(col("rn") >= 1L && col("rn") <= col("n") - 2L)
       .withColumn("k", expr(s"((rn - 1) * $NB) div (n - 2)"))
+    // Anchor table: one row per (series, bucket) — NB rows per series
+    // regardless of input size. LAG/LEAD default to the first/last
+    // sample at the edges (and skip empty bucket ids, carrying the
+    // nearest neighbor on both engines).
     val wb = Window.partitionBy("event_type").orderBy("k")
-    val buckets = mid.groupBy("event_type", "k")
+    val anchors = mid.groupBy("event_type", "k")
       .agg(
-        array_sort(collect_list(struct(col("t"), col("eid"), col("v")))).as("pts"),
         (sum(col("t").cast(DecimalType(28, 0))).cast("double") / count(lit(1))).as("at"),
         (sum(col("v").cast(DecimalType(18, 6))).cast("double") / count(lit(1))).as("av"))
-      .join(broadcast(lastP), "event_type")
-      .withColumn("nt", coalesce(lead("at", 1).over(wb), col("l_t").cast("double")))
-      .withColumn("nv", coalesce(lead("av", 1).over(wb), col("l_v")))
-    val folded = buckets.groupBy("event_type")
-      .agg(array_sort(collect_list(struct(col("k"), col("pts"), col("nt"), col("nv")))).as("bks"))
       .join(broadcast(firstP), "event_type")
       .join(broadcast(lastP), "event_type")
-      // One fold over NB bucket summaries; the inner aggregate is the
-      // per-bucket argmax. `transform(array(x), best -> …)[0]` binds
-      // the argmax result once (no duplicated evaluation through
-      // CollapseProject — SURVEY §5a.1).
-      .withColumn("sel", expr(
-        s"""aggregate(
-           |  bks,
-           |  named_struct(
-           |    'at', CAST(f_t AS DOUBLE), 'av', f_v,
-           |    'sel', CAST(array() AS ARRAY<STRUCT<tb: BIGINT, vv: DOUBLE>>)),
-           |  (st, b) -> transform(array(
-           |      aggregate(
-           |        b.pts,
-           |        named_struct('ba', CAST(-1.0 AS DOUBLE),
-           |          'bt', CAST(NULL AS BIGINT), 'bv', CAST(NULL AS DOUBLE)),
-           |        (bs, p) -> IF(
-           |          abs((st.at - b.nt) * (p.v - st.av)
-           |            - (st.at - CAST(p.t AS DOUBLE)) * (b.nv - st.av)) > bs.ba,
-           |          named_struct(
-           |            'ba', abs((st.at - b.nt) * (p.v - st.av)
-           |              - (st.at - CAST(p.t AS DOUBLE)) * (b.nv - st.av)),
-           |            'bt', p.t, 'bv', p.v),
-           |          bs))),
-           |    best -> named_struct(
-           |      'at', CAST(best.bt AS DOUBLE), 'av', best.bv,
-           |      'sel', concat(st.sel,
-           |        array(named_struct('tb', best.bt, 'vv', best.bv)))))[0]
-           |).sel""".stripMargin))
-    folded
-      .select(col("event_type"), explode(concat(
-        array(struct(col("f_t").as("tb"), col("f_v").as("vv"))),
-        col("sel"),
-        array(struct(col("l_t").as("tb"), col("l_v").as("vv"))))).as("p"))
-      .select(col("event_type"), col("p.tb").as("ts_ms"), col("p.vv").as("value"))
+      .withColumn("pa_t", coalesce(lag("at", 1).over(wb), col("f_t").cast("double")))
+      .withColumn("pa_v", coalesce(lag("av", 1).over(wb), col("f_v")))
+      .withColumn("nt", coalesce(lead("at", 1).over(wb), col("l_t").cast("double")))
+      .withColumn("nv", coalesce(lead("av", 1).over(wb), col("l_v")))
+      .select("event_type", "k", "pa_t", "pa_v", "nt", "nv")
+    // Per-bucket argmax of the triangle area: broadcast the tiny
+    // anchor table onto the samples (no shuffle of the raw points for
+    // the join), then one partial-aggregated max_by — the map side
+    // reduces each task to ≤1 row per bucket before the exchange.
+    val picks = mid.join(broadcast(anchors), Seq("event_type", "k"))
+      .withColumn("area", abs(
+        (col("pa_t") - col("nt")) * (col("v") - col("pa_v")) -
+          (col("pa_t") - col("t").cast("double")) * (col("nv") - col("pa_v"))))
+      .groupBy("event_type", "k")
+      .agg(max_by(
+        struct(col("t"), col("v")),
+        struct(col("area"), (-col("t")).as("mt"), (-col("eid")).as("me"))).as("p"))
+      .select(col("event_type"), col("p.t").as("tb"), col("p.v").as("vv"))
+    firstP.select(col("event_type"), col("f_t").as("tb"), col("f_v").as("vv"))
+      .unionAll(picks)
+      .unionAll(lastP.select(col("event_type"), col("l_t").as("tb"), col("l_v").as("vv")))
+      .select(col("event_type"), col("tb").as("ts_ms"), col("vv").as("value"))
       .orderBy("event_type", "ts_ms")
   }
 
   val lttbOracle: String =
-    s"""WITH RECURSIVE pos AS (
+    s"""WITH pos AS (
        |  SELECT event_type, epoch_ms(ts) AS t, event_id AS eid, value AS v FROM events
        |), idx AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t, eid) - 1 AS rn,
@@ -118,47 +114,28 @@ object Downsample {
        |    CAST(SUM(CAST(t AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS at,
        |    CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS av
        |  FROM mid GROUP BY 1, 2
-       |), bnext AS (
+       |), anch AS (
        |  SELECT b.event_type, b.k,
-       |    COALESCE(LEAD(at) OVER (PARTITION BY b.event_type ORDER BY b.k),
-       |      CAST(l.l_t AS DOUBLE)) AS nt,
-       |    COALESCE(LEAD(av) OVER (PARTITION BY b.event_type ORDER BY b.k), l.l_v) AS nv
-       |  FROM bstats b JOIN lastp l USING (event_type)
-       |), walk AS (
-       |  SELECT event_type, CAST(-1 AS BIGINT) AS k,
-       |    CAST(f_t AS DOUBLE) AS a_t, f_v AS a_v,
-       |    f_t AS sel_t, f_v AS sel_v
-       |  FROM firstp
-       |  UNION ALL
-       |  SELECT w.event_type, w.k + 1,
-       |    CAST((SELECT m.t FROM mid m JOIN bnext bn
-       |            ON bn.event_type = m.event_type AND bn.k = m.k
-       |          WHERE m.event_type = w.event_type AND m.k = w.k + 1
-       |          ORDER BY abs((w.a_t - bn.nt) * (m.v - w.a_v)
-       |            - (w.a_t - CAST(m.t AS DOUBLE)) * (bn.nv - w.a_v)) DESC, m.t, m.eid
-       |          LIMIT 1) AS DOUBLE),
-       |    (SELECT m.v FROM mid m JOIN bnext bn
-       |            ON bn.event_type = m.event_type AND bn.k = m.k
-       |          WHERE m.event_type = w.event_type AND m.k = w.k + 1
-       |          ORDER BY abs((w.a_t - bn.nt) * (m.v - w.a_v)
-       |            - (w.a_t - CAST(m.t AS DOUBLE)) * (bn.nv - w.a_v)) DESC, m.t, m.eid
-       |          LIMIT 1),
-       |    (SELECT m.t FROM mid m JOIN bnext bn
-       |            ON bn.event_type = m.event_type AND bn.k = m.k
-       |          WHERE m.event_type = w.event_type AND m.k = w.k + 1
-       |          ORDER BY abs((w.a_t - bn.nt) * (m.v - w.a_v)
-       |            - (w.a_t - CAST(m.t AS DOUBLE)) * (bn.nv - w.a_v)) DESC, m.t, m.eid
-       |          LIMIT 1),
-       |    (SELECT m.v FROM mid m JOIN bnext bn
-       |            ON bn.event_type = m.event_type AND bn.k = m.k
-       |          WHERE m.event_type = w.event_type AND m.k = w.k + 1
-       |          ORDER BY abs((w.a_t - bn.nt) * (m.v - w.a_v)
-       |            - (w.a_t - CAST(m.t AS DOUBLE)) * (bn.nv - w.a_v)) DESC, m.t, m.eid
-       |          LIMIT 1)
-       |  FROM walk w WHERE w.k + 1 <= ${NB - 1}
+       |    COALESCE(LAG(at) OVER wk, CAST(f.f_t AS DOUBLE)) AS pa_t,
+       |    COALESCE(LAG(av) OVER wk, f.f_v) AS pa_v,
+       |    COALESCE(LEAD(at) OVER wk, CAST(l.l_t AS DOUBLE)) AS nt,
+       |    COALESCE(LEAD(av) OVER wk, l.l_v) AS nv
+       |  FROM bstats b
+       |  JOIN firstp f USING (event_type)
+       |  JOIN lastp l USING (event_type)
+       |  WINDOW wk AS (PARTITION BY b.event_type ORDER BY b.k)
+       |), picks AS (
+       |  SELECT m.event_type, m.k, m.t, m.v,
+       |    ROW_NUMBER() OVER (PARTITION BY m.event_type, m.k
+       |      ORDER BY abs((a.pa_t - a.nt) * (m.v - a.pa_v)
+       |        - (a.pa_t - CAST(m.t AS DOUBLE)) * (a.nv - a.pa_v)) DESC,
+       |        m.t, m.eid) AS rnk
+       |  FROM mid m JOIN anch a ON a.event_type = m.event_type AND a.k = m.k
        |)
        |SELECT event_type, ts_ms, value FROM (
-       |  SELECT event_type, sel_t AS ts_ms, sel_v AS value FROM walk
+       |  SELECT event_type, f_t AS ts_ms, f_v AS value FROM firstp
+       |  UNION ALL
+       |  SELECT event_type, t, v FROM picks WHERE rnk = 1
        |  UNION ALL
        |  SELECT event_type, l_t, l_v FROM lastp
        |)

@@ -75,23 +75,37 @@ object Sessions {
   // --------------------------------------------------------------- #16
   /** Threshold automation with hysteresis (README "Stable Triggers"):
     * fire when the condition holds, then suppress re-fires for H
-    * seconds. Greedy over the ordered series — implemented as an
-    * ordered left fold with a (last_fire, fires) accumulator, the
-    * streaming-safe formulation of the reference's monitor. Condition:
-    * `value > 150` on the `error` series, H = 24 h. */
-  def thresholdHysteresis(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    * seconds. Greedy over the ordered series. Condition: `value > 150`
+    * on the `error` series, H = 24 h.
+    *
+    * Scale shape: condition pre-filter (pushed to the scan) →
+    * repartition on the key → sortWithinPartitions → one streaming
+    * pass holding only (current key, last fire time) — constant
+    * memory however noisy the series, unlike the earlier per-key
+    * collect_list fold whose buffer grew with the condition-true row
+    * count. Same shape as the live variant
+    * ([[graft.streaming.Streaming.thresholdFlow]]). */
+  def thresholdHysteresis(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cond = Tables.events(spark, dir)
       .where(col("event_type") === "error" && col("value") > 150.0)
-      .groupBy("user_id")
-      .agg(array_sort(collect_list(col("ts_ms"))).as("ts_list"))
-      .withColumn("fires", expr(
-        """aggregate(ts_list,
-          |  named_struct('last_fire', CAST(-1000000000000000 AS BIGINT), 'fires', CAST(array() AS ARRAY<BIGINT>)),
-          |  (acc, t) -> IF(t >= acc.last_fire + 86400000,
-          |    named_struct('last_fire', t, 'fires', concat(acc.fires, array(t))),
-          |    acc)).fires""".stripMargin))
-      .select(col("user_id"), explode(col("fires")).as("fire_ms"))
+      .select(col("user_id"), col("ts_ms"))
+      .repartition(nPart, col("user_id"))
+      .sortWithinPartitions("user_id", "ts_ms")
+      .as[(Long, Long)]
+    cond.mapPartitions { it =>
+      var curUser = Long.MinValue
+      var lastFire = Long.MinValue / 4
+      it.flatMap { case (u, t) =>
+        if (u != curUser || t >= lastFire + 86400000L) {
+          curUser = u; lastFire = t
+          Iterator.single((u, t))
+        } else Iterator.empty
+      }
+    }.toDF("user_id", "fire_ms")
       .orderBy("user_id", "fire_ms")
+  }
 
   val thresholdHysteresisOracle: String =
     """WITH RECURSIVE cond AS (

@@ -307,16 +307,44 @@ object TimeSeries {
   /** EMA (alpha=0.2) final value per series via an ordered left fold —
     * same recurrence as historical-streaming.ts:1171. Both engines fold
     * left with identical IEEE op order (acc*0.8 + x*0.2), so the result
-    * is bit-stable; rounded to 6 dp for the oracle compare. */
-  def ema(spark: SparkSession, dir: String): DataFrame =
-    ev(spark, dir)
-      .groupBy("user_id", "event_type")
-      .agg(array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("value")))).as("pts"))
-      .withColumn("vals", expr("transform(pts, p -> p.value)"))
-      .withColumn("ema", r6(expr(
-        "aggregate(slice(vals, 2, size(vals) - 1), vals[0], (acc, x) -> acc * 0.8D + x * 0.2D)")))
-      .select("user_id", "event_type", "ema")
+    * is bit-stable; rounded to 6 dp for the oracle compare.
+    *
+    * Scale shape: repartition on the series key + sortWithinPartitions
+    * + ONE streaming mapPartitions pass — constant memory per key (the
+    * sort spills externally; the fold holds a single accumulator). The
+    * earlier collect_list formulation buffered each whole series in
+    * one aggregation row, which dies on a hot key at 100 TB. */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = ev(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"), col("value"))
+      .repartition(nPart, col("user_id"), col("event_type"))
+      .sortWithinPartitions("user_id", "event_type", "ts_ms", "event_id")
+      .as[(Long, String, Long, Long, Double)]
+    sorted.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else new Iterator[(Long, String, Double)] {
+        private var pending: (Long, String, Long, Long, Double) = it.next()
+        private var done = false
+        def hasNext: Boolean = !done
+        def next(): (Long, String, Double) = {
+          val (u, e, _, _, v0) = pending
+          var acc = v0
+          var keyDone = true
+          while (keyDone && it.hasNext) {
+            val r = it.next()
+            if (r._1 == u && r._2 == e) acc = acc * 0.8 + r._5 * 0.2
+            else { pending = r; keyDone = false }
+          }
+          if (keyDone) done = true // iterator exhausted inside this key
+          (u, e, acc)
+        }
+      }
+    }.toDF("user_id", "event_type", "ema")
+      .withColumn("ema", r6(col("ema")))
       .orderBy("user_id", "event_type")
+  }
 
   val emaOracle: String =
     """SELECT user_id, event_type,

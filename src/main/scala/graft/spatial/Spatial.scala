@@ -104,6 +104,33 @@ object Spatial {
        |    AND a.bucket_ms = CAST(FLOOR(epoch_ms(e.ts) / 3600000) * 3600000 AS BIGINT))
        |ORDER BY event_id""".stripMargin
 
+  // --------------------------------------------------------------- #52
+  /** Spatial context discovery (context-discovery.ts:229,
+    * getContextsInSpatialFilter): which vessels/contexts have ≥1
+    * position fix inside a bbox during a time range, with fix count
+    * and first/last seen — the multi-vessel entry point of the
+    * reference's spatial filter. One filtered scan (time range +
+    * bbox pushed down / evaluated pre-shuffle) and one partial-
+    * aggregated groupBy on the context key; output is O(#contexts),
+    * never the fixes themselves. */
+  def spatialContexts(spark: SparkSession, dir: String): DataFrame =
+    positions(spark, dir)
+      .where(col("ts_ms") >= 1704672000000L && col("ts_ms") < 1705881600000L)
+      .where(inBbox(col("lat"), col("lon"), -73.9, 40.05, -73.7, 40.15))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_fixes"),
+        min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"))
+      .orderBy("user_id")
+
+  val spatialContextsOracle: String =
+    s"""WITH pos AS ($posSql)
+       |SELECT user_id, COUNT(*) AS n_fixes,
+       |  MIN(ts_ms) AS first_ms, MAX(ts_ms) AS last_ms
+       |FROM pos
+       |WHERE ts_ms >= 1704672000000 AND ts_ms < 1705881600000
+       |  AND lat >= 40.05 AND lat <= 40.15 AND lon >= -73.9 AND lon <= -73.7
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------------------------- #22
   /** Track statistics per (vessel, day): distance traveled (LAG +
     * haversine, README "Calculate distance traveled"), centroid,
@@ -155,19 +182,38 @@ object Spatial {
 
   // --------------------------------------------------------------- #23
   /** Multi-vessel proximity: representative fix per (vessel, hour),
-    * pairs of distinct vessels within 2 km in the same hour — an
-    * equi-join on the bucket, precise haversine applied after
-    * (README "Multi-vessel proximity analysis"). */
+    * pairs of distinct vessels within 2 km in the same hour
+    * (README "Multi-vessel proximity analysis").
+    *
+    * Scale shape: the join key is (time bucket, GEO CELL), not the
+    * bucket alone — a bucket-only equi-join materializes every vessel
+    * pair in the hour (V²/bucket, the classic proximity scale-killer
+    * when the fleet grows 100×). Cells are 0.025° lat × 0.03° lon,
+    * both strictly wider than 2 km for |lat| ≲ 53° (0.025° lat =
+    * 2.78 km; 0.03° lon = 2.36 km even at 45°), so any qualifying
+    * pair sits in the same or an adjacent cell: side A explodes to
+    * its 3×3 cell neighborhood, side B stays in its own cell, and the
+    * equi-join is lossless — each candidate pair matches exactly once
+    * (B's cell is unique). Pair volume is now bounded by local
+    * density, not fleet size; the precise haversine runs after. */
   def proximityJoin(spark: SparkSession, dir: String): DataFrame = {
     val rep = positions(spark, dir)
       .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
       .agg(min_by(col("lat"), col("event_id")).as("lat"),
         min_by(col("lon"), col("event_id")).as("lon"))
+      .withColumn("cla", floor(col("lat") / lit(0.025)).cast("long"))
+      .withColumn("clo", floor(col("lon") / lit(0.03)).cast("long"))
     val a = rep.select(col("bucket_ms"), col("user_id").as("user_a"),
-      col("lat").as("lat_a"), col("lon").as("lon_a"))
+        col("lat").as("lat_a"), col("lon").as("lon_a"), col("cla"), col("clo"))
+      .withColumn("d", explode(expr(
+        "transform(sequence(0, 8), i -> named_struct(" +
+          "'dla', CAST(i div 3 AS BIGINT) - 1L, 'dlo', CAST(i % 3 AS BIGINT) - 1L))")))
+      .withColumn("cla", col("cla") + col("d.dla"))
+      .withColumn("clo", col("clo") + col("d.dlo"))
+      .drop("d")
     val b = rep.select(col("bucket_ms"), col("user_id").as("user_b"),
-      col("lat").as("lat_b"), col("lon").as("lon_b"))
-    a.join(b, Seq("bucket_ms"))
+      col("lat").as("lat_b"), col("lon").as("lon_b"), col("cla"), col("clo"))
+    a.join(b, Seq("bucket_ms", "cla", "clo"))
       .where(col("user_a") < col("user_b"))
       .withColumn("dist_m", round(haversineM(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 3))
       .where(col("dist_m") <= 2000.0)
@@ -605,6 +651,7 @@ object Spatial {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_zorder_key" -> (zorderKeys _),
+    "sk_spatial_contexts" -> (spatialContexts _),
     "sk_trips" -> (trips _),
     "sk_command_automation" -> (commandAutomation _),
     "sk_anchorage" -> (anchorages _),
@@ -619,6 +666,7 @@ object Spatial {
 
   val oracles: Map[String, String] = Map(
     "sk_zorder_key" -> zorderOracle,
+    "sk_spatial_contexts" -> spatialContextsOracle,
     "sk_trips" -> tripsOracle,
     "sk_command_automation" -> commandAutomationOracle,
     "sk_anchorage" -> anchoragesOracle,

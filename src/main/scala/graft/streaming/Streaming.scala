@@ -23,8 +23,23 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Scoped nanosAsLong for a full stream run. Unlike the batch reader
+    * (Tables.events), a stream re-plans its parquet scan every
+    * micro-batch, so the conf must hold until awaitTermination
+    * returns — each operator wraps its whole body (build → run →
+    * drain) and the session conf is restored on exit, never leaked
+    * into subsequent batch work. */
+  private def withNanos[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream.schema(eventSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
@@ -50,7 +65,7 @@ object Streaming {
   /** Streaming tier rollup: 1 h windowed avg/min/max/count per path.
     * Complete-mode memory sink for the verify round-trip; with a live
     * source this runs append-mode behind the 10 min watermark. */
-  def streamBucketAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamBucketAgg(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     val agg = eventStream(spark, dir)
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -108,7 +123,7 @@ object Streaming {
       }
   }
 
-  def streamThreshold(spark: SparkSession, dir: String): DataFrame = {
+  def streamThreshold(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     import spark.implicits._
     val src = eventStream(spark, dir)
       .where(col("event_type") === "error")
@@ -148,7 +163,7 @@ object Streaming {
     * O(active keys), not O(stream)). Which row of a burst survives is
     * racy under parallel read, so the verified output is the
     * deterministic part: the per-series count of distinct buckets. */
-  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     val deduped = eventStream(spark, dir)
       .withColumn("bucket_ms",
         (floor(col("ts_ms") / lit(300000L)).cast("long") * lit(300000L)))
@@ -208,7 +223,7 @@ object Streaming {
       }
   }
 
-  def streamEpisodes(spark: SparkSession, dir: String): DataFrame = {
+  def streamEpisodes(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     import spark.implicits._
     val src = eventStream(spark, dir)
       .where(col("event_type") === "click")
@@ -255,7 +270,7 @@ object Streaming {
     * deliberately started twice on the same checkpoint, and the second
     * run exports nothing. Counts double (and the hash compare fails)
     * if recovery re-processes. */
-  def streamExportSink(spark: SparkSession, dir: String): DataFrame = {
+  def streamExportSink(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     val out = java.nio.file.Files.createTempDirectory("graft_export_sink").toString
     val ckpt = tmpCheckpoint("export")
     def runOnce(): Unit = {
@@ -339,7 +354,7 @@ object Streaming {
     * to watermark + range — Spark evicts older rows, so state is
     * O(rate·window) however long the stream runs. The batch oracle is
     * the same non-equi join over the finished input. */
-  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+  def streamRangeJoin(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     val clicks = eventStream(spark, dir)
       .where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts_ms").as("click_ms"),
@@ -390,11 +405,10 @@ object Streaming {
     * the oracle checks. The source is split into four files consumed
     * one per trigger, so the merge path (not a single-batch shortcut)
     * is what's exercised. */
-  def streamTierMaintenance(spark: SparkSession, dir: String): DataFrame = {
+  def streamTierMaintenance(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     import graft.operators.TimeSeries
     val srcDir = java.nio.file.Files.createTempDirectory("graft_tier_src").toString
     val store = java.nio.file.Files.createTempDirectory("graft_tier_store").toString + "/tier5m"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
       .parquet(dir).repartition(4)
       .write.mode("overwrite").parquet(srcDir)

@@ -36,9 +36,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("proximity join is an equi-join on the bucket, not a cross join") {
+  test("proximity join is an equi-join on (bucket, geo cell), not a cross join") {
     val p = planStr(graft.spatial.Spatial.proximityJoin(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the V²-per-bucket guard: the join keys must include the cell
+    // columns, so pair volume is bounded by local density
+    val joinLines = p.split("\n").filter(l =>
+      l.contains("Join") && l.contains("bucket_ms"))
+    assert(joinLines.exists(l => l.contains("cla") && l.contains("clo")),
+      "geo cell missing from join keys:\n" + joinLines.mkString("\n") + "\n" + p.take(3000))
   }
 
   test("bucket aggregation runs inside whole-stage codegen with partial aggregation") {

@@ -37,13 +37,17 @@ class Round3AuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("lttb: selection fold runs over bucket summaries, not raw samples") {
+  test("lttb: fully relational — no per-series arrays, anchors broadcast, argmax partial-aggregated") {
     val df = graft.operators.Downsample.lttb(spark, sfDir)
     val p = plan(df)
-    // the fold's aggregate() lambda must sit above the bucket-level
-    // HashAggregate, i.e. the collect_list feeding it groups buckets
-    // (event_type), not raw rows
-    assert(p.contains("collect_list"), p.take(3000))
+    // fixed-anchor rewrite: samples never leave their bucket's
+    // aggregation — no collect_list (the r4 shape buffered whole
+    // series in one row), no interpreted fold
+    assert(!p.contains("collect_list"), p.take(3000))
+    assert(p.contains("max_by") || p.contains("partial_max_by"), p.take(3000))
+    // the tiny anchor table attaches by broadcast, not a shuffle of
+    // the raw samples
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
     // output is chart-width sized however large the input
     assert(df.count() == 5 * 52)
   }

@@ -9,6 +9,14 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
   * micro-batches (the property the batch oracle can't see). */
 class StreamingSpec extends SparkSpec {
 
+  test("streaming readers leave no session conf behind (nanosAsLong scoped to the run)") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    Streaming.streamBucketAgg(spark, sfDir).count()
+    assert(spark.conf.getOption(key) == before,
+      s"conf leaked: was $before, now ${spark.conf.getOption(key)}")
+  }
+
   test("thresholdFlow carries last-fire state across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
