@@ -108,4 +108,33 @@ class PropertySpec extends SparkSpec {
       assert(selfDiff == 0.0)
     }
   }
+
+  test("proximity geo cells: any pair within 2 km lands in the same or an adjacent cell") {
+    // the losslessness claim of the (bucket, cell) equi-join: cells of
+    // 0.025° lat × 0.03° lon strictly over-cover a 2 km haversine disc
+    // for |lat| ≤ 50, so the 3×3 neighborhood explode misses no pair
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dlat = math.toRadians(lat2 - lat1); val dlon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dlat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(dlon / 2), 2)
+      2 * 6371000.0 * math.asin(math.sqrt(a))
+    }
+    val genPair = for {
+      lat <- Gen.choose(-50.0, 50.0)
+      lon <- Gen.choose(-179.0, 179.0)
+      // offsets up to ~±2.2 km in each axis — straddles the boundary
+      dlat <- Gen.choose(-0.02, 0.02)
+      dlon <- Gen.choose(-0.032, 0.032)
+    } yield (lat, lon, lat + dlat, lon + dlon)
+    (1 to 2000).foreach { i =>
+      val (la1, lo1, la2, lo2) = sample(genPair, 7000L + i)
+      if (hav(la1, lo1, la2, lo2) <= 2000.0) {
+        assert(math.abs(math.floor(la1 / 0.025) - math.floor(la2 / 0.025)) <= 1.0,
+          s"lat cells too far apart for ($la1,$lo1)-($la2,$lo2)")
+        assert(math.abs(math.floor(lo1 / 0.03) - math.floor(lo2 / 0.03)) <= 1.0,
+          s"lon cells too far apart for ($la1,$lo1)-($la2,$lo2)")
+      }
+    }
+  }
 }
