@@ -40,6 +40,13 @@ object Analytics {
         sum(xd).cast("double").as("sx"),
         sum(xd * xd).cast("double").as("sx2"))
       .withColumn("mean", col("sx") / col("n"))
+      // degenerate series (n=1 or zero variance) have no defined σ —
+      // without the guard the z-score is NaN/±Inf and the engines'
+      // NaN filter/round/hash behavior diverges (the w=0 histogram
+      // class). Filter on the exact radicand expression both engines
+      // compute, so the surviving row sets agree bit-for-bit.
+      .where(col("n") > 1 &&
+        (col("sx2") - col("sx") * col("sx") / col("n")) > 0.0)
       .withColumn("sd", sqrt(
         (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
     ev(spark, dir)
@@ -60,6 +67,7 @@ object Analytics {
       |  SELECT user_id, event_type, n, sx / n AS mean,
       |    SQRT((sx2 - sx * sx / n) / (n - 1)) AS sd
       |  FROM stats
+      |  WHERE n > 1 AND (sx2 - sx * sx / n) > 0.0
       |)
       |SELECT e.user_id, e.event_type, e.event_id, epoch_ms(e.ts) AS ts_ms, e.value,
       |  ROUND((e.value - s.mean) / s.sd, 6) AS z
@@ -85,9 +93,14 @@ object Analytics {
         sum(col("y")).cast("double").as("sy"),
         sum(col("x") * col("y")).cast("double").as("sxy"),
         sum(col("x") * col("x")).cast("double").as("sxx"))
-      .withColumn("slope_per_day", r6(
-        (col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")) * lit(86400000.0)))
+      // a series needs ≥2 distinct timestamps for a defined slope
+      // (n=1 or all-same-ts → zero denominator → 0/0 NaN, where
+      // engine round/hash behavior diverges): NULL it out on the
+      // exact denominator expression both engines compute
+      .withColumn("slope_per_day", when(
+        (col("n") * col("sxx") - col("sx") * col("sx")) > 0.0,
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * lit(86400000.0))))
       .withColumn("mean_level", r6(col("sy") / col("n")))
       .select("user_id", "event_type", "n", "slope_per_day", "mean_level")
       .orderBy("user_id", "event_type")
@@ -107,7 +120,9 @@ object Analytics {
       |  FROM base GROUP BY 1, 2
       |)
       |SELECT user_id, event_type, n,
-      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6) AS slope_per_day,
+      |  CASE WHEN (n * sxx - sx * sx) > 0.0 THEN
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6)
+      |  END AS slope_per_day,
       |  ROUND(sy / n, 6) AS mean_level
       |FROM sums ORDER BY 1, 2""".stripMargin
 

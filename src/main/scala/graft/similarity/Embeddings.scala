@@ -21,6 +21,10 @@ object Embeddings {
   private def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
 
+  // Precondition: vectors are non-zero — cosine against a zero-norm
+  // vector is undefined (0/0 → NaN, where engine ordering/filter
+  // semantics diverge). A production corpus should drop or re-embed
+  // zero vectors upstream (`where(norm2 > 0)`) before these operators.
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     // repartition: the single-file table otherwise pins the interpreted
     // per-row vector folds (transform/aggregate lambdas) to ONE core;

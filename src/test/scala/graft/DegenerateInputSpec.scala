@@ -121,6 +121,25 @@ class DegenerateInputSpec extends SparkSpec {
     assert(row(0).getAs[Double]("bin_lo") == 42.0 && row(0).getAs[Double]("bin_hi") == 42.0)
   }
 
+  test("z-score: constant and single-row series are excluded, never NaN/Inf") {
+    val out = graft.operators.Analytics.anomalyZscore(spark, dir).collect()
+    // σ undefined for const (zero variance) and single (n=1) — no rows
+    assert(!out.exists(r => Set("const", "single").contains(r.getAs[String]("event_type"))))
+    out.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(!z.isNaN && !z.isInfinity, s"unstable z: $r")
+    }
+  }
+
+  test("trend slope: single-point series yields NULL slope; constant series yields 0") {
+    val rows = graft.operators.Analytics.trendSlope(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        Option(r.getAs[java.lang.Double]("slope_per_day"))).toMap
+    assert(rows("single").isEmpty, "n=1 series must have an undefined slope")
+    assert(rows("const").contains(0.0), "constant series over varying ts slopes 0")
+    assert(rows("short").isDefined)
+  }
+
   test("empty filtered input: sessionization and proximity yield zero rows, not errors") {
     assert(Sessions.episodes(spark, dir).count() == 0) // no 'click' events
     assert(graft.spatial.Spatial.proximityJoin(spark, dir).count() == 0) // no 'view' fixes
