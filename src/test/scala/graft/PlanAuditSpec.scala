@@ -47,6 +47,24 @@ class PlanAuditSpec extends SparkSpec {
       "geo cell missing from join keys:\n" + joinLines.mkString("\n") + "\n" + p.take(3000))
   }
 
+  test("ema is one key shuffle + streaming pass — no per-key buffering, no window") {
+    val p = planStr(TimeSeries.ema(spark, sfDir))
+    assert(!p.contains("collect_list"), p.take(3000))
+    assert(p.contains("MapPartitions"), p.take(3000))
+    // one hash exchange for the key repartition (plus the presentation
+    // range sort) — the sorted fold adds no further shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("threshold hysteresis pushes the condition to the scan and streams one pass") {
+    val p = planStr(Sessions.thresholdHysteresis(spark, sfDir))
+    assert(!p.contains("collect_list"), p.take(3000))
+    assert(p.contains("MapPartitions"), p.take(3000))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,error)"),
+      p.take(3000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("bucket aggregation runs inside whole-stage codegen with partial aggregation") {
     val df = TimeSeries.timeBucketAvg(spark, sfDir)
     // partial (map-side) aggregation before the exchange
