@@ -34,14 +34,19 @@ object History {
     }
   }
 
-  /** One requested series: `path[:method][:smoothing:param]` —
-    * HistoryAPI.ts splitPathExpression. */
+  /** One requested series: `path[:method][:smoothing:param][|sourceRef]`
+    * — HistoryAPI.ts splitPathExpression plus the inline per-path
+    * filter syntax of path-filters.ts (`navigation.headingMagnetic:
+    * average|n2k-on-ve.can0.115` narrows the path to rows whose
+    * `source_label` matches). */
   case class PathSpec(path: String, method: Method = Method.Average,
-      smoothing: Option[String] = None, smoothingParam: Option[Double] = None) {
+      smoothing: Option[String] = None, smoothingParam: Option[Double] = None,
+      sourceRef: Option[String] = None) {
     def columnName: String = {
       val m = method.toString.toLowerCase
       val sm = smoothing.map(s => s":$s").getOrElse("")
-      s"$path:$m$sm"
+      val sr = sourceRef.map(s => s"|$s").getOrElse("")
+      s"$path:$m$sm$sr"
     }
   }
 
@@ -50,13 +55,21 @@ object History {
       if (sm == "sma" || sm == "ema") sm
       else throw new IllegalArgumentException(s"unknown smoothing: $sm (expected sma|ema)")
 
-    def parse(exprStr: String): PathSpec = exprStr.split(':') match {
-      case Array(p) => PathSpec(p)
-      case Array(p, m) => PathSpec(p, Method.parse(m))
-      case Array(p, m, sm) => PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)))
-      case Array(p, m, sm, prm) =>
-        PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)), Some(prm.toDouble))
-      case _ => throw new IllegalArgumentException(s"bad path expression: $exprStr")
+    def parse(exprStr: String): PathSpec = {
+      val (core, src) = exprStr.split('|') match {
+        case Array(c) => (c, None)
+        case Array(c, s) if s.nonEmpty => (c, Some(s))
+        case _ => throw new IllegalArgumentException(s"bad path expression: $exprStr")
+      }
+      val base = core.split(':') match {
+        case Array(p) => PathSpec(p)
+        case Array(p, m) => PathSpec(p, Method.parse(m))
+        case Array(p, m, sm) => PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)))
+        case Array(p, m, sm, prm) =>
+          PathSpec(p, Method.parse(m), Some(checkSmoothing(sm)), Some(prm.toDouble))
+        case _ => throw new IllegalArgumentException(s"bad path expression: $exprStr")
+      }
+      base.copy(sourceRef = src)
     }
   }
 
@@ -118,14 +131,23 @@ object History {
   def values(series: DataFrame, context: String, specs: Seq[PathSpec],
       fromMs: Long, toMs: Long, resolutionMs: Long): DataFrame = {
     require(specs.nonEmpty, "at least one path spec is required")
+    require(specs.forall(_.sourceRef.isEmpty) ||
+        series.columns.contains("source_label"),
+      "sourceRef filters need a source_label column in the series frame")
     val base = series
       .where(col("context") === context &&
         col("ts_ms") >= fromMs && col("ts_ms") < toMs &&
         col("path").isin(specs.map(_.path): _*))
       .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), resolutionMs))
     val aggs = specs.map { s =>
-      val v = when(col("path") === s.path, col("value"))
-      val o = when(col("path") === s.path, col("order_id"))
+      // per-spec source filter (path-filters.ts): the condition folds
+      // into the spec's FILTER-style aggregate, so a filtered and an
+      // unfiltered spec over the same path still share the single pass
+      val cond = s.sourceRef.foldLeft(col("path") === s.path) {
+        (c, r) => c && col("source_label") === r
+      }
+      val v = when(cond, col("value"))
+      val o = when(cond, col("order_id"))
       aggFor(s, v, o).as(s.columnName)
     }
     val aligned = base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*)

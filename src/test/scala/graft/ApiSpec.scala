@@ -52,7 +52,34 @@ class ApiSpec extends SparkSpec {
     assert(PathSpec.parse("wind:max") == PathSpec("wind", Method.Max))
     assert(PathSpec.parse("speed:average:sma:5") ==
       PathSpec("speed", Method.Average, Some("sma"), Some(5.0)))
+    // inline per-path source filter (path-filters.ts)
+    assert(PathSpec.parse("navigation.headingMagnetic:average|n2k-on-ve.can0.115") ==
+      PathSpec("navigation.headingMagnetic", Method.Average,
+        sourceRef = Some("n2k-on-ve.can0.115")))
+    assert(PathSpec.parse("speed|gps1") == PathSpec("speed", sourceRef = Some("gps1")))
     intercept[IllegalArgumentException](PathSpec.parse("p:bogus"))
+    intercept[IllegalArgumentException](PathSpec.parse("p|a|b"))
+  }
+
+  test("sourceRef filter narrows one spec without touching its sibling") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val series = Seq(
+      ("v1", "speed", 1000L, 10.0, 1L, "gps1"),
+      ("v1", "speed", 2000L, 20.0, 2L, "gps2"),
+      ("v1", "speed", 3000L, 30.0, 3L, "gps1"))
+      .toDF("context", "path", "ts_ms", "value", "order_id", "source_label")
+    val out = History.values(series, "v1",
+      Seq(PathSpec.parse("speed:average"), PathSpec.parse("speed:average|gps1")),
+      0L, 10000L, 10000L).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Double]("speed:average") == 20.0)
+    assert(out(0).getAs[Double]("speed:average|gps1") == 20.0) // (10+30)/2
+    // a filtered spec against a frame without source_label is rejected
+    intercept[IllegalArgumentException] {
+      History.values(series.drop("source_label"), "v1",
+        Seq(PathSpec.parse("speed|gps1")), 0L, 10000L, 10000L)
+    }
   }
 
   test("ema smoothing follows the alpha recurrence over the aligned frame") {
