@@ -25,11 +25,13 @@ object History {
     case object Last extends Method
     case object Mid extends Method
     case object MiddleIndex extends Method
+    case object Angular extends Method
 
     def parse(s: String): Method = s match {
       case "average" => Average; case "min" => Min; case "max" => Max
       case "first" => First; case "last" => Last; case "mid" => Mid
       case "middle_index" => MiddleIndex
+      case "angular" => Angular
       case other => throw new IllegalArgumentException(s"unknown aggregate method: $other")
     }
   }
@@ -73,6 +75,19 @@ object History {
     }
   }
 
+  /** Angle → magnitude path pairs whose average should be
+    * magnitude-weighted (angular-paths.ts WEIGHTED_ANGULAR_PATHS; the
+    * weighted circular mean itself is
+    * [[graft.operators.Angular]]'s weighted operator). General
+    * angular-path detection is metadata-driven in the reference
+    * (units == "rad") — callers resolve their registry and pass it to
+    * [[values]] as `angularPaths`. */
+  val weightedAngularPaths: Map[String, String] = Map(
+    "environment.wind.directionTrue" -> "environment.wind.speedTrue",
+    "environment.wind.directionMagnetic" -> "environment.wind.speedOverGround",
+    "environment.wind.angleApparent" -> "environment.wind.speedApparent",
+    "environment.current.setTrue" -> "environment.current.drift")
+
   /** Resolved [from, to) in epoch millis — the five standard SignalK
     * time-range patterns (HistoryAPI.ts getRequestParams). `now` is a
     * parameter (no wall-clock reads inside query planning). */
@@ -114,9 +129,11 @@ object History {
     case Method.First => min_by(value, orderCol)
     case Method.Last => max_by(value, orderCol)
     case Method.Mid => r6(median(value))
-    // middle_index needs positional logic; FIRST is the reference's
-    // in-bucket fallback (HistoryAPI.ts:2537-2541)
+    // middle_index: FIRST is the reference's own in-bucket fallback
+    // (HistoryAPI.ts:2537-2541 "use FIRST as a simple fallback")
     case Method.MiddleIndex => min_by(value, orderCol)
+    // circular mean — HistoryAPI.ts:2550 vector averaging
+    case Method.Angular => r6(vectorAvg(value))
   }
 
   /** The `/history/values` equivalent: series frame in, aligned frame
@@ -129,7 +146,8 @@ object History {
     * adding specs adds zero shuffles.
     */
   def values(series: DataFrame, context: String, specs: Seq[PathSpec],
-      fromMs: Long, toMs: Long, resolutionMs: Long): DataFrame = {
+      fromMs: Long, toMs: Long, resolutionMs: Long,
+      angularPaths: Set[String] = Set.empty): DataFrame = {
     require(specs.nonEmpty, "at least one path spec is required")
     require(specs.forall(_.sourceRef.isEmpty) ||
         series.columns.contains("source_label"),
@@ -139,6 +157,13 @@ object History {
         col("ts_ms") >= fromMs && col("ts_ms") < toMs &&
         col("path").isin(specs.map(_.path): _*))
       .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), resolutionMs))
+    // string-valued series (HistoryAPI.ts:2521-2533): can't
+    // AVG/MIN/MAX a string path — LAST stays LAST, everything else
+    // falls back to FIRST, exactly the reference's dispatch
+    val isStringSeries =
+      series.schema("value").dataType == org.apache.spark.sql.types.StringType
+    require(!isStringSeries || specs.forall(_.smoothing.isEmpty),
+      "smoothing is undefined over a string-valued series")
     val aggs = specs.map { s =>
       // per-spec source filter (path-filters.ts): the condition folds
       // into the spec's FILTER-style aggregate, so a filtered and an
@@ -148,7 +173,16 @@ object History {
       }
       val v = when(cond, col("value"))
       val o = when(cond, col("order_id"))
-      aggFor(s, v, o).as(s.columnName)
+      // angular-path auto-dispatch (HistoryAPI.ts:2544-2551 /
+      // angular-paths.ts): an average over a registered angular path
+      // silently becomes the circular mean, as in the reference
+      val eff =
+        if (isStringSeries)
+          s.copy(method = if (s.method == Method.Last) Method.Last else Method.First)
+        else if (s.method == Method.Average && angularPaths.contains(s.path))
+          s.copy(method = Method.Angular)
+        else s
+      aggFor(eff, v, o).as(s.columnName)
     }
     val aligned = base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*)
     val withSma = specs.foldLeft(aligned) { (df, s) =>

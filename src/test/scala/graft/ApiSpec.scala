@@ -61,6 +61,50 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](PathSpec.parse("p|a|b"))
   }
 
+  test("angular paths vector-average: AVG(10°, 350°) is 0°, not 180°") {
+    import spark.implicits._
+    val series = Seq(
+      ("v1", "heading", 1000L, math.toRadians(10.0), 1L),
+      ("v1", "heading", 2000L, math.toRadians(350.0), 2L),
+      ("v1", "speed", 1500L, 10.0, 3L),
+      ("v1", "speed", 2500L, 350.0, 4L))
+      .toDF("context", "path", "ts_ms", "value", "order_id")
+    // registry dispatch: an average over a registered angular path
+    // becomes the circular mean (HistoryAPI.ts:2544-2551)
+    val out = History.values(series, "v1",
+      Seq(PathSpec.parse("heading:average"), PathSpec.parse("speed:average")),
+      0L, 10000L, 10000L, angularPaths = Set("heading")).collect()
+    assert(out.length == 1)
+    assert(math.abs(out(0).getAs[Double]("heading:average")) < 1e-6,
+      "circular mean of 10 and 350 deg must be ~0")
+    assert(out(0).getAs[Double]("speed:average") == 180.0) // linear mean untouched
+    // explicit :angular method, no registry needed
+    val explicit = History.values(series, "v1",
+      Seq(PathSpec.parse("heading:angular")), 0L, 10000L, 10000L).collect()
+    assert(math.abs(explicit(0).getAs[Double]("heading:angular")) < 1e-6)
+  }
+
+  test("string-valued series: average/min/max fall back to FIRST, last stays LAST") {
+    import spark.implicits._
+    val series = Seq(
+      ("v1", "nav.state", 1000L, "anchored", 1L),
+      ("v1", "nav.state", 2000L, "motoring", 2L),
+      ("v1", "nav.state", 3000L, "sailing", 3L))
+      .toDF("context", "path", "ts_ms", "value", "order_id")
+    val out = History.values(series, "v1",
+      Seq(PathSpec.parse("nav.state:average"), PathSpec.parse("nav.state:last"),
+        PathSpec.parse("nav.state:min")),
+      0L, 10000L, 10000L).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("nav.state:average") == "anchored") // FIRST fallback
+    assert(out(0).getAs[String]("nav.state:min") == "anchored") // FIRST fallback
+    assert(out(0).getAs[String]("nav.state:last") == "sailing")
+    intercept[IllegalArgumentException] {
+      History.values(series, "v1", Seq(PathSpec.parse("nav.state:average:sma:5")),
+        0L, 10000L, 10000L)
+    }
+  }
+
   test("sourceRef filter narrows one spec without touching its sibling") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
