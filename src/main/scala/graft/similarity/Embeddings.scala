@@ -71,6 +71,80 @@ object Embeddings {
        |WHERE $cosSql >= 0.4
        |ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------------------------- #33a
+  /** SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs
+    * scoped to K-MEANS CLUSTERS — the standard way to make
+    * embedding-cosine dedup tractable at corpus scale. Every vector is
+    * assigned to its nearest centroid (broadcast centroids, corpus
+    * never shuffles for the assignment — same E-step as
+    * [[kmeansAssign]]); the quadratic cosine check then runs only
+    * WITHIN a cluster. Growing k with the corpus holds cluster size
+    * (and so per-cluster pair work) constant — that is the published
+    * algorithm's scale argument, vs [[embeddingDedup]]'s fixed label
+    * blocks. Keeper = lower vec_id, as in the reference pipeline
+    * papers. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidsBase(spark, dir)
+      .groupBy(col("label").as("cent_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .withColumn("cnorm2", expr(
+        "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
+    // cached: the assigned table feeds both self-join sides
+    val assigned = vecs(spark, dir)
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(
+        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("norm2"), col("cent_label").as("cluster"))
+      .cache()
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("norm2").as("norm2_b"))
+    a.join(b, Seq("cluster"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine)
+      .where(col("cos") >= 0.4)
+      .select("cluster", "id_a", "id_b", "cos")
+      .orderBy("cluster", "id_a", "id_b")
+  }
+
+  val semanticDedupOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label AS cent_label, list(c ORDER BY dim) AS vc FROM comp GROUP BY 1
+       |), cents2 AS (
+       |  SELECT cent_label, vc,
+       |    list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] * vc[i]), (x, y) -> x + y) AS cnorm2
+       |  FROM cents
+       |), e AS ($vecsSql),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, e.norm2, c.cent_label,
+       |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
+       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS ccos
+       |  FROM e CROSS JOIN cents2 c
+       |), asg AS (
+       |  SELECT vec_id, v, norm2, cent_label AS cluster FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_label) AS rnk
+       |    FROM scored)
+       |  WHERE rnk = 1
+       |)
+       |SELECT cluster, id_a, id_b, cos FROM (
+       |  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cos
+       |  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |)
+       |WHERE cos >= 0.4
+       |ORDER BY 1, 2, 3""".stripMargin
+
   // --------------------------------------------------------------- #34
   /** Brute-force cosine top-10 neighbors for probe vectors (vec_id <
     * 5). Probes broadcast; ranking is total (rounded cosine desc, then
@@ -402,6 +476,7 @@ object Embeddings {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
+    "dedup_semantic" -> (semanticDedup _),
     "ann_topk" -> (annTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
     "embed_centroids" -> (embedCentroids _),
@@ -411,6 +486,7 @@ object Embeddings {
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "dedup_embedding" -> embeddingDedupOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     "ann_topk" -> annTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
     "kmeans_assign" -> kmeansAssignOracle)
