@@ -14,7 +14,7 @@ object Bench {
     "sk_time_bucket_avg", "sk_tier_reagg", "sk_asof_native", "sk_gap_fill",
     "sk_track_stats", "sk_anchorage", "sk_flat_migration", "sk_compaction",
     "sk_interval_join", "dedup_minhash_lsh", "dedup_components",
-    "dedup_substring", "ann_topk", "ann_ivf_topk", "text_tfidf",
+    "dedup_substring", "dedup_semantic", "ann_topk", "ann_ivf_topk", "text_tfidf",
     "pack_chunks", "mix_balance", "stream_bucket_agg",
     "sk_interval_native", "sk_downsample_lttb", "pipeline_end_to_end")
 
