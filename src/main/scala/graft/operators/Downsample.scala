@@ -40,7 +40,17 @@ import org.apache.spark.sql.types.DecimalType
   * the same IEEE double expression in both engines; the argmax keeps
   * the first maximum in (t, eid) order — Spark max_by on a
   * (area, -t, -eid) struct ≡ oracle ROW_NUMBER ORDER BY area DESC,
-  * t, eid. */
+  * t, eid.
+  *
+  * Remaining per-series sort: the equal-COUNT bucket id needs a rank
+  * (row_number per series), an external single-task sort for one
+  * series — parallelism comes from the series count, which is the
+  * dimension that actually grows in the telemetry model
+  * (contexts × paths). If one monster series must downsample alone,
+  * switch the bucket id to equal-TIME buckets
+  * (`(t - min_t) * NB div span`, two algebraic aggregates, no rank) —
+  * the reference's own bucketing (HistoryAPI.ts:959) is time-based,
+  * so that variant is still semantics-faithful. */
 object Downsample {
 
   private val NB = 50
