@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{JaccardSim, PolyHash}
+import graft.functions.{DotProduct, JaccardSim, PolyHash}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and every session
@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[JaccardSim].getName, "graft_jaccard"),
       (exprs: Seq[Expression]) => JaccardSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

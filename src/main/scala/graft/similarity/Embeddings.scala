@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * cosine top-k, and an LSH-bucketed ANN variant.
   *
   * Vectors stay as `array<float>` columns (cast to double for math);
-  * dot products are codegen'd `zip_with` + ordered fold so both
+  * dot products run through the native codegen'd
+  * [[graft.functions.DotProduct]] expression, whose index-ordered
+  * loop sums in the same IEEE order as the oracle's fold — both
   * engines produce bit-identical sums. Scale: probes broadcast against
   * the corpus (no shuffle of the big side); near-dup pairs are blocked
   * on a coarse key; the ANN path buckets by hyperplane signature so
@@ -19,21 +21,23 @@ object Embeddings {
   /** Ordered-fold dot product of two double arrays (index order, so
     * cross-engine deterministic). */
   private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    expr(s"graft_dot($a, $b)")
 
   // Precondition: vectors are non-zero — cosine against a zero-norm
   // vector is undefined (0/0 → NaN, where engine ordering/filter
   // semantics diverge). A production corpus should drop or re-embed
   // zero vectors upstream (`where(norm2 > 0)`) before these operators.
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
-    // repartition: the single-file table otherwise pins the interpreted
-    // per-row vector folds (transform/aggregate lambdas) to ONE core;
-    // at warehouse scale the input splits provide the fan-out for free
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    // repartition: the single-file table otherwise pins the remaining
+    // interpreted per-row transform to ONE core at test scale; at
+    // warehouse scale the input splits provide the fan-out for free
     Tables.embeddings(spark, dir)
       .repartition(32)
       .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       .withColumn("norm2", dot("v", "v"))
       .select("vec_id", "label", "v", "norm2")
+  }
 
   private def cosine: Column =
     round(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))), 6)
@@ -88,14 +92,14 @@ object Embeddings {
       .groupBy(col("label").as("cent_label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
       .withColumn("cnorm2", expr(
-        "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        "graft_dot(vc, vc)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
     // cached: the assigned table feeds both self-join sides
     val assigned = vecs(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(
-        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+        expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
@@ -207,8 +211,7 @@ object Embeddings {
       .withColumn("table_bucket", explode(expr(
         """transform(sequence(0, 3), t -> struct(t AS tbl,
           |  aggregate(sequence(0, 5), CAST(0 AS BIGINT), (acc, p) -> acc + IF(
-          |    aggregate(zip_with(v, w[t * 6 + p], (x, y) -> x * y),
-          |      CAST(0.0 AS DOUBLE), (s, u) -> s + u) >= 0.0,
+          |    graft_dot(v, w[t * 6 + p]) >= 0.0,
           |    shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT))) AS bucket))""".stripMargin)))
       .select(col("vec_id"), col("label"), col("v"), col("norm2"),
         col("table_bucket.tbl"), col("table_bucket.bucket"))
@@ -279,7 +282,7 @@ object Embeddings {
       val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
       df.crossJoin(broadcast(centroids))
         .withColumn("ccos",
-          round(expr("aggregate(zip_with(v, v_c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+          round(expr("graft_dot(v, v_c)") /
             (sqrt(col("norm2")) * sqrt(col("norm2_c"))), 6))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)
@@ -378,13 +381,13 @@ object Embeddings {
       .groupBy(col("label").as("cent_label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
       .withColumn("cnorm2", expr(
-        "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+        "graft_dot(vc, vc)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
     vecs(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(
-        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+        expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
@@ -432,6 +435,7 @@ object Embeddings {
     * [[graft.dedup.Components.connectedComponents]]. Returns
     * (vec_id, cluster, cos). */
   def kmeansFit(vectors: DataFrame, k: Int, maxIters: Int = 10): DataFrame = {
+    graft.functions.DotProduct.register(vectors.sparkSession)
     val e = vectors.select(col("vec_id"), col("v"), col("norm2")).localCheckpoint()
     var cents = e.orderBy("vec_id").limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
@@ -442,7 +446,7 @@ object Embeddings {
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     def estep() = e.crossJoin(broadcast(cents))
       .withColumn("ccos", round(
-        expr("aggregate(zip_with(v, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, vv) -> acc + vv)") /
+        expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
@@ -462,7 +466,7 @@ object Embeddings {
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("vc"))
         .withColumn("cnorm2", expr(
-          "aggregate(zip_with(vc, vc, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
+          "graft_dot(vc, vc)"))
         .localCheckpoint()
       assign = estep().localCheckpoint()
       val cur = checksum(assign)
