@@ -1,0 +1,136 @@
+package graft.spatial
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analysis-template data feeds.
+  *
+  * The reference ships canned "analysis templates" (analysis-templates
+  * .ts:36-330: navigation-summary, battery-health, fuel-efficiency, …)
+  * whose data side is a History-API pull over a template-declared path
+  * set, reduced to the per-period statistics block handed to the LLM
+  * analyzer (claude-analyzer.ts). The LLM prose is out of scope; the
+  * data feed is in scope, and it composes operators this library
+  * already proves one query deep: track stats, bucket aggregation,
+  * angular vector statistics.
+  *
+  * `navSummary` is the flagship instance (navigation-summary template,
+  * analysis-templates.ts:36: required navigation.position, optional
+  * courseOverGround/speedOverGround): one row per (vessel, day) with
+  * distance traveled, fix count, speed statistics, stationary
+  * fraction, and circular course spread — computed in ONE pass over
+  * the events scan per family (a windowed distance leg over position
+  * fixes and a conditional-aggregate leg over speed/course rows)
+  * joined on the (vessel, day) key. Both legs shuffle once on that
+  * key; nothing collects a series.
+  */
+object Templates {
+
+  /** Synthetic path mapping (TESTDATA.md conventions used across the
+    * spatial/time-series families): `view` events carry position
+    * (funcs.synthLat/synthLon), `click` plays navigation
+    * .speedOverGround (m/s), `signup` plays navigation
+    * .courseOverGround (radians). */
+  def navSummary(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("day_ms", bucketOfMs(col("ts_ms"), 86400000L))
+
+    // position leg: per-day track distance from consecutive fixes
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val pos = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("day_ms"), col("ts_ms"), col("event_id"),
+        synthLat(col("value")).as("lat"), synthLon(col("value")).as("lon"))
+      .withColumn("prev_lat", lag("lat", 1).over(w))
+      .withColumn("prev_lon", lag("lon", 1).over(w))
+      .withColumn("dist_m", when(col("prev_lat").isNull, lit(0.0))
+        .otherwise(round(haversineM(col("prev_lat"), col("prev_lon"),
+          col("lat"), col("lon")), 3)))
+      .groupBy("user_id", "day_ms")
+      .agg(
+        sum(col("dist_m").cast(DecimalType(18, 3))).cast("double").as("total_distance_m"),
+        count(lit(1)).as("n_fixes"))
+
+    // speed + course leg: one conditional aggregation over both paths
+    val sc = ev.where(col("event_type").isin("click", "signup"))
+      .groupBy("user_id", "day_ms")
+      .agg(
+        r6(davg(when(col("event_type") === "click", col("value"))))
+          .as("avg_speed_mps"),
+        max(when(col("event_type") === "click", col("value"))).as("max_speed_mps"),
+        // guard the click-less group: 0/0 is NaN in Spark but not in
+        // DuckDB (the w=0 degenerate class — emit NULL in both engines)
+        when(count(when(col("event_type") === "click", 1)) > 0,
+          r6(count(when(col("event_type") === "click" && col("value") < lit(5.0), 1))
+            .cast("double") / count(when(col("event_type") === "click", 1))))
+          .as("stationary_frac"),
+        (sum(when(col("event_type") === "signup", round(sin(col("value")), 6))
+            .cast(DecimalType(18, 6))).cast("double") /
+          count(when(col("event_type") === "signup", 1))).as("avg_sin"),
+        (sum(when(col("event_type") === "signup", round(cos(col("value")), 6))
+            .cast(DecimalType(18, 6))).cast("double") /
+          count(when(col("event_type") === "signup", 1))).as("avg_cos"))
+      // course concentration R in [0,1]: 1 = steady course, 0 = uniform
+      .withColumn("course_spread",
+        r6(lit(1.0) - sqrt(col("avg_sin") * col("avg_sin") +
+          col("avg_cos") * col("avg_cos"))))
+      .drop("avg_sin", "avg_cos")
+
+    pos.join(sc, Seq("user_id", "day_ms"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val navSummaryOracle: String =
+    """WITH ev AS (
+      |  SELECT *, epoch_ms(ts) AS ts_ms,
+      |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms
+      |  FROM events),
+      |pos AS (
+      |  SELECT user_id, day_ms,
+      |    40.0 + value * 0.001 AS lat, -74.0 + value * 0.002 AS lon,
+      |    LAG(40.0 + value * 0.001) OVER w AS prev_lat,
+      |    LAG(-74.0 + value * 0.002) OVER w AS prev_lon
+      |  FROM ev WHERE event_type = 'view'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+      |dist AS (
+      |  SELECT user_id, day_ms,
+      |    CAST(SUM(CAST(CASE WHEN prev_lat IS NULL THEN 0.0 ELSE
+      |      ROUND(2 * 6371000 * ASIN(SQRT(
+      |        POWER(SIN(RADIANS(lat - prev_lat) / 2), 2) +
+      |        COS(RADIANS(prev_lat)) * COS(RADIANS(lat)) *
+      |        POWER(SIN(RADIANS(lon - prev_lon) / 2), 2))), 3) END
+      |      AS DECIMAL(18,3))) AS DOUBLE) AS total_distance_m,
+      |    COUNT(*) AS n_fixes
+      |  FROM pos GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT user_id, day_ms,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+      |        FILTER (WHERE event_type = 'click') AS DOUBLE)
+      |      / COUNT(value) FILTER (WHERE event_type = 'click'), 6) AS avg_speed_mps,
+      |    MAX(value) FILTER (WHERE event_type = 'click') AS max_speed_mps,
+      |    CASE WHEN COUNT(*) FILTER (WHERE event_type = 'click') > 0 THEN
+      |      ROUND(CAST(COUNT(*) FILTER (WHERE event_type = 'click' AND value < 5.0)
+      |          AS DOUBLE)
+      |        / COUNT(*) FILTER (WHERE event_type = 'click'), 6) END AS stationary_frac,
+      |    CAST(SUM(CAST(ROUND(SIN(value), 6) AS DECIMAL(18,6)))
+      |        FILTER (WHERE event_type = 'signup') AS DOUBLE)
+      |      / COUNT(*) FILTER (WHERE event_type = 'signup') AS avg_sin,
+      |    CAST(SUM(CAST(ROUND(COS(value), 6) AS DECIMAL(18,6)))
+      |        FILTER (WHERE event_type = 'signup') AS DOUBLE)
+      |      / COUNT(*) FILTER (WHERE event_type = 'signup') AS avg_cos
+      |  FROM ev WHERE event_type IN ('click', 'signup') GROUP BY 1, 2)
+      |SELECT dist.user_id, dist.day_ms, total_distance_m, n_fixes,
+      |  avg_speed_mps, max_speed_mps, stationary_frac,
+      |  ROUND(1.0 - SQRT(avg_sin * avg_sin + avg_cos * avg_cos), 6) AS course_spread
+      |FROM dist JOIN sc ON dist.user_id = sc.user_id AND dist.day_ms = sc.day_ms
+      |ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_nav_summary" -> (navSummary _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_nav_summary" -> navSummaryOracle)
+}

@@ -1,0 +1,158 @@
+package graft.text
+
+import graft.Tables
+import graft.funcs._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleanup operators round 3: cross-document boilerplate
+  * removal and exact-quota stratified sampling — the two remaining
+  * standard steps between [[Pipeline]] (gating, weighting, packing)
+  * and [[Pipeline2]] (decontamination, repetition, substring dedup)
+  * in an LLM training-data pipeline.
+  *
+  * Both are plain Catalyst plans. Boilerplate removal is the
+  * C4/RefinedWeb "drop spans that repeat across documents" cleanup:
+  * unlike [[Pipeline2.substringDedup]], which only *reports* shared
+  * spans per document pair, this operator *rewrites* the corpus —
+  * covered token positions are dropped and the surviving text is
+  * reassembled in order. Stratified sampling keeps an exact per-group
+  * quota by deterministic hash rank (reproducible across engines and
+  * runs, no RNG state).
+  */
+object Pipeline3 {
+
+  /** Tokens with their position: (doc_id, pos, w0). Position is the
+    * reassembly key — order must survive the shuffle. */
+  private def toks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+
+  // --------------------------------------------- boilerplate removal
+  /** Cross-document boilerplate scrub: any word 5-gram that appears in
+    * >= 2 distinct documents marks its 5 token positions as covered;
+    * covered positions are dropped and each document's remaining
+    * tokens are re-joined in order (C4's duplicated-span cleanup, on
+    * word windows — the synthetic corpus has no sentence breaks).
+    *
+    * Scale shape: the n-gram stream is a per-document window (shuffle
+    * keyed by doc_id, partition size = one document); the document
+    * frequency table is one hash aggregation on the 16-byte ngram
+    * hash; cover expansion is a semi-join + bounded explode (x5); the
+    * rebuild groups by doc_id, so every per-key buffer is bounded by a
+    * single document's length — the corpus-size dimension only ever
+    * flows through hash joins and aggregations, never a per-key
+    * collect. Mirrors RefinedWeb §5.2 / C4 span dedup; reference has
+    * no corpus-rewrite step (it is a telemetry store) — this is part
+    * of the LLM-pipeline surface.
+    */
+  def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubDocs(Tables.documents(spark, dir))
+
+  /** Core on an arbitrary (doc_id, text) frame; `minDf` = document
+    * frequency at which a 5-gram counts as boilerplate. */
+  private[graft] def scrubDocs(docs: DataFrame, minDf: Int = 2): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // cached: feeds both the n-gram stream and the rebuild side of the
+    // cover join (SURVEY §5a — self-joins recomputing their upstream)
+    val tok = toks(docs).cache()
+    val led = (1 to 4).foldLeft(tok)((df, i) =>
+      df.withColumn(s"w$i", lead("w0", i).over(w)))
+    val ng = led.where(col("w4").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", (0 to 4).map(i => col(s"w$i")): _*)).as("h"))
+    // document frequency per 5-gram; >= 2 distinct docs = boilerplate
+    val boiler = ng.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= minDf).select("h")
+    // expand each boilerplate occurrence to its 5 covered positions
+    val covered = ng.join(boiler, Seq("h"), "left_semi")
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("cpos"))
+      .distinct()
+    // rebuild: drop covered positions, re-join survivors in order.
+    // collect_list skips the NULLs that when() leaves on dropped rows;
+    // array_sort on (pos, word) structs restores document order.
+    // (aliases: `covered` shares lineage with `tok`, so qualified names,
+    // not dataset-id column refs, disambiguate the self-join)
+    tok.alias("t").join(covered.alias("c"),
+        col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cpos"), "left")
+      .select(col("t.doc_id").as("doc_id"), col("t.pos").as("pos"), col("w0"),
+        col("c.cpos").isNull.as("keep"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, w0) END)), x -> x.w0)"),
+          " ").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateScrubOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, i - 1 AS pos, ws[i] AS w0
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       unnest(generate_series(1, len(ws))) t(i)),
+      |led AS (
+      |  SELECT doc_id, pos, w0,
+      |    LEAD(w0, 1) OVER w AS w1, LEAD(w0, 2) OVER w AS w2,
+      |    LEAD(w0, 3) OVER w AS w3, LEAD(w0, 4) OVER w AS w4
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |ng AS (
+      |  SELECT doc_id, pos,
+      |    md5(w0 || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4) AS h
+      |  FROM led WHERE w4 IS NOT NULL),
+      |boiler AS (SELECT h FROM ng GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+      |covered AS (
+      |  SELECT DISTINCT ng.doc_id, ng.pos + k AS cpos
+      |  FROM ng JOIN boiler USING (h), unnest(generate_series(0, 4)) t(k))
+      |SELECT tok.doc_id, COUNT(*) AS n_tokens,
+      |  COUNT(*) FILTER (WHERE covered.cpos IS NULL) AS n_kept,
+      |  COALESCE(string_agg(w0, ' ' ORDER BY pos)
+      |           FILTER (WHERE covered.cpos IS NULL), '') AS cleaned
+      |FROM tok LEFT JOIN covered
+      |  ON tok.doc_id = covered.doc_id AND tok.pos = covered.cpos
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------- stratified sampling
+  /** Exact-quota stratified sampling: keep the K = 20 documents per
+    * (lang, source) stratum with the smallest md5(doc_id) — an exact
+    * per-group budget, where [[Pipeline.sampleHash]] keeps an expected
+    * *rate*. Deterministic (hash order, doc_id tie-break), so
+    * reproducible across engines, runs, and partitionings.
+    *
+    * Scale shape: `row_number <= K` over a window is rewritten by
+    * Catalyst's InferWindowGroupLimit into a WindowGroupLimit with a
+    * map-side partial pass — each task keeps a K-row heap per stratum
+    * before the shuffle, so a stratum with 10^9 documents ships only
+    * K rows per upstream partition, never the full sort
+    * (PlanAuditSpec pins the WindowGroupLimit node). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    stratifiedTopK(Tables.documents(spark, dir), 20)
+
+  private[graft] def stratifiedTopK(docs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("lang"), col("source"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "source", "rk")
+  }
+
+  val sampleStratifiedOracle: String =
+    """SELECT lang, source, rk, doc_id, n_chars FROM (
+      |  SELECT lang, source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY lang, source, rk""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_boilerplate" -> (boilerplateScrub _),
+    "sample_stratified" -> (sampleStratified _))
+
+  val oracles: Map[String, String] = Map(
+    "text_boilerplate" -> boilerplateScrubOracle,
+    "sample_stratified" -> sampleStratifiedOracle)
+}
