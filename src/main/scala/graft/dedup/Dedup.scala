@@ -3,10 +3,11 @@ package graft.dedup
 import graft.Tables
 import graft.text.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact,
-  * n-gram Jaccard, MinHash+LSH, SimHash.
+  * n-gram Jaccard, MinHash+LSH, SimHash, incremental batch-vs-store.
   *
   * Scale design: nothing here is O(n²) on the full corpus. Exact dedup
   * is a hash groupBy; Jaccard runs inside deterministic blocks;
@@ -301,15 +302,66 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------- #29a
+  /** Incremental corpus dedup: an arriving batch is deduped against
+    * the EXISTING corpus without ever reshuffling the corpus — how a
+    * 100 TB store actually operates (you dedup the day's crawl, not
+    * the archive). Docs with doc_id ≡ 0 (mod 10) play the arriving
+    * batch; the rest play the store.
+    *
+    * Scale shape: the batch's distinct hashes are broadcast; the store
+    * is scanned ONCE through a broadcast semi-join (no store shuffle,
+    * filter pushdown intact) and only the matched hashes — at most
+    * |batch| rows — come back. Within-batch first-wins is a window
+    * over the batch only. Each arrival is labeled `dup_store`
+    * (content already archived), `dup_batch` (an earlier arrival in
+    * the same batch wins), or `new`. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).withColumn("h", md5(col("text")))
+    val batch = docs.where(col("doc_id") % 10 === 0)
+    val store = docs.where(col("doc_id") % 10 =!= 0)
+    // store-side semi-join against the broadcast batch hash set: the
+    // big side never shuffles, and the result is bounded by the batch
+    val inStore = store
+      .join(broadcast(batch.select("h").distinct()), Seq("h"), "left_semi")
+      .select("h").distinct()
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    batch
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(inStore.withColumn("in_store", lit(true))), Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_store"), lit("dup_store"))
+          .when(col("rk") > 1, lit("dup_batch"))
+          .otherwise(lit("new")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupOracle: String =
+    """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |batch AS (
+      |  SELECT doc_id, h, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+      |  FROM d WHERE doc_id % 10 = 0),
+      |in_store AS (
+      |  SELECT DISTINCT h FROM d
+      |  WHERE doc_id % 10 <> 0 AND h IN (SELECT h FROM batch))
+      |SELECT b.doc_id,
+      |  CASE WHEN s.h IS NOT NULL THEN 'dup_store'
+      |       WHEN b.rk > 1 THEN 'dup_batch'
+      |       ELSE 'new' END AS status
+      |FROM batch b LEFT JOIN in_store s ON b.h = s.h
+      |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minHashLsh _),
-    "dedup_simhash" -> (simHash _))
+    "dedup_simhash" -> (simHash _),
+    "dedup_incremental" -> (incrementalDedup _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactDedupOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minHashLshOracle,
-    "dedup_simhash" -> simHashOracle)
+    "dedup_simhash" -> simHashOracle,
+    "dedup_incremental" -> incrementalDedupOracle)
 }

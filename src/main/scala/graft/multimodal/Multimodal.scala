@@ -142,13 +142,56 @@ object Multimodal {
       |    '')) AS resized_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------- #40u
+  /** Audio-window plumbing: each payload is cut into OVERLAPPING
+    * fixed-size segments (window 200 bytes, hop 100 — the 50%-overlap
+    * spectrogram-window shape; frame_sample's frames are disjoint),
+    * with a stubbed per-segment energy feature (polynomial hash
+    * standing in for RMS; a real PCM decode drops into the same
+    * projection). Explode + substring are per-row projections inside
+    * whole-stage codegen — no shuffle, a 100 TB corpus fans out in
+    * place exactly like [[frameSample]]. */
+  def audioSegments(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          floor((length(col("text")) - 1) / 100).cast("long") * 100, lit(100L)))
+          .as("seg_start"))
+      .withColumn("segment",
+        expr("substring(text, CAST(seg_start + 1 AS INT), 200)"))
+      .select(col("doc_id"), col("seg_start"),
+        length(col("segment")).cast("long").as("seg_len"),
+        md5(col("segment").cast("binary")).as("seg_md5"),
+        // codegen'd byte loop (graft.functions.PolyHash), not an
+        // interpreted aggregate() lambda — §5a hot-path rule
+        round(expr("graft_polyhash(segment, 31)").mod(lit(1000L)) / lit(1000.0), 6)
+          .as("fake_rms"))
+      .orderBy("doc_id", "seg_start")
+  }
+
+  val audioSegmentsOracle: String =
+    """SELECT d.doc_id, s.seg_start,
+      |  CAST(LENGTH(substring(d.text, CAST(s.seg_start + 1 AS INT), 200)) AS BIGINT) AS seg_len,
+      |  md5(substring(d.text, CAST(s.seg_start + 1 AS INT), 200)) AS seg_md5,
+      |  ROUND((list_reduce(list_transform(
+      |      string_split(substring(d.text, CAST(s.seg_start + 1 AS INT), 200), ''),
+      |      ch -> ascii(ch)::BIGINT), (a, b) -> (a * 31 + b) % 1000000007)
+      |    % 1000) / 1000.0, 6) AS fake_rms
+      |FROM documents d,
+      |  LATERAL (SELECT unnest(generate_series(0, ((LENGTH(d.text) - 1) // 100) * 100, 100))
+      |    AS seg_start) s
+      |ORDER BY d.doc_id, s.seg_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> (mmFeatures _),
     "mm_resize" -> (mmResize _),
-    "mm_frame_sample" -> (frameSample _))
+    "mm_frame_sample" -> (frameSample _),
+    "mm_audio_segments" -> (audioSegments _))
 
   val oracles: Map[String, String] = Map(
     "mm_features" -> mmFeaturesOracle,
     "mm_resize" -> mmResizeOracle,
-    "mm_frame_sample" -> frameSampleOracle)
+    "mm_frame_sample" -> frameSampleOracle,
+    "mm_audio_segments" -> audioSegmentsOracle)
 }

@@ -128,9 +128,67 @@ object Templates {
       |FROM dist JOIN sc ON dist.user_id = sc.user_id AND dist.day_ms = sc.day_ms
       |ORDER BY 1, 2""".stripMargin
 
+  /** Fuel-efficiency analysis template's data feed (analysis-templates
+    * .ts:277: propulsion.*.fuel.rate vs navigation.speedOverGround) —
+    * the efficiency-by-speed-band curve the template's prompt asks the
+    * analyzer to read. `click` plays speedOverGround, `purchase` plays
+    * fuel rate; the two series are aligned per (vessel, 5-min bucket)
+    * (HistoryAPI multi-path alignment), then bucketed into 5 m/s speed
+    * bands: samples, mean speed, mean fuel rate, and speed-per-fuel
+    * efficiency per band. Two partial-aggregated shuffles on the
+    * bucket key + one band rollup — no series ever collects. */
+  def fuelEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), 300000L))
+    def leg(path: String, out: String) =
+      ev.where(col("event_type") === path)
+        .groupBy("user_id", "bucket_ms")
+        .agg(r6(davg(col("value"))).as(out))
+    leg("click", "speed").join(leg("purchase", "fuel"), Seq("user_id", "bucket_ms"))
+      .groupBy((floor(col("speed") / 5.0).cast("long") * 5).as("speed_band"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        r6(davg(col("speed"))).as("avg_speed_mps"),
+        r6(davg(col("fuel"))).as("avg_fuel_rate"),
+        // fuel rates are strictly positive here, but guard the
+        // degenerate band anyway: NULL in both engines, never Inf
+        when(dsum(col("fuel")) > 0,
+          r6(davg(col("speed")) / davg(col("fuel")))).as("efficiency"))
+      .orderBy("speed_band")
+  }
+
+  val fuelEfficiencyOracle: String =
+    """WITH ev AS (
+      |  SELECT *, CAST(FLOOR(epoch_ms(ts) / 300000) * 300000 AS BIGINT) AS bucket_ms
+      |  FROM events),
+      |speed AS (
+      |  SELECT user_id, bucket_ms,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+      |      AS speed
+      |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2),
+      |fuel AS (
+      |  SELECT user_id, bucket_ms,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+      |      AS fuel
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT CAST(FLOOR(speed / 5.0) AS BIGINT) * 5 AS speed_band,
+      |  COUNT(*) AS n_buckets,
+      |  ROUND(CAST(SUM(CAST(speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(speed), 6)
+      |    AS avg_speed_mps,
+      |  ROUND(CAST(SUM(CAST(fuel AS DECIMAL(18,6))) AS DOUBLE) / COUNT(fuel), 6)
+      |    AS avg_fuel_rate,
+      |  CASE WHEN CAST(SUM(CAST(fuel AS DECIMAL(18,6))) AS DOUBLE) > 0 THEN
+      |    ROUND((CAST(SUM(CAST(speed AS DECIMAL(18,6))) AS DOUBLE) / COUNT(speed))
+      |      / (CAST(SUM(CAST(fuel AS DECIMAL(18,6))) AS DOUBLE) / COUNT(fuel)), 6) END
+      |    AS efficiency
+      |FROM speed JOIN fuel USING (user_id, bucket_ms)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_nav_summary" -> (navSummary _))
+    "sk_nav_summary" -> (navSummary _),
+    "sk_fuel_efficiency" -> (fuelEfficiency _))
 
   val oracles: Map[String, String] = Map(
-    "sk_nav_summary" -> navSummaryOracle)
+    "sk_nav_summary" -> navSummaryOracle,
+    "sk_fuel_efficiency" -> fuelEfficiencyOracle)
 }

@@ -145,4 +145,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti") && p.contains("LeftSemi"), p.take(4000))
     assert(p.contains("BroadcastHashJoin"), p.take(4000))
   }
+
+  test("boilerplate scrub: equi-joins only, cached token stream reused on both sides") {
+    val p = planStr(graft.text.Pipeline3.boilerplateScrub(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the cover join's probe side and the n-gram stream both read the
+    // cached token table instead of re-exploding the corpus (§5a:
+    // self-joins recomputing their upstream)
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+  }
+
+  test("nav summary: each leg aggregates partially before its shuffle") {
+    val p = planStr(graft.spatial.Templates.navSummary(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("partial_"), p.take(3000))
+  }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.spatial.Templates
+import org.apache.spark.sql.functions._
+
+/** Round-5 second-batch operators: incremental batch-vs-store dedup,
+  * overlapping audio-window plumbing, fuel-efficiency template feed. */
+class Round5Spec extends SparkSpec {
+
+  test("incremental dedup labels match an independently computed partition") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val storeHashes = docs.filter(_._1 % 10 != 0).map(_._2).toSet
+    val batch = docs.filter(_._1 % 10 == 0).sortBy(_._1)
+    val firstOfHash = batch.groupBy(_._2).map { case (h, ds) => h -> ds.map(_._1).min }
+    val expected = batch.map { case (id, h) =>
+      id -> (if (storeHashes.contains(h)) "dup_store"
+             else if (firstOfHash(h) != id) "dup_batch"
+             else "new")
+    }.toMap
+    val got = Dedup.incrementalDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("incremental dedup never shuffles the store side") {
+    val p = Dedup.incrementalDedup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the store scan participates only through broadcast joins — the
+    // big side must not hit an exchange before its semi-join
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(p.contains("LeftSemi"), p.take(3000))
+  }
+
+  test("audio segments tile with 50% overlap and cover every byte") {
+    val doc = Tables.documents(spark, sfDir)
+      .orderBy("doc_id").select("doc_id", "text").head()
+    val (id, text) = (doc.getLong(0), doc.getString(1))
+    val segs = Multimodal.audioSegments(spark, sfDir)
+      .where(col("doc_id") === id).orderBy("seg_start").collect()
+    val expStarts = 0L to ((text.length - 1) / 100).toLong * 100 by 100L
+    assert(segs.map(_.getLong(1)).toSeq == expStarts.toSeq)
+    segs.foreach { s =>
+      val start = s.getLong(1).toInt
+      val exp = text.substring(start, math.min(start + 200, text.length))
+      assert(s.getLong(2) == exp.length.toLong) // seg_len
+      val rms = s.getDouble(4)
+      assert(rms >= 0.0 && rms < 1.0)
+    }
+    // consecutive windows share their second/first half (the overlap)
+    segs.sliding(2).foreach {
+      case Array(a, b) =>
+        val sa = a.getLong(1).toInt; val sb = b.getLong(1).toInt
+        assert(sb - sa == 100)
+      case _ =>
+    }
+  }
+
+  test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
+    val rows = Templates.fuelEfficiency(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 5 == 0)
+      assert(r.getLong(1) > 0)
+      val speed = r.getDouble(2); val fuel = r.getDouble(3)
+      assert(fuel > 0.0)
+      val eff = r.getDouble(4)
+      assert(math.abs(eff - speed / fuel) < 1e-4, s"band ${r.getLong(0)}")
+      // the band's mean speed lands inside the band
+      assert(speed >= r.getLong(0) && speed < r.getLong(0) + 5)
+    }
+  }
+}
