@@ -477,12 +477,55 @@ object Embeddings {
     assign.select(col("vec_id"), col("cid").as("cluster"), col("ccos").as("cos"))
   }
 
+  // -------------------------------------------------------------- #35b
+  /** Filtered ANN: top-5 cosine neighbors per probe among vectors
+    * satisfying a metadata predicate (here: the probe's own label —
+    * "search within my shard"). PRE-filter semantics: the predicate
+    * restricts the candidate set before ranking, so a probe always
+    * gets its true top-k among qualifying vectors (post-filtering an
+    * unfiltered top-k silently loses recall when qualifying neighbors
+    * rank below k). Spark-first shape: the attribute filter IS the
+    * equi-join key — probes broadcast, the corpus hash-joins on
+    * `label`, so non-qualifying vectors never reach the distance
+    * computation; at warehouse scale a label-partitioned store prunes
+    * them at the scan. */
+  def annFilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label"),
+        col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("label"),
+      col("v").as("v_b"), col("norm2").as("norm2_b"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.join(broadcast(probes), Seq("label"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("probe_id", "label", "neighbor_id", "cos", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  val annFilteredTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |scored AS (
+       |  SELECT a.vec_id AS probe_id, a.label, b.vec_id AS neighbor_id, $cosSql AS cos
+       |  FROM e a JOIN e b ON a.vec_id < 5 AND a.label = b.label AND a.vec_id <> b.vec_id
+       |), ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, label, neighbor_id, cos, rank FROM ranked
+       |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
     "ann_topk" -> (annTopK _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "ann_filtered_topk" -> (annFilteredTopK _),
     "embed_centroids" -> (embedCentroids _),
     "kmeans_assign" -> (kmeansAssign _))
 
@@ -492,6 +535,7 @@ object Embeddings {
     "dedup_embedding" -> embeddingDedupOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "ann_topk" -> annTopKOracle,
+    "ann_filtered_topk" -> annFilteredTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
     "kmeans_assign" -> kmeansAssignOracle)
 }

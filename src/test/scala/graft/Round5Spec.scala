@@ -60,6 +60,24 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("filtered ANN: pre-filter semantics — every neighbor satisfies the predicate") {
+    val rows = graft.similarity.Embeddings.annFilteredTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val probeLabels = Tables.embeddings(spark, sfDir)
+      .where(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (probe, rs) =>
+      // contiguous ranks from 1, all neighbors carry the probe's label
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length))
+      rs.foreach { r =>
+        assert(r.getInt(1) == probeLabels(probe))
+        assert(r.getLong(2) != probe)
+        val cos = r.getDouble(3)
+        assert(cos >= -1.0 - 1e-6 && cos <= 1.0 + 1e-6)
+      }
+    }
+  }
+
   test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
     val rows = Templates.fuelEfficiency(spark, sfDir).collect()
     assert(rows.nonEmpty)
