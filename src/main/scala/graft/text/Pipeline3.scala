@@ -35,16 +35,18 @@ object Pipeline3 {
     * tokens are re-joined in order (C4's duplicated-span cleanup, on
     * word windows — the synthetic corpus has no sentence breaks).
     *
-    * Scale shape: the n-gram stream is a per-document window (shuffle
-    * keyed by doc_id, partition size = one document); the document
-    * frequency table is one hash aggregation on the 16-byte ngram
-    * hash; cover expansion is a semi-join + bounded explode (x5); the
-    * rebuild groups by doc_id, so every per-key buffer is bounded by a
-    * single document's length — the corpus-size dimension only ever
-    * flows through hash joins and aggregations, never a per-key
-    * collect. Mirrors RefinedWeb §5.2 / C4 span dedup; reference has
-    * no corpus-rewrite step (it is a telemetry store) — this is part
-    * of the LLM-pipeline surface.
+    * Scale shape: the n-gram stream is a PER-ROW array-slice
+    * projection (posexplode of the in-row 5-gram list — no window, so
+    * the full token stream is never shuffled or sorted just to see
+    * its neighbors); the document frequency table is one hash
+    * aggregation on the 16-byte ngram hash; cover expansion is a
+    * semi-join + bounded explode (x5); the rebuild groups by doc_id,
+    * so every per-key buffer is bounded by a single document's
+    * length — the corpus-size dimension only ever flows through hash
+    * joins and aggregations, never a per-key collect or sort. Mirrors
+    * RefinedWeb §5.2 / C4 span dedup; reference has no corpus-rewrite
+    * step (it is a telemetry store) — this is part of the
+    * LLM-pipeline surface.
     */
   def boilerplateScrub(spark: SparkSession, dir: String): DataFrame =
     scrubDocs(Tables.documents(spark, dir))
@@ -52,15 +54,19 @@ object Pipeline3 {
   /** Core on an arbitrary (doc_id, text) frame; `minDf` = document
     * frequency at which a 5-gram counts as boilerplate. */
   private[graft] def scrubDocs(docs: DataFrame, minDf: Int = 2): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    // cached: feeds both the n-gram stream and the rebuild side of the
-    // cover join (SURVEY §5a — self-joins recomputing their upstream)
-    val tok = toks(docs).cache()
-    val led = (1 to 4).foldLeft(tok)((df, i) =>
-      df.withColumn(s"w$i", lead("w0", i).over(w)))
-    val ng = led.where(col("w4").isNotNull)
-      .select(col("doc_id"), col("pos"),
-        md5(concat_ws(" ", (0 to 4).map(i => col(s"w$i")): _*)).as("h"))
+    // n-grams with their start position, built by slicing the token
+    // array in place: the lambda only slices and joins words (the md5
+    // stays codegen'd on the exploded column), and the explode index
+    // IS the position — neighbor visibility without a per-doc
+    // window/sort of the whole corpus
+    val ng = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """CASE WHEN size(ws) >= 5
+          |  THEN transform(sequence(0, size(ws) - 5), i -> array_join(slice(ws, i + 1, 5), ' '))
+          |  ELSE array() END""".stripMargin)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+    val tok = toks(docs)
     // document frequency per 5-gram; >= 2 distinct docs = boilerplate
     val boiler = ng.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))
@@ -72,8 +78,8 @@ object Pipeline3 {
     // rebuild: drop covered positions, re-join survivors in order.
     // collect_list skips the NULLs that when() leaves on dropped rows;
     // array_sort on (pos, word) structs restores document order.
-    // (aliases: `covered` shares lineage with `tok`, so qualified names,
-    // not dataset-id column refs, disambiguate the self-join)
+    // (aliases: `covered` and `tok` share the docs lineage, so
+    // qualified names, not dataset-id column refs, disambiguate)
     tok.alias("t").join(covered.alias("c"),
         col("t.doc_id") === col("c.doc_id") && col("t.pos") === col("c.cpos"), "left")
       .select(col("t.doc_id").as("doc_id"), col("t.pos").as("pos"), col("w0"),
