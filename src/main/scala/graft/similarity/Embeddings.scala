@@ -519,7 +519,61 @@ object Embeddings {
        |SELECT probe_id, label, neighbor_id, cos, rank FROM ranked
        |WHERE rank <= 5 ORDER BY probe_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- #40w
+  /** Embedding outlier detection (quality gate for the vector side of
+    * a corpus): each vector's cosine to its own label's centroid,
+    * flagged when it falls in the label's bottom decile — the "this
+    * embedding doesn't belong to its group" signal used to catch
+    * mislabeled/degenerate vectors before training. Centroids and the
+    * per-label p10 thresholds are tiny aggregates broadcast back; the
+    * corpus is scanned twice but never shuffled (cos is a broadcast
+    * equi-join on label, the threshold another). */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val cents = centroidsBase(spark, dir)
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .withColumn("cnorm2", expr("graft_dot(vc, vc)"))
+    val scored = vecs(spark, dir)
+      .join(broadcast(cents), Seq("label"))
+      .withColumn("cos", round(
+        expr("graft_dot(v, vc)") / (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+      .select("vec_id", "label", "cos")
+    val thresholds = scored.groupBy("label")
+      .agg(round(percentile(col("cos"), lit(0.1)), 6).as("p10"))
+    scored.join(broadcast(thresholds), Seq("label"))
+      .select(col("vec_id"), col("label"), col("cos"), col("p10"),
+        (col("cos") < col("p10")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  val embedOutliersOracle: String =
+    s"""WITH comp AS (
+       |  SELECT label, i AS dim,
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+       |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY 1, 2
+       |), cents AS (
+       |  SELECT label, list(c ORDER BY dim) AS vc FROM comp GROUP BY 1
+       |), cents2 AS (
+       |  SELECT label, vc,
+       |    list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] * vc[i]), (x, y) -> x + y) AS cnorm2
+       |  FROM cents
+       |), e AS ($vecsSql
+       |), scored AS (
+       |  SELECT e.vec_id, e.label,
+       |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
+       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS cos
+       |  FROM e JOIN cents2 c USING (label)
+       |), th AS (
+       |  SELECT label, ROUND(quantile_cont(cos, 0.1), 6) AS p10 FROM scored GROUP BY 1
+       |)
+       |SELECT s.vec_id, s.label, s.cos, t.p10, s.cos < t.p10 AS is_outlier
+       |FROM scored s JOIN th t USING (label)
+       |ORDER BY s.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_outliers" -> (embedOutliers _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
@@ -530,6 +584,7 @@ object Embeddings {
     "kmeans_assign" -> (kmeansAssign _))
 
   val oracles: Map[String, String] = Map(
+    "embed_outliers" -> embedOutliersOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "dedup_embedding" -> embeddingDedupOracle,

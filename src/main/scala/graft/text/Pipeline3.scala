@@ -154,11 +154,69 @@ object Pipeline3 {
       |  FROM documents)
       |WHERE rk <= 20 ORDER BY lang, source, rk""".stripMargin
 
+  // -------------------------------------------- temperature sampling
+  /** Temperature-scaled language rebalancing (the XLM-R / mBERT
+    * α-sampling move): language l with corpus share p_l is kept at
+    * rate ∝ p_l^(α-1) (α = 0.3), normalized so the rarest language
+    * keeps everything — high-resource languages are downsampled
+    * smoothly instead of the hard equal-budget cut of
+    * [[Pipeline2.mixBalance]]. The keep decision is a deterministic
+    * multiplicative hash of doc_id against the 6-dp-rounded rate (no
+    * RNG, reproducible, identical across engines).
+    *
+    * Scale shape: one count aggregation builds the per-language rate
+    * table (|languages| rows, broadcast); the keep decision is a
+    * plain filter on the joined rate — the corpus never shuffles. */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    val total = counts.agg(sum("n_l").as("n_total"))
+    // rate_l = (n_l/N)^(α-1) / max_l' (n_l'/N)^(α-1); α-1 < 0, so the
+    // rarest language hits the max and keeps rate 1
+    val weights = counts.crossJoin(broadcast(total))
+      .select(col("lang"), col("n_l"),
+        pow(col("n_l").cast("double") / col("n_total"), lit(0.3 - 1.0)).as("wt"))
+    val maxWt = weights.agg(max("wt").as("max_wt"))
+    val rates = weights.crossJoin(broadcast(maxWt))
+      .select(col("lang"), r6(col("wt") / col("max_wt")).as("rate"))
+    // deterministic per-doc uniform in [0,1): Knuth multiplicative
+    // hash — integer arithmetic, bit-identical in any engine
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(65536L)).cast("double") / 65536.0
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("sampled", u < col("rate"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        max(col("rate")).as("rate"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        sum(when(col("sampled"), col("doc_id"))).as("sampled_id_sum"))
+      .orderBy("lang")
+  }
+
+  val sampleTemperatureOracle: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+      |wts AS (
+      |  SELECT lang, n_l,
+      |    POWER(CAST(n_l AS DOUBLE) / (SELECT SUM(n_l) FROM counts), 0.3 - 1.0) AS wt
+      |  FROM counts),
+      |rates AS (
+      |  SELECT lang, ROUND(wt / (SELECT MAX(wt) FROM wts), 6) AS rate FROM wts),
+      |flagged AS (
+      |  SELECT d.lang, d.doc_id, r.rate,
+      |    (CAST((d.doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0) < r.rate AS sampled
+      |  FROM documents d JOIN rates r USING (lang))
+      |SELECT lang, COUNT(*) AS n_total, MAX(rate) AS rate,
+      |  COUNT(*) FILTER (WHERE sampled) AS n_sampled,
+      |  CAST(SUM(doc_id) FILTER (WHERE sampled) AS BIGINT) AS sampled_id_sum
+      |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> (boilerplateScrub _),
-    "sample_stratified" -> (sampleStratified _))
+    "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _))
 
   val oracles: Map[String, String] = Map(
     "text_boilerplate" -> boilerplateScrubOracle,
-    "sample_stratified" -> sampleStratifiedOracle)
+    "sample_stratified" -> sampleStratifiedOracle,
+    "sample_temperature" -> sampleTemperatureOracle)
 }

@@ -78,6 +78,40 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("temperature sampling: rarest language keeps rate 1, rates fall with share") {
+    val rows = graft.text.Pipeline3.sampleTemperature(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // the smallest language is kept whole (rate 1 → n_sampled = n_total)
+    val rarest = rows.minBy(_._2)
+    assert(math.abs(rarest._3 - 1.0) < 1e-9)
+    assert(rarest._4 == rarest._2)
+    // rates are monotonically non-increasing in corpus share
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array(small, big) => assert(big._3 <= small._3 + 1e-9)
+      case _ =>
+    }
+    rows.foreach { case (_, n, rate, sampled) =>
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(sampled <= n)
+    }
+  }
+
+  test("embed outliers: ~10% flagged per label, all below the label p10") {
+    val rows = graft.similarity.Embeddings.embedOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getInt(1)).foreach { case (_, rs) =>
+      val n = rs.length
+      val out = rs.count(_.getBoolean(4))
+      // strictly-below-p10 count is at most 10% (interpolated quantile)
+      assert(out <= n / 10 + 1, s"n=$n out=$out")
+      assert(out > 0 || n < 10)
+      rs.foreach { r =>
+        assert(r.getBoolean(4) == (r.getDouble(2) < r.getDouble(3)))
+      }
+    }
+  }
+
   test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
     val rows = Templates.fuelEfficiency(spark, sfDir).collect()
     assert(rows.nonEmpty)
