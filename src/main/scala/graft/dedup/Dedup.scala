@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import graft.text.TextOps
+import graft.funcs.r6
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -302,6 +303,62 @@ object Dedup {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // -------------------------------------------------------------- #30a
+  /** Blocked edit-distance near-dup pairs: Levenshtein ≤ 30% of the
+    * longer text, within the same deterministic (lang, size) blocks
+    * (and cap) as [[ngramJaccard]]. Character-level distance catches
+    * the near-dups token-set Jaccard is blind to (small in-place edits
+    * with reordered words rank the same under a set measure; they
+    * don't under edit distance) — the CCNet/Gopher-era "fuzzy
+    * duplicate" definition. The O(|a|·|b|) DP runs only on pairs that
+    * survive the length-difference bound (edit distance ≥ |len
+    * difference|, a codegen'd integer prefilter), and `levenshtein` is
+    * Spark's built-in codegen expression — no UDF. */
+  def editDistance(spark: SparkSession, dir: String): DataFrame = {
+    val wcap = Window.partitionBy("lang", "size_bucket").orderBy("doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / 50).cast("long").as("size_bucket"),
+        col("text"), length(col("text")).as("len"))
+      .withColumn("blk_rk", row_number().over(wcap))
+      .where(col("blk_rk") <= blockCap)
+      .drop("blk_rk")
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = docs.select(col("lang"), col("size_bucket"), col("doc_id").as("id_a"),
+      col("text").as("text_a"), col("len").as("len_a"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
+    val b = docs.select(col("lang"), col("size_bucket"), col("doc_id").as("id_b"),
+      col("text").as("text_b"), col("len").as("len_b"))
+      .repartition(nPart, col("lang"), col("size_bucket"))
+    a.join(b, Seq("lang", "size_bucket"))
+      .where(col("id_a") < col("id_b"))
+      // length bound: lev >= |len_a - len_b|, so a pair whose length
+      // gap already exceeds the relative budget never runs the DP
+      .where(abs(col("len_a") - col("len_b")) <=
+        lit(0.3) * greatest(col("len_a"), col("len_b")))
+      .withColumn("lev", levenshtein(col("text_a"), col("text_b")))
+      .withColumn("rel", r6(col("lev").cast("double") /
+        greatest(col("len_a"), col("len_b"))))
+      .where(col("rel") <= 0.3)
+      .select("id_a", "id_b", "lev", "rel")
+      .orderBy("id_a", "id_b")
+  }
+
+  val editDistanceOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, n_chars // 50 AS size_bucket, text, LENGTH(text) AS len
+      |  FROM documents
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, n_chars // 50 ORDER BY doc_id) <= 10000
+      |)
+      |SELECT id_a, id_b, lev, rel FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    levenshtein(a.text, b.text) AS lev,
+      |    ROUND(levenshtein(a.text, b.text)::DOUBLE / GREATEST(a.len, b.len), 6) AS rel
+      |  FROM t a JOIN t b
+      |    ON a.lang = b.lang AND a.size_bucket = b.size_bucket AND a.doc_id < b.doc_id
+      |  WHERE ABS(a.len - b.len) <= 0.3 * GREATEST(a.len, b.len))
+      |WHERE rel <= 0.3 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- #29a
   /** Incremental corpus dedup: an arriving batch is deduped against
     * the EXISTING corpus without ever reshuffling the corpus — how a
@@ -356,12 +413,14 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minHashLsh _),
     "dedup_simhash" -> (simHash _),
-    "dedup_incremental" -> (incrementalDedup _))
+    "dedup_incremental" -> (incrementalDedup _),
+    "dedup_edit_distance" -> (editDistance _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> exactDedupOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minHashLshOracle,
     "dedup_simhash" -> simHashOracle,
-    "dedup_incremental" -> incrementalDedupOracle)
+    "dedup_incremental" -> incrementalDedupOracle,
+    "dedup_edit_distance" -> editDistanceOracle)
 }

@@ -154,6 +154,11 @@ object Multimodal {
   def audioSegments(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     Tables.documents(spark, dir)
+      // empty payload guard: sequence(0, -100, 100) THROWS in Spark
+      // (start > stop with positive step) where DuckDB's
+      // generate_series returns empty — filter the degenerate row out
+      // in both engines instead of diverging on it
+      .where(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           floor((length(col("text")) - 1) / 100).cast("long") * 100, lit(100L)))
@@ -181,6 +186,7 @@ object Multimodal {
       |FROM documents d,
       |  LATERAL (SELECT unnest(generate_series(0, ((LENGTH(d.text) - 1) // 100) * 100, 100))
       |    AS seg_start) s
+      |WHERE LENGTH(d.text) > 0
       |ORDER BY d.doc_id, s.seg_start""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -112,6 +112,21 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("edit-distance dedup respects the relative bound and the length prefilter") {
+    import spark.implicits._
+    val rows = Dedup.editDistance(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val maxLen = math.max(a.length, b.length)
+      assert(r.getInt(2) <= 0.3 * maxLen + 1e-9)
+      // the reported distance is at least the length difference
+      assert(r.getInt(2) >= math.abs(a.length - b.length))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 0.3)
+    }
+  }
+
   test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
     val rows = Templates.fuelEfficiency(spark, sfDir).collect()
     assert(rows.nonEmpty)
