@@ -112,19 +112,35 @@ class Round5Spec extends SparkSpec {
     }
   }
 
-  test("edit-distance dedup respects the relative bound and the length prefilter") {
+  test("edit-distance dedup: banded lev equals the exact distance within budget") {
     import spark.implicits._
     val rows = Dedup.editDistance(spark, sfDir).collect()
     val texts = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
     rows.foreach { r =>
       val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
-      val maxLen = math.max(a.length, b.length)
-      assert(r.getInt(2) <= 0.3 * maxLen + 1e-9)
-      // the reported distance is at least the length difference
-      assert(r.getInt(2) >= math.abs(a.length - b.length))
-      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 0.3)
+      val lev = r.getInt(2)
+      assert(lev >= 0 && lev <= 20)
+      // banded result is the true distance: at least the length gap,
+      // at most the reference full DP
+      assert(lev >= math.abs(a.length - b.length))
+      assert(lev == refLevenshtein(a, b), s"pair ${r.getLong(0)},${r.getLong(1)}")
     }
+  }
+
+  /** Reference full-DP Levenshtein (two-row iteration). */
+  private def refLevenshtein(a: String, b: String): Int = {
+    var prev = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1)
+      cur(0) = i
+      for (j <- 1 to b.length) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+      }
+      prev = cur
+    }
+    prev(b.length)
   }
 
   test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
