@@ -346,9 +346,17 @@ object Dedup {
       // length bound: lev >= |len_a - len_b|, so a pair whose length
       // gap already exceeds the budget never runs the banded DP
       .where(abs(col("len_a") - col("len_b")) <= lit(levBudget))
-      // banded DP: -1 means "exceeds the budget" — threshold as filter
-      .withColumn("lev", levenshtein(col("text_a"), col("text_b"), levBudget))
-      .where(col("lev") >= 0)
+      // banded DP (-1 = over budget), evaluated ONCE: a `where(lev
+      // >= 0)` above the projection gets pushed into the join
+      // condition and the DP runs twice per pair (measured 2× —
+      // §5a lesson 1's pushdown sibling). Filtering inside the
+      // generator leaves no Filter node to push: the empty array
+      // drops the over-budget pair, the 1-element array carries the
+      // distance through a single evaluation.
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
+        explode(expr(
+          s"filter(array(levenshtein(text_a, text_b, $levBudget)), l -> l >= 0)"))
+          .as("lev"))
       .withColumn("rel", r6(col("lev").cast("double") /
         greatest(col("len_a"), col("len_b"))))
       .select("id_a", "id_b", "lev", "rel")

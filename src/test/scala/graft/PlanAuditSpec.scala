@@ -155,6 +155,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("edit distance: the banded DP is evaluated exactly once per pair") {
+    val p = planStr(graft.dedup.Dedup.editDistance(spark, sfDir))
+    // a where(lev >= 0) above the projection gets pushed into the join
+    // condition → the DP runs twice per pair; the generator-filter
+    // shape keeps it to one evaluation
+    assert("levenshtein".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("nav summary: each leg aggregates partially before its shuffle") {
     val p = planStr(graft.spatial.Templates.navSummary(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
