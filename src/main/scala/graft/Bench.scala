@@ -16,7 +16,9 @@ object Bench {
     "sk_interval_join", "dedup_minhash_lsh", "dedup_components",
     "dedup_substring", "dedup_semantic", "ann_topk", "ann_ivf_topk", "text_tfidf",
     "pack_chunks", "mix_balance", "stream_bucket_agg",
-    "sk_interval_native", "sk_downsample_lttb", "pipeline_end_to_end")
+    "sk_interval_native", "sk_downsample_lttb", "pipeline_end_to_end",
+    "dedup_edit_distance", "text_boilerplate", "sample_temperature",
+    "embed_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
