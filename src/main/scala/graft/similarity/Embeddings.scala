@@ -527,7 +527,14 @@ object Embeddings {
     * mislabeled/degenerate vectors before training. Centroids and the
     * per-label p10 thresholds are tiny aggregates broadcast back; the
     * corpus is scanned twice but never shuffled (cos is a broadcast
-    * equi-join on label, the threshold another). */
+    * equi-join on label, the threshold another).
+    *
+    * Scale note (same caveat as sk_percentiles): the exact `percentile`
+    * aggregate buffers a label's cos values in one group — fine while
+    * label groups fit an executor; for percentiles over arbitrarily
+    * large labels swap in `approx_percentile(cos, 0.1, 10000)`, whose
+    * mergeable sketch keeps the partial-aggregation shape (the oracle
+    * here pins the exact variant). */
   def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroidsBase(spark, dir)
       .groupBy(col("label"))

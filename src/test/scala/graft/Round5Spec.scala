@@ -128,6 +128,27 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("round-5 operators are partition-count invariant") {
+    // the driver's session uses its own parallelism — results must not
+    // depend on how the input is split (decimal sums, unique-key
+    // orderings, deterministic hashes)
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).toSeq
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "boilerplate" -> (() => graft.text.Pipeline3.boilerplateScrub(spark, sfDir)),
+      "temperature" -> (() => graft.text.Pipeline3.sampleTemperature(spark, sfDir)),
+      "edit_distance" -> (() => Dedup.editDistance(spark, sfDir)),
+      "nav_summary" -> (() => Templates.navSummary(spark, sfDir)))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val base = ops.map { case (n, f) => n -> fingerprint(f()) }.toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      ops.foreach { case (n, f) =>
+        assert(fingerprint(f()) == base(n), s"$n diverged at 7 partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Reference full-DP Levenshtein (two-row iteration). */
   private def refLevenshtein(a: String, b: String): Int = {
     var prev = Array.tabulate(b.length + 1)(identity)
