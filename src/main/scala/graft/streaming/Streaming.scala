@@ -453,6 +453,46 @@ object Streaming {
   val streamTierMaintenanceOracle: String =
     graft.operators.TimeSeries.tierRollupRawOracle
 
+  // ------------------------------------------------------------- #42g
+  /** Streaming as-of enrichment: micro-batches of click events joined
+    * to each user's most recent view fix through the NATIVE
+    * [[graft.plans.AsOfJoin]] operator inside foreachBatch — the
+    * custom Catalyst exec node (logical node + strategy + merge-walk
+    * physical operator) composing with Structured Streaming, the
+    * live-enrichment shape of the reference's history lookups. As-of
+    * against a static quote side decomposes per probe row, so ANY
+    * micro-batch placement appends exactly the rows the one-shot join
+    * produces; the source is split into 3 files consumed one per
+    * trigger so the per-batch path is actually exercised. Oracle:
+    * the same DuckDB ASOF LEFT JOIN as sk_asof_join/sk_asof_native. */
+  def streamAsOf(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_asof_out").toString + "/enriched"
+    spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
+      .parquet(dir).where(col("event_type") === "click").repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    val quotes = spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
+      .parquet(dir).where(col("event_type") === "view")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .select("user_id", "ts_ms", "value", "event_id")
+    val q = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOfJoinNative.asOfJoin(
+          batch.select("event_id", "user_id", "ts_ms", "value"),
+          quotes, "user_id", "ts_ms", "value", "event_id")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("stream_asof"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("event_id")
+  }
+
   /** Stateful demo streams pay per-PARTITION state-store overhead
     * (instances × per-commit files), not per-row: the range join took
     * 8 s at 32 shuffle partitions and 3 s at 8 on identical data. Pin
@@ -474,7 +514,8 @@ object Streaming {
     "stream_dedup" -> (streamDedup _),
     "stream_episodes" -> (streamEpisodes _),
     "stream_export_sink" -> (streamExportSink _),
-    "stream_tier_maintenance" -> (streamTierMaintenance _)
+    "stream_tier_maintenance" -> (streamTierMaintenance _),
+    "stream_asof" -> (streamAsOf _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -487,5 +528,6 @@ object Streaming {
     "stream_dedup" -> streamDedupOracle,
     "stream_episodes" -> streamEpisodesOracle,
     "stream_export_sink" -> streamExportSinkOracle,
-    "stream_tier_maintenance" -> streamTierMaintenanceOracle)
+    "stream_tier_maintenance" -> streamTierMaintenanceOracle,
+    "stream_asof" -> graft.operators.AsOf.asOfOracle)
 }

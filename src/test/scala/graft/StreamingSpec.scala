@@ -80,6 +80,15 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_asof through the native operator equals the one-shot native join") {
+    val streamed = Streaming.streamAsOf(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    val oneShot = graft.plans.AsOfJoinNative.skAsOfNative(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_episodes matches the batch operator's completed rows") {
     import org.apache.spark.sql.functions.col
     val streamed = Streaming.streamEpisodes(spark, sfDir)
