@@ -184,11 +184,75 @@ object Templates {
       |FROM speed JOIN fuel USING (user_id, bucket_ms)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Battery-health analysis template's data feed (analysis-templates
+    * .ts:173: electrical.batteries.*.voltage) — per (vessel, day):
+    * sample count, mean/min voltage, low-voltage sample share, and the
+    * intra-day least-squares trend (discharge slope). `error` events
+    * play the voltage path. Same exact-decimal regression arithmetic
+    * as sk_trend_slope (degenerate day → NULL slope in both engines);
+    * one window for the day origin + one partial-aggregated shuffle. */
+  def batteryHealth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "day_ms")
+    val base = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .withColumn("day_ms", bucketOfMs(col("ts_ms"), 86400000L))
+      .withColumn("t0", min("ts_ms").over(w))
+      .withColumn("x", (col("ts_ms") - col("t0")).cast(DecimalType(38, 0)))
+      .withColumn("y", col("value").cast(DecimalType(18, 6)))
+    base.groupBy("user_id", "day_ms")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        min("value").as("min_voltage"),
+        count(when(col("value") < 50.0, 1)).as("n_low"))
+      .select(col("user_id"), col("day_ms"), col("n"),
+        r6(col("sy") / col("n")).as("mean_voltage"),
+        col("min_voltage"),
+        r6(col("n_low").cast("double") / col("n")).as("low_frac"),
+        when((col("n") * col("sxx") - col("sx") * col("sx")) > 0.0,
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * lit(86400000.0)))
+          .as("slope_per_day"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  val batteryHealthOracle: String =
+    """WITH base AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, value,
+      |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms
+      |  FROM events WHERE event_type = 'error'
+      |), xy AS (
+      |  SELECT user_id, day_ms, value,
+      |    CAST(ts_ms - MIN(ts_ms) OVER (PARTITION BY user_id, day_ms)
+      |      AS DECIMAL(38,0)) AS x,
+      |    CAST(value AS DECIMAL(18,6)) AS y
+      |  FROM base
+      |), sums AS (
+      |  SELECT user_id, day_ms, COUNT(*) AS n,
+      |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+      |    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx,
+      |    MIN(value) AS min_voltage,
+      |    COUNT(*) FILTER (WHERE value < 50.0) AS n_low
+      |  FROM xy GROUP BY 1, 2
+      |)
+      |SELECT user_id, day_ms, n,
+      |  ROUND(sy / n, 6) AS mean_voltage, min_voltage,
+      |  ROUND(CAST(n_low AS DOUBLE) / n, 6) AS low_frac,
+      |  CASE WHEN (n * sxx - sx * sx) > 0.0 THEN
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6)
+      |  END AS slope_per_day
+      |FROM sums ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_nav_summary" -> (navSummary _),
-    "sk_fuel_efficiency" -> (fuelEfficiency _))
+    "sk_fuel_efficiency" -> (fuelEfficiency _),
+    "sk_battery_health" -> (batteryHealth _))
 
   val oracles: Map[String, String] = Map(
     "sk_nav_summary" -> navSummaryOracle,
-    "sk_fuel_efficiency" -> fuelEfficiencyOracle)
+    "sk_fuel_efficiency" -> fuelEfficiencyOracle,
+    "sk_battery_health" -> batteryHealthOracle)
 }

@@ -164,6 +164,20 @@ class Round5Spec extends SparkSpec {
     prev(b.length)
   }
 
+  test("battery health: fractions bounded, min <= mean, slope null only when degenerate") {
+    val rows = Templates.batteryHealth(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(2)
+      assert(n > 0)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9) // min_voltage <= mean
+      val lf = r.getDouble(5)
+      assert(lf >= 0.0 && lf <= 1.0)
+      // a day with >= 2 samples on this dataset has distinct timestamps
+      if (n >= 2) assert(!r.isNullAt(6))
+    }
+  }
+
   test("fuel efficiency: bands are 5-aligned and efficiency = speed/fuel") {
     val rows = Templates.fuelEfficiency(spark, sfDir).collect()
     assert(rows.nonEmpty)
