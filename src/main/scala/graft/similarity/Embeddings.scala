@@ -579,8 +579,68 @@ object Embeddings {
        |FROM scored s JOIN th t USING (label)
        |ORDER BY s.vec_id""".stripMargin
 
+  // -------------------------------------------------------------- #40x
+  /** Int8 embedding quantization — the storage-compression step a
+    * 100 TB vector corpus needs (4 B float → 1 B code): per-DIMENSION
+    * min/max over the corpus (one posexplode aggregation, the same
+    * shape as [[embedCentroids]]), codes q = floor((x-min)/scale)
+    * clamped to [0,255], and the per-vector max reconstruction error
+    * as the quality audit. All IEEE add/sub/div on identical parquet
+    * doubles — bit-identical across engines, so even floor() agrees
+    * and the codes hash-match exactly. Constant dimensions (scale 0)
+    * code to 0 with zero error in both engines.
+    *
+    * Scale shape: the 64-row bounds table broadcasts back; the corpus
+    * is scanned, never shuffled; codes emit per (vec, dim) — at
+    * warehouse scale they reassemble into a byte array per vector
+    * (same transform-collect as kmeansAssign's centroid build). */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val dims = vecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("dim", col("pos") + 1)
+    val bounds = dims.groupBy("dim")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+    dims.join(broadcast(bounds), Seq("dim"))
+      .withColumn("q", when(col("scale") === 0.0, lit(0L)).otherwise(
+        least(greatest(floor((col("x") - col("lo")) / col("scale")), lit(0.0)), lit(255.0))
+          .cast("long")))
+      .withColumn("err", when(col("scale") === 0.0, lit(0.0)).otherwise(
+        abs(col("x") - (col("lo") + col("q") * col("scale")))))
+      .groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum("q").as("code_sum"),
+        round(max("err"), 6).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  val embedQuantizeOracle: String =
+    """WITH dims AS (
+      |  SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+      |  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+      |), bounds AS (
+      |  SELECT dim, MIN(x) AS lo, MAX(x) AS hi, (MAX(x) - MIN(x)) / 255.0 AS scale
+      |  FROM dims GROUP BY 1
+      |), coded AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale = 0.0 THEN 0
+      |      ELSE CAST(LEAST(GREATEST(FLOOR((x - lo) / scale), 0.0), 255.0) AS BIGINT)
+      |    END AS q,
+      |    CASE WHEN scale = 0.0 THEN 0.0
+      |      ELSE ABS(x - (lo + CASE WHEN scale = 0.0 THEN 0
+      |        ELSE CAST(LEAST(GREATEST(FLOOR((x - lo) / scale), 0.0), 255.0) AS BIGINT)
+      |      END * scale))
+      |    END AS err
+      |  FROM dims JOIN bounds USING (dim)
+      |)
+      |SELECT vec_id, COUNT(*) AS n_dims,
+      |  CAST(SUM(q) AS BIGINT) AS code_sum, ROUND(MAX(err), 6) AS max_err
+      |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_outliers" -> (embedOutliers _),
+    "embed_quantize" -> (embedQuantize _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
@@ -592,6 +652,7 @@ object Embeddings {
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersOracle,
+    "embed_quantize" -> embedQuantizeOracle,
     "ann_lsh_topk" -> annLshTopKOracle,
     "ann_ivf_topk" -> annIvfTopKOracle,
     "dedup_embedding" -> embeddingDedupOracle,

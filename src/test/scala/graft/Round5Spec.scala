@@ -164,6 +164,24 @@ class Round5Spec extends SparkSpec {
     prev(b.length)
   }
 
+  test("embed quantize: full dim coverage, codes bounded, error under one step") {
+    import org.apache.spark.sql.functions.{posexplode, max => smax, min => smin}
+    val rows = graft.similarity.Embeddings.embedQuantize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // the largest quantization step across dimensions bounds max_err
+    val step = Tables.embeddings(spark, sfDir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(((smax("x") - smin("x")) / 255.0).as("scale"))
+      .agg(smax("scale")).collect()(0).getDouble(0)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 64L) // n_dims
+      val cs = r.getLong(2)
+      assert(cs >= 0L && cs <= 64L * 255L)
+      val err = r.getDouble(3)
+      assert(err >= 0.0 && err <= step * 1.000001 + 1e-9, s"err=$err step=$step")
+    }
+  }
+
   test("battery health: fractions bounded, min <= mean, slope null only when degenerate") {
     val rows = Templates.batteryHealth(spark, sfDir).collect()
     assert(rows.nonEmpty)
