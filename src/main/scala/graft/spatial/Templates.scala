@@ -246,13 +246,88 @@ object Templates {
       |  END AS slope_per_day
       |FROM sums ORDER BY 1, 2""".stripMargin
 
+  /** Weather-impact analysis template's data feed (analysis-templates
+    * .ts:115: environment.wind vs vessel performance) — per (vessel,
+    * across days): day-aligned wind (`error` events) and speed
+    * (`click`) series, their means, and the Pearson correlation
+    * between them — "how does wind affect my speed", the template's
+    * headline statistic. Exact-decimal sums (sk_series_correlation's
+    * discipline) over per-day bucket means; degenerate vessels
+    * (single aligned day or zero variance) are filtered on the exact
+    * double expression both engines compute. */
+  def weatherImpact(spark: SparkSession, dir: String): DataFrame = {
+    def daily(tpe: String, out: String) =
+      Tables.events(spark, dir).where(col("event_type") === tpe)
+        .groupBy(col("user_id"),
+          bucketOfMs(col("ts_ms"), 86400000L).as("day_ms"))
+        .agg(r6(davg(col("value"))).as(out))
+    val wind = daily("error", "wind")
+    val speed = daily("click", "speed")
+    val wd = col("wind").cast(DecimalType(12, 6))
+    val sd = col("speed").cast(DecimalType(12, 6))
+    wind.join(speed, Seq("user_id", "day_ms"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(wd).cast("double").as("sw"),
+        sum(sd).cast("double").as("ss"),
+        sum(wd * sd).cast("double").as("sws"),
+        sum(wd * wd).cast("double").as("sww"),
+        sum(sd * sd).cast("double").as("sss"))
+      .withColumn("denom",
+        sqrt(col("n_buckets") * col("sww") - col("sw") * col("sw")) *
+          sqrt(col("n_buckets") * col("sss") - col("ss") * col("ss")))
+      .where(col("n_buckets") >= 2 && col("denom") > 0.0)
+      .select(col("user_id"), col("n_buckets"),
+        r6(col("sw") / col("n_buckets")).as("avg_wind"),
+        r6(col("ss") / col("n_buckets")).as("avg_speed"),
+        r6((col("n_buckets") * col("sws") - col("sw") * col("ss")) / col("denom"))
+          .as("pearson_r"))
+      .orderBy("user_id")
+  }
+
+  val weatherImpactOracle: String =
+    """WITH w AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms,
+      |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+      |      AS DECIMAL(12,6)) AS wind
+      |  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+      |), s AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms,
+      |    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value), 6)
+      |      AS DECIMAL(12,6)) AS speed
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+      |), sums AS (
+      |  SELECT w.user_id, COUNT(*) AS n_buckets,
+      |    CAST(SUM(wind) AS DOUBLE) AS sw, CAST(SUM(speed) AS DOUBLE) AS ss,
+      |    CAST(SUM(wind * speed) AS DOUBLE) AS sws,
+      |    CAST(SUM(wind * wind) AS DOUBLE) AS sww,
+      |    CAST(SUM(speed * speed) AS DOUBLE) AS sss
+      |  FROM w JOIN s ON w.user_id = s.user_id AND w.day_ms = s.day_ms
+      |  GROUP BY 1
+      |)
+      |SELECT user_id, n_buckets,
+      |  ROUND(sw / n_buckets, 6) AS avg_wind,
+      |  ROUND(ss / n_buckets, 6) AS avg_speed,
+      |  ROUND((n_buckets * sws - sw * ss) /
+      |    (SQRT(n_buckets * sww - sw * sw) * SQRT(n_buckets * sss - ss * ss)), 6)
+      |    AS pearson_r
+      |FROM sums
+      |WHERE n_buckets >= 2
+      |  AND SQRT(n_buckets * sww - sw * sw) * SQRT(n_buckets * sss - ss * ss) > 0.0
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_nav_summary" -> (navSummary _),
     "sk_fuel_efficiency" -> (fuelEfficiency _),
-    "sk_battery_health" -> (batteryHealth _))
+    "sk_battery_health" -> (batteryHealth _),
+    "sk_weather_impact" -> (weatherImpact _))
 
   val oracles: Map[String, String] = Map(
     "sk_nav_summary" -> navSummaryOracle,
     "sk_fuel_efficiency" -> fuelEfficiencyOracle,
-    "sk_battery_health" -> batteryHealthOracle)
+    "sk_battery_health" -> batteryHealthOracle,
+    "sk_weather_impact" -> weatherImpactOracle)
 }

@@ -182,6 +182,16 @@ class Round5Spec extends SparkSpec {
     }
   }
 
+  test("weather impact: r bounded, only vessels with >= 2 aligned days emit") {
+    val rows = Templates.weatherImpact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 2) // n_buckets
+      val pr = r.getDouble(4)
+      assert(pr >= -1.0 - 1e-6 && pr <= 1.0 + 1e-6)
+    }
+  }
+
   test("battery health: fractions bounded, min <= mean, slope null only when degenerate") {
     val rows = Templates.batteryHealth(spark, sfDir).collect()
     assert(rows.nonEmpty)
