@@ -39,7 +39,13 @@ object Templates {
     val ev = Tables.events(spark, dir)
       .withColumn("day_ms", bucketOfMs(col("ts_ms"), 86400000L))
 
-    // position leg: per-day track distance from consecutive fixes
+    // position leg: per-day track distance from consecutive fixes.
+    // The lag window is partitioned by vessel only (NOT by day), so a
+    // day's first fix measures the leg from the previous day's last fix
+    // and that overnight distance is attributed to the LATER day — the
+    // track is treated as one continuous line, matching how the
+    // reference's History API walks a vessel's fix stream across file
+    // (= day) boundaries. The oracle computes the same attribution.
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     val pos = ev.where(col("event_type") === "view")
       .select(col("user_id"), col("day_ms"), col("ts_ms"), col("event_id"),
@@ -73,10 +79,16 @@ object Templates {
         (sum(when(col("event_type") === "signup", round(cos(col("value")), 6))
             .cast(DecimalType(18, 6))).cast("double") /
           count(when(col("event_type") === "signup", 1))).as("avg_cos"))
-      // course concentration R in [0,1]: 1 = steady course, 0 = uniform
+      // course concentration R in [0,1]: 1 = steady course, 0 = uniform.
+      // Clamp at 0: per-row round(sin/cos, 6) lets R exceed 1.0 by ~1e-7
+      // on steady-course days, making 1-R a tiny negative whose rounded
+      // value is a SIGNED zero — Spark's HALF_UP drops the sign bit,
+      // DuckDB's ROUND keeps it, and the driver hashes bits. The spread
+      // is semantically >= 0, so greatest(0, .) is exact, not a fudge;
+      // the oracle clamps identically.
       .withColumn("course_spread",
-        r6(lit(1.0) - sqrt(col("avg_sin") * col("avg_sin") +
-          col("avg_cos") * col("avg_cos"))))
+        greatest(lit(0.0), r6(lit(1.0) - sqrt(col("avg_sin") * col("avg_sin") +
+          col("avg_cos") * col("avg_cos")))))
       .drop("avg_sin", "avg_cos")
 
     pos.join(sc, Seq("user_id", "day_ms"))
@@ -124,7 +136,8 @@ object Templates {
       |  FROM ev WHERE event_type IN ('click', 'signup') GROUP BY 1, 2)
       |SELECT dist.user_id, dist.day_ms, total_distance_m, n_fixes,
       |  avg_speed_mps, max_speed_mps, stationary_frac,
-      |  ROUND(1.0 - SQRT(avg_sin * avg_sin + avg_cos * avg_cos), 6) AS course_spread
+      |  GREATEST(0.0, ROUND(1.0 - SQRT(avg_sin * avg_sin + avg_cos * avg_cos), 6))
+      |    AS course_spread
       |FROM dist JOIN sc ON dist.user_id = sc.user_id AND dist.day_ms = sc.day_ms
       |ORDER BY 1, 2""".stripMargin
 

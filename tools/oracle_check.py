@@ -20,7 +20,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+def selftest():
+    """The gate must flag +0.0 vs -0.0 (the class the driver's bit hash
+    catches). Exits 0 iff the bit compare sees the mismatch."""
+    a = np.array([1.5, 0.0, float("nan")])
+    b = np.array([1.5, -0.0, float("nan")])
+    neq = a.view(np.int64) != b.view(np.int64)
+    same_nan = not (np.array([float("nan")]).view(np.int64)
+                    != np.array([float("nan")]).view(np.int64)).any()
+    ok = bool(neq[1]) and not neq[0] and same_nan
+    print("SELFTEST " + ("PASS: -0.0 vs +0.0 detected as mismatch" if ok
+                         else "FAIL: signed zero NOT detected"))
+    sys.exit(0 if ok else 1)
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -60,8 +75,14 @@ def main():
                         msgs.append(f"col {c}: dtype mismatch spark={a.dtype} duck={b.dtype} (cast oracle SUM/AVG to BIGINT/DOUBLE)")
                         continue
                     if a_f or b_f:
-                        af = a.astype(np.float64); bf = b.astype(np.float64)
-                        neq = ~((af == bf) | (np.isnan(af) & np.isnan(bf)))
+                        # BIT-exact, mirroring the driver's hash: compare the
+                        # raw float64 bit patterns, so +0.0 vs -0.0 (and NaN
+                        # payload differences) FAIL here exactly as they fail
+                        # the driver. A value compare (==) is blind to the
+                        # signed-zero class that round()-of-near-zero emits.
+                        af = np.ascontiguousarray(a.astype(np.float64))
+                        bf = np.ascontiguousarray(b.astype(np.float64))
+                        neq = af.view(np.int64) != bf.view(np.int64)
                     else:
                         neq = np.array([str(x) != str(y) for x, y in zip(a, b)])
                 except Exception as e:
