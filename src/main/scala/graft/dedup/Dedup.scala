@@ -28,7 +28,7 @@ object Dedup {
     * lambda, evaluated once. Callers must register it on the session
     * first ([[graft.functions.JaccardSim.register]]). */
   private[graft] def jaccard(a: Column, b: Column): Column =
-    round(call_function("graft_jaccard", a, b), 6)
+    graft.funcs.rN(call_function("graft_jaccard", a, b), 6)
 
   // --------------------------------------------------------------- #29
   /** Exact duplicate groups: md5(text) groupBy, keeper = min doc_id —
@@ -122,6 +122,30 @@ object Dedup {
     * Signatures: token → polynomial hash h; perm_i(h) = (aᵢ·h+bᵢ) mod
     * 1e9+7; sig[i] = min over tokens. All computed as nested array
     * expressions inside codegen, one row per doc. */
+  /** 128 (a, b) coefficient pairs for the universal hash family
+    * perm_i(h) = (a·h + b) mod 1e9+7, drawn from a splitmix64 stream —
+    * deterministic but WELL-MIXED. The original a_i = 2i+3,
+    * b_i = 1000003·i was linear in i, making the 128 "permutations"
+    * strongly correlated: one differing token could flip whole runs
+    * of signature positions together, so per-band independence (the
+    * 1-(1-j^r)^b recall bound) did not hold — measured at sf0.1 as 56
+    * qualifying pairs (j ≈ 0.96!) whose docs band-matched their
+    * cluster in NONE of the 16 bands. Independent-looking
+    * coefficients restore the bound; a ∈ [1, p-1] keeps each map a
+    * bijection, and a·h + b < 1.1e18 never overflows a Long. */
+  private[graft] lazy val minhashPerms: Array[(Long, Long)] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(128) { i =>
+      (java.lang.Math.floorMod(mix(2L * i), 1000000006L) + 1L,
+        java.lang.Math.floorMod(mix(2L * i + 1), 1000000007L))
+    }
+  }
+
   def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     graft.functions.JaccardSim.register(spark)
@@ -139,7 +163,8 @@ object Dedup {
         "transform(toks, t -> graft_polyhash(t, 31))"))
       .select(col("doc_id"), explode(col("thashes")).as("h"))
     val permCols = (0 until 128).map { i =>
-      min(pmod(lit(2L * i + 3) * col("h") + lit(1000003L * i), lit(1000000007L))).as(s"s$i")
+      val (a, b) = minhashPerms(i)
+      min(pmod(lit(a) * col("h") + lit(b), lit(1000000007L))).as(s"s$i")
     }
     val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
       .withColumn("sigarr", array((0 until 128).map(i => col(s"s$i")): _*))

@@ -30,7 +30,29 @@ object funcs {
   def davg(c: Column, scale: Int = 6): Column =
     dsum(c, scale) / count(c)
 
-  def r6(c: Column): Column = round(c, 6)
+  /** Cross-engine deterministic 6-dp rounding of a DOUBLE: round the
+    * SCALED value at scale 0, divide back — exactly DuckDB's
+    * ROUND(x, 6) (std::round(x*1e6)/1e6). Scale-0 rounding of a
+    * double is unambiguous: a shortest decimal repr of "X.5" is only
+    * emitted when the binary value IS exactly X.5 (X.5 is
+    * representable for X < 2^52), and for non-ties the shortest repr
+    * and the binary value sit on the same side of the boundary — so
+    * Spark's BigDecimal HALF_UP at scale 0 ≡ C's std::round. Spark's
+    * one-step round(x, 6) instead rounds the shortest DECIMAL repr at
+    * scale 6, which disagrees with DuckDB whenever the binary value
+    * and the repr straddle a 6th-decimal …5 strand — measured at
+    * sf0.1: sk_weather_impact avg_speed 32.074167 (Spark) vs
+    * 32.074166 (DuckDB; 32.0741665 the repr, 32.07416649999…96 the
+    * binary). Exact for |x| ≤ 2^53/1e6 ≈ 9.0e9. */
+  def r6(c: Column): Column = round(c * lit(1e6), 0) / lit(1e6)
+
+  /** [[r6]] at another scale (3 for millimeter distances, 1 for
+    * tenth-of-ms medians). 10^digits must be exactly representable —
+    * true for any digits ≤ 22. */
+  def rN(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    round(c * lit(p), 0) / lit(p)
+  }
 
   /** Millisecond time bucket: FLOOR(epoch_ms / res) * res — mirrors the
     * reference's bucketing (HistoryAPI.ts:826). Emitted as BIGINT so the

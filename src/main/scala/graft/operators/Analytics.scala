@@ -121,7 +121,7 @@ object Analytics {
       |)
       |SELECT user_id, event_type, n,
       |  CASE WHEN (n * sxx - sx * sx) > 0.0 THEN
-      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6)
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6) + 0.0
       |  END AS slope_per_day,
       |  ROUND(sy / n, 6) AS mean_level
       |FROM sums ORDER BY 1, 2""".stripMargin
@@ -186,7 +186,7 @@ object Analytics {
       |)
       |SELECT user_id, n_buckets,
       |  ROUND((n_buckets * sab - sa * sb) /
-      |    (SQRT(n_buckets * saa - sa * sa) * SQRT(n_buckets * sbb - sb * sb)), 6) AS pearson_r
+      |    (SQRT(n_buckets * saa - sa * sa) * SQRT(n_buckets * sbb - sb * sb)), 6) + 0.0 AS pearson_r
       |FROM sums
       |WHERE n_buckets >= 2
       |  AND SQRT(n_buckets * saa - sa * sa) * SQRT(n_buckets * sbb - sb * sb) > 0.0

@@ -29,7 +29,7 @@ object Angular {
       |  ROUND(ATAN2(
       |    CAST(SUM(CAST(ROUND(SIN(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value),
       |    CAST(SUM(CAST(ROUND(COS(value),6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value)
-      |  ), 6) AS angular_mean,
+      |  ), 6) + 0.0 AS angular_mean,
       |  COUNT(*) AS sample_count
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -46,8 +46,8 @@ object Angular {
       .groupBy(col("user_id"), col("event_type"),
         bucketOfMs(col("ts_ms"), 300000L).as("bucket_ms"))
       .agg(
-        sum(round(sin(col("value")), 6).cast(DecimalType(18, 6))).as("sin_sum"),
-        sum(round(cos(col("value")), 6).cast(DecimalType(18, 6))).as("cos_sum"),
+        sum(r6(sin(col("value"))).cast(DecimalType(18, 6))).as("sin_sum"),
+        sum(r6(cos(col("value"))).cast(DecimalType(18, 6))).as("cos_sum"),
         count(lit(1)).as("sample_count"))
     t5.groupBy(col("user_id"), col("event_type"),
         bucketOfMs(col("bucket_ms"), 3600000L).as("bucket_ms1h"))
@@ -80,9 +80,9 @@ object Angular {
       |  FROM t5 GROUP BY 1, 2, 3
       |)
       |SELECT user_id, event_type, bucket_ms,
-      |  ROUND(ATAN2(w_sin, w_cos), 6) AS value_avg,
-      |  ROUND(w_sin, 6) AS value_sin_avg,
-      |  ROUND(w_cos, 6) AS value_cos_avg,
+      |  ROUND(ATAN2(w_sin, w_cos), 6) + 0.0 AS value_avg,
+      |  ROUND(w_sin, 6) + 0.0 AS value_sin_avg,
+      |  ROUND(w_cos, 6) + 0.0 AS value_cos_avg,
       |  sample_count
       |FROM t1h ORDER BY user_id, event_type, bucket_ms""".stripMargin
 
@@ -97,8 +97,8 @@ object Angular {
     val ev = Tables.events(spark, dir)
     val angle = ev.where(col("event_type") === "click")
       .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
-      .agg(davg(round(sin(col("value")), 6)).as("sin_avg"),
-        davg(round(cos(col("value")), 6)).as("cos_avg"))
+      .agg(davg(r6(sin(col("value")))).as("sin_avg"),
+        davg(r6(cos(col("value")))).as("cos_avg"))
     val mag = ev.where(col("event_type") === "purchase")
       .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
       .agg(davg(col("value")).as("w"))
@@ -106,9 +106,9 @@ object Angular {
     // multiply in the decimal domain: DECIMAL(18,6)·DECIMAL(18,6) →
     // DECIMAL(·,12) is exact in both engines, so the weighted sums are
     // bit-stable (a double·double product cast to decimal is not).
-    val wD = round(col("w"), 6).cast(DecimalType(18, 6))
-    val sinD = round(col("sin_avg"), 6).cast(DecimalType(18, 6))
-    val cosD = round(col("cos_avg"), 6).cast(DecimalType(18, 6))
+    val wD = r6(col("w")).cast(DecimalType(18, 6))
+    val sinD = r6(col("sin_avg")).cast(DecimalType(18, 6))
+    val cosD = r6(col("cos_avg")).cast(DecimalType(18, 6))
     angle.join(mag, Seq("user_id", "bucket_ms"))
       .groupBy(col("user_id"),
         (floor(col("bucket_ms") / lit(86400000L)).cast("long") * lit(86400000L)).as("day_ms"))
@@ -140,7 +140,7 @@ object Angular {
       |      / CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6))) AS DOUBLE),
       |    CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6)) * CAST(ROUND(a.cos_avg,6) AS DECIMAL(18,6))) AS DOUBLE)
       |      / CAST(SUM(CAST(ROUND(m.w,6) AS DECIMAL(18,6))) AS DOUBLE)
-      |  ), 6) AS weighted_angle,
+      |  ), 6) + 0.0 AS weighted_angle,
       |  COUNT(*) AS n_buckets
       |FROM angle a JOIN mag m ON a.user_id = m.user_id AND a.bucket_ms = m.bucket_ms
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin

@@ -133,7 +133,7 @@ object AsOf {
         count(lit(1)).as("n_samples"),
         min("ts_ms").as("first_ts_ms"),
         max("ts_ms").as("last_ts_ms"),
-        round(median(col("delta_ms")), 1).as("median_interval_ms"),
+        rN(median(col("delta_ms")), 1).as("median_interval_ms"),
         max("delta_ms").as("max_gap_ms"),
         count(when(col("delta_ms") > 3600000L, 1)).as("n_gaps_1h"))
       .orderBy("user_id", "event_type")

@@ -60,8 +60,8 @@ object Gpx {
       else lit("")
     positions
       .withColumn("pt", concat(
-        lit("<trkpt lat=\""), round(col("lat"), 6).cast("string"),
-        lit("\" lon=\""), round(col("lon"), 6).cast("string"), lit("\">"),
+        lit("<trkpt lat=\""), r6(col("lat")).cast("string"),
+        lit("\" lon=\""), r6(col("lon")).cast("string"), lit("\">"),
         lit("<time>"),
         date_format(timestamp_millis(col("ts_ms")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
         lit("</time>"), extTags, lit("</trkpt>")))

@@ -51,7 +51,7 @@ object Spatial {
     * decision is identical in both engines. */
   def radiusFilter(spark: SparkSession, dir: String): DataFrame =
     positions(spark, dir)
-      .withColumn("dist_m", round(haversineM(col("lat"), col("lon"), lit(40.1), lit(-73.8)), 3))
+      .withColumn("dist_m", rN(haversineM(col("lat"), col("lon"), lit(40.1), lit(-73.8)), 3))
       .where(col("dist_m") <= 5000.0)
       .select("event_id", "user_id", "ts_ms", "dist_m")
       .orderBy("event_id")
@@ -141,7 +141,7 @@ object Spatial {
       .withColumn("prev_lat", lag("lat", 1).over(w))
       .withColumn("prev_lon", lag("lon", 1).over(w))
       .withColumn("dist_m", when(col("prev_lat").isNull, lit(0.0))
-        .otherwise(round(haversineM(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")), 3)))
+        .otherwise(rN(haversineM(col("prev_lat"), col("prev_lon"), col("lat"), col("lon")), 3)))
       .withColumn("day_ms", bucketOfMs(col("ts_ms"), 86400000L))
     withDist.groupBy("user_id", "day_ms")
       .agg(
@@ -218,7 +218,7 @@ object Spatial {
       col("lat").as("lat_b"), col("lon").as("lon_b"), col("cla"), col("clo"))
     a.join(b, Seq("bucket_ms", "cla", "clo"))
       .where(col("user_a") < col("user_b"))
-      .withColumn("dist_m", round(haversineM(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 3))
+      .withColumn("dist_m", rN(haversineM(col("lat_a"), col("lon_a"), col("lat_b"), col("lon_b")), 3))
       .where(col("dist_m") <= 2000.0)
       .select("bucket_ms", "user_a", "user_b", "dist_m")
       .orderBy("bucket_ms", "user_a", "user_b")
@@ -289,8 +289,8 @@ object Spatial {
       .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), res))
     val w = Window.partitionBy("user_id", "bucket_ms").orderBy("ts_ms", "event_id")
     val speedOk = (lat1: String, lon1: String, lat2: String, lon2: String, dtMs: org.apache.spark.sql.Column) =>
-      round(round(haversineM(col(lat1), col(lon1), col(lat2), col(lon2)), 3) /
-        greatest(dtMs / lit(1000.0), lit(0.001)), 6) <= maxSpeed
+      r6(rN(haversineM(col(lat1), col(lon1), col(lat2), col(lon2)), 3) /
+        greatest(dtMs / lit(1000.0), lit(0.001))) <= maxSpeed
     val scored = base
       .withColumn("prev_lat", lag("lat", 1).over(w))
       .withColumn("prev_lon", lag("lon", 1).over(w))
@@ -403,7 +403,7 @@ object Spatial {
        |  FROM b
        |)
        |SELECT event_id, user_id, ts_ms, bearing_deg,
-       |  ROUND((((bearing_deg - prev_bearing + 180.0) % 360.0 + 360.0) % 360.0) - 180.0, 6) AS turn_deg
+       |  ROUND((((bearing_deg - prev_bearing + 180.0) % 360.0 + 360.0) % 360.0) - 180.0, 6) + 0.0 AS turn_deg
        |FROM t WHERE prev_bearing IS NOT NULL
        |ORDER BY event_id""".stripMargin
 

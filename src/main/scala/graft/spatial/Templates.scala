@@ -53,7 +53,7 @@ object Templates {
       .withColumn("prev_lat", lag("lat", 1).over(w))
       .withColumn("prev_lon", lag("lon", 1).over(w))
       .withColumn("dist_m", when(col("prev_lat").isNull, lit(0.0))
-        .otherwise(round(haversineM(col("prev_lat"), col("prev_lon"),
+        .otherwise(rN(haversineM(col("prev_lat"), col("prev_lon"),
           col("lat"), col("lon")), 3)))
       .groupBy("user_id", "day_ms")
       .agg(
@@ -73,10 +73,10 @@ object Templates {
           r6(count(when(col("event_type") === "click" && col("value") < lit(5.0), 1))
             .cast("double") / count(when(col("event_type") === "click", 1))))
           .as("stationary_frac"),
-        (sum(when(col("event_type") === "signup", round(sin(col("value")), 6))
+        (sum(when(col("event_type") === "signup", r6(sin(col("value"))))
             .cast(DecimalType(18, 6))).cast("double") /
           count(when(col("event_type") === "signup", 1))).as("avg_sin"),
-        (sum(when(col("event_type") === "signup", round(cos(col("value")), 6))
+        (sum(when(col("event_type") === "signup", r6(cos(col("value"))))
             .cast(DecimalType(18, 6))).cast("double") /
           count(when(col("event_type") === "signup", 1))).as("avg_cos"))
       // course concentration R in [0,1]: 1 = steady course, 0 = uniform.
@@ -255,7 +255,7 @@ object Templates {
       |  ROUND(sy / n, 6) AS mean_voltage, min_voltage,
       |  ROUND(CAST(n_low AS DOUBLE) / n, 6) AS low_frac,
       |  CASE WHEN (n * sxx - sx * sx) > 0.0 THEN
-      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6)
+      |    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx) * 86400000.0, 6) + 0.0
       |  END AS slope_per_day
       |FROM sums ORDER BY 1, 2""".stripMargin
 
@@ -325,7 +325,7 @@ object Templates {
       |  ROUND(sw / n_buckets, 6) AS avg_wind,
       |  ROUND(ss / n_buckets, 6) AS avg_speed,
       |  ROUND((n_buckets * sws - sw * ss) /
-      |    (SQRT(n_buckets * sww - sw * sw) * SQRT(n_buckets * sss - ss * ss)), 6)
+      |    (SQRT(n_buckets * sww - sw * sw) * SQRT(n_buckets * sss - ss * ss)), 6) + 0.0
       |    AS pearson_r
       |FROM sums
       |WHERE n_buckets >= 2

@@ -202,7 +202,7 @@ object Pipeline2 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val total = toks.count().toDouble
     val lm = toks.groupBy("term").agg(count(lit(1)).as("tf"))
-      .withColumn("nlogp", round(-log(col("tf") / lit(total)), 6))
+      .withColumn("nlogp", r6(-log(col("tf") / lit(total))))
       .select("term", "nlogp")
     val scored = toks.join(broadcast(lm), "term")
       .groupBy("doc_id")

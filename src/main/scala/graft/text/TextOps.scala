@@ -55,12 +55,12 @@ object TextOps {
       .reduce(_ + _)
     Tables.documents(spark, dir)
       .withColumn("n_tokens", nTokens)
-      .withColumn("avg_token_len", round(charLen.cast("double") / col("n_tokens"), 6))
-      .withColumn("stop_ratio", round(stopHits.cast("double") / col("n_tokens"), 6))
-      .withColumn("quality", round(
+      .withColumn("avg_token_len", r6(charLen.cast("double") / col("n_tokens")))
+      .withColumn("stop_ratio", r6(stopHits.cast("double") / col("n_tokens")))
+      .withColumn("quality", r6(
         least(col("n_tokens") / 100.0, lit(1.0)) * 0.5 +
           col("stop_ratio") * 0.3 +
-          least(col("avg_token_len") / 8.0, lit(1.0)) * 0.2, 6))
+          least(col("avg_token_len") / 8.0, lit(1.0)) * 0.2))
       .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio", "quality")
       .orderBy("doc_id")
   }

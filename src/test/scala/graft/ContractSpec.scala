@@ -50,7 +50,7 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the gate is as wide as the round claims") {
-    // 135 oracle-checked queries as of round 5 — a shrink means a
+    // 136 oracle-checked queries as of round 6 — a shrink means a
     // module fell out of SparkEntry's merge
     assert(SparkEntry.queries.size >= 136)
     assert(SparkEntry.oracleSql.size >= 136)

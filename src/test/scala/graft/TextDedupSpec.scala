@@ -56,7 +56,7 @@ class TextDedupSpec extends SparkSpec {
       val b = docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-        .withColumn("j", round(col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
+        .withColumn("j", graft.funcs.rN(col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")), 6))
         .where(col("j") >= 0.95)
         .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
