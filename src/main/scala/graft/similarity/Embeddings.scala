@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.Tables
+import graft.funcs.{r6, rN}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +41,7 @@ object Embeddings {
   }
 
   private def cosine: Column =
-    round(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))), 6)
+    r6(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))))
 
   /** DuckDB equivalents of the same fold arithmetic. */
   private val vecsSql =
@@ -49,9 +50,14 @@ object Embeddings {
       |      embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS norm2
       |  FROM embeddings""".stripMargin
 
+  // The trailing `+ 0.0` on every rounded cosine/centroid below
+  // normalizes DuckDB's signed zero: a tiny-negative cosine rounds to
+  // -0.0 under DuckDB's ROUND but +0.0 under Spark's BigDecimal
+  // HALF_UP, and the driver hashes bits. `x + 0.0` is the identity for
+  // every double except -0.0 (which becomes +0.0, matching Spark).
   private val cosSql =
-    """ROUND(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-      | / (SQRT(a.norm2) * SQRT(b.norm2)), 6)""".stripMargin
+    """(ROUND(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+      | / (SQRT(a.norm2) * SQRT(b.norm2)), 6) + 0.0)""".stripMargin
 
   // --------------------------------------------------------------- #33
   /** Embedding-cosine near-duplicate pairs within label blocks,
@@ -98,9 +104,9 @@ object Embeddings {
     // cached: the assigned table feeds both self-join sides
     val assigned = vecs(spark, dir)
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(
+      .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
-          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+          (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("norm2"), col("cent_label").as("cluster"))
@@ -120,7 +126,7 @@ object Embeddings {
   val semanticDedupOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i AS dim,
-       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS c
        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
        |  GROUP BY 1, 2
@@ -134,7 +140,7 @@ object Embeddings {
        |scored AS (
        |  SELECT e.vec_id, e.v, e.norm2, c.cent_label,
        |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
-       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS ccos
+       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) + 0.0 AS ccos
        |  FROM e CROSS JOIN cents2 c
        |), asg AS (
        |  SELECT vec_id, v, norm2, cent_label AS cluster FROM (
@@ -191,17 +197,18 @@ object Embeddings {
     * [[annTopK]]. */
   /** Hyperplane weights, precomputed once on the driver: rounded sins
     * of the same deterministic grid the oracle recomputes in SQL.
-    * `Math.sin` + HALF_UP-6 is exactly what Spark's `round(sin(x), 6)`
-    * evaluates to, and the 6-dp rounding absorbs the ≤1-ulp libm
-    * disagreement with DuckDB — embedding them as a literal removes
-    * 24×64 interpreted sin evals per ROW (they are row-invariant; the
-    * lambda formulation recomputed them every time because
-    * higher-order lambdas don't constant-fold). */
+    * `Math.sin` + scale-0 HALF_UP on the ×1e6-scaled value is exactly
+    * [[graft.funcs.r6]] (≡ DuckDB's ROUND(x, 6) — see r6's scaladoc
+    * for why scale-0 is unambiguous), and the 6-dp rounding absorbs
+    * the ≤1-ulp libm disagreement with DuckDB — embedding them as a
+    * literal removes 24×64 interpreted sin evals per ROW (they are
+    * row-invariant; the lambda formulation recomputed them every time
+    * because higher-order lambdas don't constant-fold). */
   private lazy val lshWeights: Array[Array[Double]] =
     Array.tabulate(24) { tp =>
       Array.tabulate(64) { d =>
-        BigDecimal(math.sin((tp * 97 + d * 31).toDouble))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        BigDecimal.valueOf(math.sin((tp * 97 + d * 31).toDouble) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
       }
     }
 
@@ -282,8 +289,8 @@ object Embeddings {
       val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
       df.crossJoin(broadcast(centroids))
         .withColumn("ccos",
-          round(expr("graft_dot(v, v_c)") /
-            (sqrt(col("norm2")) * sqrt(col("norm2_c"))), 6))
+          r6(expr("graft_dot(v, v_c)") /
+            (sqrt(col("norm2")) * sqrt(col("norm2_c")))))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)
         .drop("v_c", "norm2_c", "ccos", "crank")
@@ -318,7 +325,7 @@ object Embeddings {
        |), assign AS (
        |  SELECT e.vec_id, c.cent_id,
        |    ROUND(list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.v_c[i]), (x, y) -> x + y)
-       |      / (SQRT(e.norm2) * SQRT(c.norm2_c)), 6) AS ccos
+       |      / (SQRT(e.norm2) * SQRT(c.norm2_c)), 6) + 0.0 AS ccos
        |  FROM e CROSS JOIN cent c
        |), ra AS (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
@@ -353,8 +360,8 @@ object Embeddings {
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
       .agg(
-        round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double") / count(lit(1)), 6).as("c"),
+        r6(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"),
         count(lit(1)).as("n_vectors"))
 
   def embedCentroids(spark: SparkSession, dir: String): DataFrame =
@@ -362,7 +369,7 @@ object Embeddings {
 
   val embedCentroidsOracle: String =
     """SELECT label, i AS dim,
-      |  ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c,
+      |  ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS c,
       |  COUNT(*) AS n_vectors
       |FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
       |CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
@@ -386,9 +393,9 @@ object Embeddings {
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
     vecs(spark, dir)
       .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(
+      .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
-          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+          (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("label"), col("cent_label").as("assigned"),
@@ -399,7 +406,7 @@ object Embeddings {
   val kmeansAssignOracle: String =
     """WITH comp AS (
       |  SELECT label, i AS dim,
-      |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+      |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS c
       |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
       |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
       |  GROUP BY 1, 2
@@ -417,7 +424,7 @@ object Embeddings {
       |), scored AS (
       |  SELECT e.vec_id, e.label, c.cent_label,
       |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
-      |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS ccos
+      |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) + 0.0 AS ccos
       |  FROM e CROSS JOIN cents2 c
       |)
       |SELECT vec_id, label, cent_label AS assigned, ccos AS cos FROM (
@@ -445,9 +452,9 @@ object Embeddings {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
     def estep() = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(
+      .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
-          (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+          (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
@@ -461,8 +468,8 @@ object Embeddings {
       cents = assign
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
-        .agg(round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
-          .cast("double") / count(lit(1)), 6).as("c"))
+        .agg(r6(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+          .cast("double") / count(lit(1))).as("c"))
         .groupBy("cid")
         .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("vc"))
         .withColumn("cnorm2", expr(
@@ -529,24 +536,42 @@ object Embeddings {
     * corpus is scanned twice but never shuffled (cos is a broadcast
     * equi-join on label, the threshold another).
     *
-    * Scale note (same caveat as sk_percentiles): the exact `percentile`
-    * aggregate buffers a label's cos values in one group — fine while
-    * label groups fit an executor; for percentiles over arbitrarily
-    * large labels swap in `approx_percentile(cos, 0.1, 10000)`, whose
-    * mergeable sketch keeps the partial-aggregation shape (the oracle
-    * here pins the exact variant). */
-  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    * Scale note (same caveat as sk_percentiles): an exact `percentile`
+    * aggregate buffers a label's cos values in ONE group — labels are
+    * few and huge at corpus scale, so that buffer is a straight OOM at
+    * 100 TB. The operator therefore defaults to
+    * `approx_percentile(cos, 0.1, 10000)`: a mergeable KLL-style
+    * sketch whose partial aggregation combines map-side, bounding
+    * per-group state by the sketch size, not the label size
+    * (PlanAuditSpec pins the partial-agg shape; SketchSpec bounds the
+    * sketch-vs-exact threshold disagreement). The exact variant
+    * survives only as [[embedOutliersExact]] — the oracle demo, since
+    * DuckDB's quantile_cont is exact. */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersImpl(spark, dir, exact = false)
+
+  /** Exact-percentile variant, kept ONLY as the oracle-checked demo
+    * (cross-engine bit-equality needs both engines exact). Production
+    * callers use [[embedOutliers]]. */
+  def embedOutliersExact(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersImpl(spark, dir, exact = true)
+
+  private[graft] def embedOutliersImpl(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
     val cents = centroidsBase(spark, dir)
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
       .withColumn("cnorm2", expr("graft_dot(vc, vc)"))
     val scored = vecs(spark, dir)
       .join(broadcast(cents), Seq("label"))
-      .withColumn("cos", round(
-        expr("graft_dot(v, vc)") / (sqrt(col("norm2")) * sqrt(col("cnorm2"))), 6))
+      .withColumn("cos", r6(
+        expr("graft_dot(v, vc)") / (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
       .select("vec_id", "label", "cos")
+    val p10agg =
+      if (exact) percentile(col("cos"), lit(0.1))
+      else expr("approx_percentile(cos, 0.1, 10000)")
     val thresholds = scored.groupBy("label")
-      .agg(round(percentile(col("cos"), lit(0.1)), 6).as("p10"))
+      .agg(r6(p10agg).as("p10"))
     scored.join(broadcast(thresholds), Seq("label"))
       .select(col("vec_id"), col("label"), col("cos"), col("p10"),
         (col("cos") < col("p10")).as("is_outlier"))
@@ -556,7 +581,7 @@ object Embeddings {
   val embedOutliersOracle: String =
     s"""WITH comp AS (
        |  SELECT label, i AS dim,
-       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) AS c
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS c
        |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
        |  GROUP BY 1, 2
@@ -570,10 +595,10 @@ object Embeddings {
        |), scored AS (
        |  SELECT e.vec_id, e.label,
        |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
-       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) AS cos
+       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) + 0.0 AS cos
        |  FROM e JOIN cents2 c USING (label)
        |), th AS (
-       |  SELECT label, ROUND(quantile_cont(cos, 0.1), 6) AS p10 FROM scored GROUP BY 1
+       |  SELECT label, ROUND(quantile_cont(cos, 0.1), 6) + 0.0 AS p10 FROM scored GROUP BY 1
        |)
        |SELECT s.vec_id, s.label, s.cos, t.p10, s.cos < t.p10 AS is_outlier
        |FROM scored s JOIN th t USING (label)
@@ -611,7 +636,7 @@ object Embeddings {
       .agg(
         count(lit(1)).as("n_dims"),
         sum("q").as("code_sum"),
-        round(max("err"), 6).as("max_err"))
+        r6(max("err")).as("max_err"))
       .orderBy("vec_id")
   }
 
@@ -639,7 +664,9 @@ object Embeddings {
       |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_outliers" -> (embedOutliers _),
+    // the oracle-checked demo pins the EXACT percentile (DuckDB's
+    // quantile_cont is exact); production default is the approx sketch
+    "embed_outliers" -> (embedOutliersExact _),
     "embed_quantize" -> (embedQuantize _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "dedup_embedding" -> (embeddingDedup _),
