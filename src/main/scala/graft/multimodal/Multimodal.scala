@@ -49,6 +49,51 @@ object Multimodal {
     }
   }
 
+  case class ImageFeature(doc_id: Long, width: Int, height: Int,
+      mean_luma: Double)
+
+  /** REAL image decode through the exact same seam as
+    * [[decodeFeatures]] — `javax.imageio` (pure JVM, no extra deps)
+    * replaces the stub inside the one-decoder-per-partition
+    * `mapPartitions` without the pipeline shape changing at all: the
+    * decoder instance (here the ImageIO reader context) is established
+    * per partition, records stream through it, typed features come
+    * out. This is the drop-in point a libjpeg/FFmpeg JNI decoder uses;
+    * MultimodalDecodeSpec drives a real PNG through it and asserts
+    * pixel-derived features. Payloads that are not decodable images
+    * yield a null-feature row (width -1) rather than poisoning the
+    * task — the per-record guard a 100 TB dirty corpus needs. */
+  def decodeImages(records: Dataset[MMRecord]): Dataset[ImageFeature] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // per-partition decoder context: ImageIO scanners are cached
+      // statically by the JVM; a JNI decoder would init here
+      it.map { r =>
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: java.io.IOException => null }
+        if (img == null) ImageFeature(r.doc_id, -1, -1, -1.0)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+              x += 1
+            }
+            y += 1
+          }
+          val mean = BigDecimal(sum / (w.toLong * h))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          ImageFeature(r.doc_id, w, h, mean)
+        }
+      }
+    }
+  }
+
   // --------------------------------------------------------------- #40
   /** documents.text → binary payload → batched decode → typed feature
     * frame. Oracle recomputes the same features relationally. */
@@ -170,7 +215,7 @@ object Multimodal {
         md5(col("segment").cast("binary")).as("seg_md5"),
         // codegen'd byte loop (graft.functions.PolyHash), not an
         // interpreted aggregate() lambda — §5a hot-path rule
-        round(expr("graft_polyhash(segment, 31)").mod(lit(1000L)) / lit(1000.0), 6)
+        graft.funcs.r6(expr("graft_polyhash(segment, 31)").mod(lit(1000L)) / lit(1000.0))
           .as("fake_rms"))
       .orderBy("doc_id", "seg_start")
   }
