@@ -179,9 +179,19 @@ object Pipeline3 {
     val maxWt = weights.agg(max("wt").as("max_wt"))
     val rates = weights.crossJoin(broadcast(maxWt))
       .select(col("lang"), r6(col("wt") / col("max_wt")).as("rate"))
-    // deterministic per-doc uniform in [0,1): Knuth multiplicative
-    // hash — integer arithmetic, bit-identical in any engine
-    val u = pmod(col("doc_id") * lit(2654435761L), lit(65536L)).cast("double") / 65536.0
+    // deterministic per-doc uniform in [0,1): integer arithmetic,
+    // bit-identical in any engine. The hash mixes doc_id as four
+    // 16-bit limbs with odd multipliers (each limb map is a bijection
+    // mod 2^16) so every intermediate stays < 2^34 — a single
+    // doc_id * 2654435761 product would wrap Long for doc_id ≳ 3.5e9
+    // (and DuckDB THROWS on BIGINT overflow where Spark wraps), so the
+    // one-multiply form breaks exactly at 100 TB corpus ids.
+    val u = pmod(
+      pmod(col("doc_id"), lit(65536L)) * lit(40503L) +
+        pmod(expr("doc_id div 65536"), lit(65536L)) * lit(45007L) +
+        pmod(expr("doc_id div 4294967296"), lit(65536L)) * lit(50021L) +
+        pmod(expr("doc_id div 281474976710656"), lit(65536L)) * lit(54973L),
+      lit(65536L)).cast("double") / 65536.0
     docs.join(broadcast(rates), Seq("lang"))
       .withColumn("sampled", u < col("rate"))
       .groupBy("lang")
@@ -203,7 +213,12 @@ object Pipeline3 {
       |  SELECT lang, ROUND(wt / (SELECT MAX(wt) FROM wts), 6) AS rate FROM wts),
       |flagged AS (
       |  SELECT d.lang, d.doc_id, r.rate,
-      |    (CAST((d.doc_id * 2654435761) % 65536 AS DOUBLE) / 65536.0) < r.rate AS sampled
+      |    (CAST((
+      |      (d.doc_id % 65536) * 40503 +
+      |      ((d.doc_id // 65536) % 65536) * 45007 +
+      |      ((d.doc_id // 4294967296) % 65536) * 50021 +
+      |      ((d.doc_id // 281474976710656) % 65536) * 54973
+      |    ) % 65536 AS DOUBLE) / 65536.0) < r.rate AS sampled
       |  FROM documents d JOIN rates r USING (lang))
       |SELECT lang, COUNT(*) AS n_total, MAX(rate) AS rate,
       |  COUNT(*) FILTER (WHERE sampled) AS n_sampled,
