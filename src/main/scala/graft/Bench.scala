@@ -53,21 +53,37 @@ object Bench {
         spark.catalog.clearCache()
       }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches between queries so one query's working set does
       // not pressure the next one's timing
       try spark.catalog.clearCache() catch { case _: Throwable => }
-      name -> dt
+      dt
     }
+    // Median-of-3 for the headline set: r6 measured a ×4.75 query-level
+    // swing between single-shot runs of IDENTICAL code, wider than the
+    // 2× perf gate itself — a single sample cannot gate anything. The
+    // long tail of non-headline queries stays single-shot to keep total
+    // bench wall time inside the driver's budget.
+    val headSet = headline.toSet
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val samples = SparkEntry.queries.map { case (name, fn) =>
+      val n = if (headSet(name)) repeats else 1
+      name -> Seq.fill(n)(timeOnce(fn)).sorted
+    }
+    val results = samples.map { case (name, ts) => name -> ts(ts.size / 2) }
     def r3(v: Double): String = f"$v%.3f"
     def dict(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // full map + raw per-query samples (spread) for local analysis only
+    val spread = samples.collect { case (k, ts) if ts.size > 1 =>
+      "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${r3(total)},"queries":${dict(results)},"sf":"$sfDir"}""")
+      s"""{"total":${r3(total)},"queries":${dict(results)},"samples":$spread,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val head = headline.flatMap(q => results.get(q).map(q -> _))
     val line =
