@@ -146,7 +146,15 @@ object Dedup {
     }
   }
 
-  def minHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minHashLsh(spark: SparkSession, dir: String): DataFrame =
+    minHashLshOn(Tables.documents(spark, dir))
+
+  /** Operator core over any (doc_id, text) frame — split out so specs
+    * can drive adversarial synthetic clusters through the REAL
+    * signature/banding/verify path (MinHashRecallSpec pins the
+    * correlated-permutation regression of SURVEY §5a #24). */
+  private[graft] def minHashLshOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     graft.functions.JaccardSim.register(spark)
     // repartition: the corpus arrives as one parquet split at test
@@ -156,7 +164,7 @@ object Dedup {
     // per (doc, token-hash) and 128 min-aggregates, instead of nested
     // higher-order lambdas (which Spark evaluates interpreted, ~20×
     // slower). The per-token char fold runs once per token.
-    val tokenHashes = Tables.documents(spark, dir)
+    val tokenHashes = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens.as("toks"))
       .withColumn("thashes", expr(
@@ -223,7 +231,7 @@ object Dedup {
     // shuffling millions of candidates twice. (At 100 TB the same
     // join is a shuffle join on doc_id — Spark picks it when the
     // build side exceeds the broadcast threshold.)
-    val toksById = Tables.documents(spark, dir).select(col("doc_id"), tokens.as("toks"))
+    val toksById = docs.select(col("doc_id"), tokens.as("toks"))
     candidates
       .join(broadcast(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
       .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
