@@ -484,6 +484,59 @@ object Embeddings {
     assign.select(col("vec_id"), col("cid").as("cluster"), col("ccos").as("cos"))
   }
 
+  /** Oracle-checked [[kmeansFit]] demo: k = 8, exactly 3 update
+    * rounds. The SQL oracle unrolls the 3 M-steps (+ 4 E-steps) as
+    * successive CTEs with the same decimal centroid means and
+    * rounded-cosine (ccos desc, cid) assignment ranking. Early
+    * convergence is immaterial: once assignments are stable, an
+    * M-step reproduces its centroids and the next E-step its
+    * assignment, so Spark's checksum early-exit and the oracle's
+    * unconditional unroll yield the identical frame — which is what
+    * makes an ITERATIVE operator hash-checkable at all. */
+  def kmeansFitDemo(spark: SparkSession, dir: String): DataFrame =
+    kmeansFit(vecs(spark, dir), 8, maxIters = 3).orderBy("vec_id")
+
+  private def kmFitEstepSql(cents: String, out: String): String =
+    s"""s_$out AS (
+       |  SELECT e.vec_id, e.v, e.norm2, c.cid,
+       |    ROUND(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.vc[i]), (x, y) -> x + y)
+       |      / (SQRT(e.norm2) * SQRT(c.cnorm2)), 6) + 0.0 AS ccos
+       |  FROM e CROSS JOIN $cents c
+       |), $out AS (
+       |  SELECT vec_id, v, norm2, cid, ccos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rnk
+       |    FROM s_$out)
+       |  WHERE rnk = 1
+       |)""".stripMargin
+
+  private def kmFitMstepSql(assign: String, out: String): String =
+    s"""comp_$out AS (
+       |  SELECT cid, i AS dim,
+       |    ROUND(CAST(SUM(CAST(v[i] AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS c
+       |  FROM $assign CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY 1, 2
+       |), $out AS (
+       |  SELECT cid, vc,
+       |    list_reduce(list_transform(range(1, len(vc) + 1), i -> vc[i] * vc[i]), (x, y) -> x + y) AS cnorm2
+       |  FROM (SELECT cid, list(c ORDER BY dim) AS vc FROM comp_$out GROUP BY 1)
+       |)""".stripMargin
+
+  val kmeansFitOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |c0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, v AS vc, norm2 AS cnorm2
+       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)
+       |),
+       |${kmFitEstepSql("c0", "a0")},
+       |${kmFitMstepSql("a0", "c1")},
+       |${kmFitEstepSql("c1", "a1")},
+       |${kmFitMstepSql("a1", "c2")},
+       |${kmFitEstepSql("c2", "a2")},
+       |${kmFitMstepSql("a2", "c3")},
+       |${kmFitEstepSql("c3", "a3")}
+       |SELECT vec_id, cid AS cluster, ccos AS cos FROM a3
+       |ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------- #35b
   /** Filtered ANN: top-5 cosine neighbors per probe among vectors
     * satisfying a metadata predicate (here: the probe's own label —
@@ -675,7 +728,8 @@ object Embeddings {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_filtered_topk" -> (annFilteredTopK _),
     "embed_centroids" -> (embedCentroids _),
-    "kmeans_assign" -> (kmeansAssign _))
+    "kmeans_assign" -> (kmeansAssign _),
+    "kmeans_fit" -> (kmeansFitDemo _))
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersOracle,
@@ -687,5 +741,6 @@ object Embeddings {
     "ann_topk" -> annTopKOracle,
     "ann_filtered_topk" -> annFilteredTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
-    "kmeans_assign" -> kmeansAssignOracle)
+    "kmeans_assign" -> kmeansAssignOracle,
+    "kmeans_fit" -> kmeansFitOracle)
 }
