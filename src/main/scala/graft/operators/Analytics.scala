@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.funcs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -224,25 +224,39 @@ object Analytics {
     * rank p·(n-1), the same definition DuckDB's quantile_cont uses;
     * outputs rounded to 6 dp for the cross-engine compare).
     *
-    * Scale note: exact percentiles need the group's values together —
-    * one shuffle on the path key, fine for per-path rollups whose
-    * groups fit an executor. For percentiles over arbitrary 100 TB
-    * slices the approximate companion is `approx_percentile` with a
-    * bounded error budget; it partial-aggregates map-side, trading
-    * exactness for a collect-free merge. The exact variant is the one
-    * an oracle can check. */
+    * Scale note: exact percentiles buffer a GROUP's values in one
+    * aggregation row — fine for per-path rollups whose groups fit an
+    * executor, a straight OOM for percentiles over huge groups (few
+    * event types × 100 TB). The operator therefore DEFAULTS to the
+    * mergeable `approx_percentile` sketch (map-side partial
+    * aggregation, state bounded by the sketch — same flip as
+    * [[graft.similarity.Embeddings.embedOutliers]]); the exact
+    * variant survives as [[percentilesExact]], the oracle-checked
+    * demo (DuckDB's quantile_cont is exact). */
   def percentiles(spark: SparkSession, dir: String): DataFrame =
+    percentilesImpl(spark, dir, exact = false)
+
+  /** Exact-percentile variant, kept ONLY as the oracle demo. */
+  def percentilesExact(spark: SparkSession, dir: String): DataFrame =
+    percentilesImpl(spark, dir, exact = true)
+
+  private def percentilesImpl(spark: SparkSession, dir: String,
+      exact: Boolean): DataFrame = {
+    def pct(q: Double): Column =
+      if (exact) percentile(col("value"), lit(q))
+      else expr(s"approx_percentile(value, $q, 10000)")
     ev(spark, dir)
       .groupBy("event_type")
       .agg(
         count(lit(1)).as("n"),
-        percentile(col("value"), lit(0.5)).as("p50_raw"),
-        percentile(col("value"), lit(0.9)).as("p90_raw"),
-        percentile(col("value"), lit(0.99)).as("p99_raw"))
+        pct(0.5).as("p50_raw"),
+        pct(0.9).as("p90_raw"),
+        pct(0.99).as("p99_raw"))
       .select(col("event_type"), col("n"),
         r6(col("p50_raw")).as("p50"), r6(col("p90_raw")).as("p90"),
         r6(col("p99_raw")).as("p99"))
       .orderBy("event_type")
+  }
 
   val percentilesOracle: String =
     """SELECT event_type, COUNT(*) AS n,
@@ -252,7 +266,9 @@ object Analytics {
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_percentiles" -> (percentiles _),
+    // oracle demo pins the exact percentiles; production default is
+    // the approx sketch (see percentiles' scaladoc)
+    "sk_percentiles" -> (percentilesExact _),
     "sk_anomaly_zscore" -> (anomalyZscore _),
     "sk_trend_slope" -> (trendSlope _),
     "sk_series_correlation" -> (seriesCorrelation _),
