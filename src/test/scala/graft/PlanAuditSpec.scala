@@ -124,6 +124,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(2000)) // the explodes
   }
 
+  test("text_perplexity default cuts terciles with the sketch") {
+    val p = planStr(graft.text.Pipeline2.perplexityBuckets(spark, sfDir))
+    assert(p.contains("partial_approx_percentile"), p.take(3000))
+    assert(!p.contains("partial_percentile("), p.take(3000))
+  }
+
   test("sk_percentiles default partial-aggregates the sketch") {
     val p = planStr(graft.operators.Analytics.percentiles(spark, sfDir))
     assert(p.contains("partial_approx_percentile"), p.take(3000))
