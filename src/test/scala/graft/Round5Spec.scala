@@ -138,7 +138,10 @@ class Round5Spec extends SparkSpec {
       "boilerplate" -> (() => graft.text.Pipeline3.boilerplateScrub(spark, sfDir)),
       "temperature" -> (() => graft.text.Pipeline3.sampleTemperature(spark, sfDir)),
       "edit_distance" -> (() => Dedup.editDistance(spark, sfDir)),
-      "nav_summary" -> (() => Templates.navSummary(spark, sfDir)))
+      "nav_summary" -> (() => Templates.navSummary(spark, sfDir)),
+      // iterative fixpoint: decimal M-steps + rounded-cosine E-steps
+      // must make every round partition-order independent
+      "kmeans_fit" -> (() => graft.similarity.Embeddings.kmeansFitDemo(spark, sfDir)))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val base = ops.map { case (n, f) => n -> fingerprint(f()) }.toMap
     try {
