@@ -149,21 +149,15 @@ object Dedup {
   def minHashLsh(spark: SparkSession, dir: String): DataFrame =
     minHashLshOn(Tables.documents(spark, dir))
 
-  /** Operator core over any (doc_id, text) frame — split out so specs
-    * can drive adversarial synthetic clusters through the REAL
-    * signature/banding/verify path (MinHashRecallSpec pins the
-    * correlated-permutation regression of SURVEY §5a #24). */
-  private[graft] def minHashLshOn(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    graft.functions.PolyHash.register(spark)
-    graft.functions.JaccardSim.register(spark)
-    // repartition: the corpus arrives as one parquet split at test
-    // scale; signature computation must fan out over all cores (at
-    // 100 TB the input splits provide this for free).
-    // Signature computation stays inside whole-stage codegen: one row
-    // per (doc, token-hash) and 128 min-aggregates, instead of nested
-    // higher-order lambdas (which Spark evaluates interpreted, ~20×
-    // slower). The per-token char fold runs once per token.
+  /** 128-perm MinHash signatures, one row per doc.
+    * Repartition: the corpus arrives as one parquet split at test
+    * scale; signature computation must fan out over all cores (at
+    * 100 TB the input splits provide this for free). The computation
+    * stays inside whole-stage codegen: one row per (doc, token-hash)
+    * and 128 min-aggregates, instead of nested higher-order lambdas
+    * (which Spark evaluates interpreted, ~20× slower). The per-token
+    * char fold runs once per token. */
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
     val tokenHashes = docs
       .repartition(col("doc_id"))
       .select(col("doc_id"), tokens.as("toks"))
@@ -174,9 +168,26 @@ object Dedup {
       val (a, b) = minhashPerms(i)
       min(pmod(lit(a) * col("h") + lit(b), lit(1000000007L))).as(s"s$i")
     }
-    val sigs = tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    tokenHashes.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
       .withColumn("sigarr", array((0 until 128).map(i => col(s"s$i")): _*))
       .select("doc_id", "sigarr")
+  }
+
+  /** 16 bands × 8 rows over a `sigarr` column, as band structs. */
+  private def bandStructs: Seq[Column] = (0 until 16).map { j =>
+    struct(lit(j).as("band_idx"),
+      hash((0 until 8).map(k => col("sigarr")(8 * j + k)): _*).as("band_key"))
+  }
+
+  /** Operator core over any (doc_id, text) frame — split out so specs
+    * can drive adversarial synthetic clusters through the REAL
+    * signature/banding/verify path (MinHashRecallSpec pins the
+    * correlated-permutation regression of SURVEY §5a #24). */
+  private[graft] def minHashLshOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.PolyHash.register(spark)
+    graft.functions.JaccardSim.register(spark)
+    val sigs = signatures(docs)
     // SIGNATURE COLLAPSE — the load-bearing step for a near-dup-
     // saturated corpus. Large duplicate clusters share the exact
     // 128-perm signature, so every band bucket they touch holds the
@@ -203,10 +214,6 @@ object Dedup {
     // Cross-group candidates: banded self-join over distinct-signature
     // representatives only, then expand each (group, group) hit to its
     // member pairs. groups is tiny relative to the corpus → broadcast.
-    val bandStructs = (0 until 16).map { j =>
-      struct(lit(j).as("band_idx"),
-        hash((0 until 8).map(k => col("sigarr")(8 * j + k)): _*).as("band_key"))
-    }
     val repBands = groups
       .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
       .select(col("gid"), col("band.band_idx"), col("band.band_key"))
@@ -248,6 +255,60 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
   }
+
+  // -------------------------------------------------------------- #31a
+  /** Incremental NEAR-DUP dedup: a new batch (doc_id < 50) banded
+    * against the persistent corpus store (doc_id ≥ 50) — the
+    * asymmetric join a crawl pipeline runs every ingest, and the
+    * near-dup analog of [[incrementalDedup]]'s exact-hash semi-join.
+    * The batch's band keys (tiny: |batch| × 16 rows) BROADCAST into an
+    * equi-join against the store's band keys, so the store is touched
+    * band-pruned only — never self-joined, never shuffled whole, and
+    * in production its signatures/bands are computed once at ingest
+    * and persisted (a column-pruned band table), so each new batch
+    * costs O(|batch| + matches), not O(|store|). Candidates then
+    * verify with exact Jaccard ≥ 0.95 exactly like [[minHashLsh]],
+    * with the same 1-(1-j⁸)¹⁶ recall bound (independent splitmix64
+    * permutation coefficients — §5a #24). Oracle: the exact
+    * batch × store answer. */
+  def minHashLshIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    graft.functions.JaccardSim.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bands = signatures(docs)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val batch = bands.where(col("doc_id") < 50)
+      .toDF("batch_id", "band_idx", "band_key")
+    val store = bands.where(col("doc_id") >= 50)
+      .toDF("store_id", "band_idx", "band_key")
+    val cands = broadcast(batch).join(store, Seq("band_idx", "band_key"))
+      .select("batch_id", "store_id").distinct()
+    val toks = docs.select(col("doc_id"), tokens.as("toks"))
+    cands
+      .join(broadcast(toks.toDF("batch_id", "toks_a")), "batch_id")
+      .join(broadcast(toks.toDF("store_id", "toks_b")), "store_id")
+      // same slack size-ratio prefilter as minHashLsh (round-6 window)
+      .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+        lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .where(col("jaccard") >= 0.95)
+      .select("batch_id", "store_id", "jaccard")
+      .orderBy("batch_id", "store_id")
+  }
+
+  /** Oracle: the exact batch × store answer. */
+  val minHashLshIncrementalOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+      |)
+      |SELECT a.doc_id AS batch_id, b.doc_id AS store_id,
+      |  ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < 50 AND b.doc_id >= 50
+      |WHERE ROUND(len(list_intersect(a.toks, b.toks))::DOUBLE /
+      |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6) >= 0.95
+      |ORDER BY 1, 2""".stripMargin
 
   /** Oracle: the exact O(n²) answer (tractable at verify scale). */
   val minHashLshOracle: String =
@@ -463,6 +524,7 @@ object Dedup {
     "dedup_exact" -> (exactDedup _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh" -> (minHashLsh _),
+    "dedup_incremental_lsh" -> (minHashLshIncremental _),
     "dedup_simhash" -> (simHash _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_edit_distance" -> (editDistance _))
@@ -471,6 +533,7 @@ object Dedup {
     "dedup_exact" -> exactDedupOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_incremental_lsh" -> minHashLshIncrementalOracle,
     "dedup_simhash" -> simHashOracle,
     "dedup_incremental" -> incrementalDedupOracle,
     "dedup_edit_distance" -> editDistanceOracle)

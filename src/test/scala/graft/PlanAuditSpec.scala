@@ -124,6 +124,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(2000)) // the explodes
   }
 
+  test("incremental LSH broadcasts the batch bands, store never self-joins") {
+    // the asymmetric crawl-ingest shape: batch (tiny) broadcast into
+    // the band equi-join, store touched band-pruned only
+    val p = planStr(graft.dedup.Dedup.minHashLshIncremental(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("text_perplexity default cuts terciles with the sketch") {
     val p = planStr(graft.text.Pipeline2.perplexityBuckets(spark, sfDir))
     assert(p.contains("partial_approx_percentile"), p.take(3000))
