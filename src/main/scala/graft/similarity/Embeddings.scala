@@ -716,6 +716,70 @@ object Embeddings {
       |  CAST(SUM(q) AS BIGINT) AS code_sum, ROUND(MAX(err), 6) AS max_err
       |FROM coded GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- #40y
+  /** Product quantization (the FAISS IVF-PQ compression step — the
+    * way a 100 TB vector corpus is actually stored for ANN): the
+    * 64-dim vector splits into m = 8 subvectors of 8 dims; each
+    * subvector is assigned to its nearest of k = 16 per-subspace
+    * codebook centroids (squared-L2, rounded, ties to the lower
+    * centroid id), so a 256-byte float vector becomes 8 four-bit
+    * codes (4 bytes, 64×) plus a shared 16×8-double codebook per
+    * subspace. [[embedQuantize]] is the scalar-int8 analog (4×); PQ
+    * is what real billion-vector indexes use because distances are
+    * computable FROM THE CODES via per-subspace lookup tables.
+    *
+    * Codebook here = the subvector slices of vectors 100-115 (the
+    * same deterministic fixed-slice training stand-in as
+    * [[annIvfTopK]]; production k-means-trains per subspace with
+    * [[kmeansFit]]). Distances run through the native codegen'd
+    * [[graft.functions.L2Distance]] (one index-ordered s += d·d
+    * loop, bit-identical to the oracle's fold — the expanded
+    * dot-product form would be a DIFFERENT IEEE order and is not
+    * used). Scale shape: the 128-row codebook broadcasts; the corpus
+    * explodes to 8 subvector rows per vector in place and never
+    * shuffles for the assignment. */
+  def embedPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    val subs = vecs(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
+        .as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
+    val codebook = subs
+      .where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("sub"), col("cent_id").as("code"), col("dist2"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val embedPqOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |subs AS (
+       |  SELECT vec_id, s.sub, list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS xs
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s
+       |),
+       |cb AS (
+       |  SELECT sub, vec_id - 100 AS cent_id, xs AS cs
+       |  FROM subs WHERE vec_id >= 100 AND vec_id < 116
+       |),
+       |scored AS (
+       |  SELECT t.vec_id, t.sub, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (t.xs[i] - c.cs[i]) * (t.xs[i] - c.cs[i])), (x, y) -> x + y), 6) AS dist2
+       |  FROM subs t JOIN cb c USING (sub)
+       |)
+       |SELECT vec_id, sub, cent_id AS code, dist2 FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cent_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk = 1
+       |ORDER BY vec_id, sub""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the oracle-checked demo pins the EXACT percentile (DuckDB's
     // quantile_cont is exact); production default is the approx sketch
@@ -729,7 +793,8 @@ object Embeddings {
     "ann_filtered_topk" -> (annFilteredTopK _),
     "embed_centroids" -> (embedCentroids _),
     "kmeans_assign" -> (kmeansAssign _),
-    "kmeans_fit" -> (kmeansFitDemo _))
+    "kmeans_fit" -> (kmeansFitDemo _),
+    "embed_pq" -> (embedPq _))
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersOracle,
@@ -742,5 +807,6 @@ object Embeddings {
     "ann_filtered_topk" -> annFilteredTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
     "kmeans_assign" -> kmeansAssignOracle,
-    "kmeans_fit" -> kmeansFitOracle)
+    "kmeans_fit" -> kmeansFitOracle,
+    "embed_pq" -> embedPqOracle)
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.functions.L2Distance
+import org.apache.spark.sql.functions._
+
+/** The native codegen L2Distance must agree bit-for-bit with the
+  * interpreted HOF fold formulation (which is what the DuckDB oracle
+  * computes), and mirror zip_with's null-on-length-mismatch
+  * semantics — same contract as [[DotProductSpec]]. */
+class L2DistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fold =
+    "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  test("native l2sq equals the HOF fold bit-for-bit on random vectors") {
+    L2Distance.register(spark)
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(200)((
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(8)(rnd.nextDouble() * 2 - 1)))
+    val rows = data.toDF("a", "b")
+      .select(expr("graft_l2sq(a, b)").as("native"), expr(fold).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h), s"$n != $h")
+    }
+  }
+
+  test("identical arrays give exactly +0.0; length mismatch gives NULL") {
+    L2Distance.register(spark)
+    val rows = Seq((Seq(1.5, -2.25), Seq(1.5, -2.25), Seq(1.0)))
+      .toDF("a", "b", "c")
+      .select(expr("graft_l2sq(a, b)").as("zero"), expr("graft_l2sq(a, c)").as("bad"))
+      .collect()
+    val z = rows(0).getDouble(0)
+    assert(z == 0.0 && java.lang.Double.doubleToRawLongBits(z) == 0L)
+    assert(rows(0).isNullAt(1))
+  }
+
+  test("pq assignment runs the native l2sq inside whole-stage codegen") {
+    val df = graft.similarity.Embeddings.embedPq(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_l2sq"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+}
