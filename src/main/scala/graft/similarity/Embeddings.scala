@@ -780,6 +780,97 @@ object Embeddings {
        |WHERE rnk = 1
        |ORDER BY vec_id, sub""".stripMargin
 
+  // -------------------------------------------------------------- #40z
+  /** PQ asymmetric-distance search (ADC — the reason PQ exists): each
+    * probe's approximate distance to every corpus vector is computed
+    * FROM THE CODES, as the sum over subspaces of l2²(probe-subvector,
+    * codebook[code]) — the corpus's floats are never touched, only its
+    * 4-bit codes and the shared 16×8 codebook. At index scale the
+    * per-probe work is a 16×8 lookup-table build plus one table lookup
+    * per (vector, subspace); here the lookup is the broadcast
+    * codebook join itself. Per-(probe, vector) partial distances are
+    * rounded then summed as DECIMAL (the [[graft.funcs.dsum]] rule:
+    * a float sum over a shuffled group is partition-order dependent,
+    * a decimal sum is not), so the ranking is bit-stable across
+    * engines and partitionings. Top-5 per probe, ties to the lower
+    * neighbor id; probes search the real corpus INCLUDING themselves
+    * at distance ~0 — self-match excluded like [[annTopK]]. */
+  def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    val subs = vecs(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
+        .as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
+    val codebook = subs
+      .where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
+    // corpus side: codes only (the embedPq assignment), floats dropped
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
+    val codes = subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
+      .withColumn("rnk", row_number().over(w0))
+      .where(col("rnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cent_id").as("code"))
+    val probes = subs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("xs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adist2"), col("neighbor_id"))
+    codes
+      .join(broadcast(codebook.withColumnRenamed("cent_id", "code")), Seq("sub", "code"))
+      .join(broadcast(probes), Seq("sub"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("part", r6(expr("graft_l2sq(xs, cs)")).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("part")).cast("double").as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("probe_id", "neighbor_id", "adist2", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  val annPqTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |subs AS (
+       |  SELECT vec_id, s.sub, list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS xs
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s
+       |),
+       |cb AS (
+       |  SELECT sub, vec_id - 100 AS cent_id, xs AS cs
+       |  FROM subs WHERE vec_id >= 100 AND vec_id < 116
+       |),
+       |scored AS (
+       |  SELECT t.vec_id, t.sub, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (t.xs[i] - c.cs[i]) * (t.xs[i] - c.cs[i])), (x, y) -> x + y), 6) AS dist2
+       |  FROM subs t JOIN cb c USING (sub)
+       |),
+       |codes AS (
+       |  SELECT vec_id AS neighbor_id, sub, cent_id AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cent_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk = 1
+       |),
+       |parts AS (
+       |  SELECT p.vec_id AS probe_id, k.neighbor_id,
+       |    CAST(ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i])), (x, y) -> x + y), 6)
+       |      AS DECIMAL(18,6)) AS part
+       |  FROM codes k
+       |  JOIN cb c ON c.sub = k.sub AND c.cent_id = k.code
+       |  JOIN subs p ON p.sub = k.sub AND p.vec_id < 5 AND p.vec_id <> k.neighbor_id
+       |),
+       |adist AS (
+       |  SELECT probe_id, neighbor_id, CAST(SUM(part) AS DOUBLE) AS adist2
+       |  FROM parts GROUP BY 1, 2
+       |)
+       |SELECT probe_id, neighbor_id, adist2, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+       |  FROM adist)
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the oracle-checked demo pins the EXACT percentile (DuckDB's
     // quantile_cont is exact); production default is the approx sketch
@@ -794,7 +885,8 @@ object Embeddings {
     "embed_centroids" -> (embedCentroids _),
     "kmeans_assign" -> (kmeansAssign _),
     "kmeans_fit" -> (kmeansFitDemo _),
-    "embed_pq" -> (embedPq _))
+    "embed_pq" -> (embedPq _),
+    "ann_pq_topk" -> (annPqTopK _))
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersOracle,
@@ -808,5 +900,6 @@ object Embeddings {
     "embed_centroids" -> embedCentroidsOracle,
     "kmeans_assign" -> kmeansAssignOracle,
     "kmeans_fit" -> kmeansFitOracle,
-    "embed_pq" -> embedPqOracle)
+    "embed_pq" -> embedPqOracle,
+    "ann_pq_topk" -> annPqTopKOracle)
 }

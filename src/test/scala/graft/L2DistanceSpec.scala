@@ -39,6 +39,29 @@ class L2DistanceSpec extends SparkSpec {
     assert(rows(0).isNullAt(1))
   }
 
+  test("pq ADC recall against exact L2 brute force is nontrivial") {
+    L2Distance.register(spark)
+    // exact L2 top-5 per probe over full 64-dim vectors
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d2"), col("neighbor_id"))
+    val exact = e.toDF("neighbor_id", "v").join(broadcast(probes))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("d2", expr("graft_l2sq(pv, v)"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = graft.similarity.Embeddings.annPqTopK(spark, sfDir)
+      .select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.1, s"recall $recall")
+    approx.groupBy(_._1).foreach { case (_, rs) => assert(rs.size == 5) }
+  }
+
   test("pq assignment runs the native l2sq inside whole-stage codegen") {
     val df = graft.similarity.Embeddings.embedPq(spark, sfDir)
     df.collect()
