@@ -68,7 +68,10 @@ object Bench {
     // long tail of non-headline queries stays single-shot to keep total
     // bench wall time inside the driver's budget.
     val headSet = headline.toSet
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // clamp to ≥1 (Seq.fill(0) would make the median index throw) and
+    // fall back to the default on a non-integer value
+    val repeats = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
     val samples = SparkEntry.queries.map { case (name, fn) =>
       val n = if (headSet(name)) repeats else 1
       name -> Seq.fill(n)(timeOnce(fn)).sorted

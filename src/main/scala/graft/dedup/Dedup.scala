@@ -283,11 +283,23 @@ object Dedup {
     val store = bands.where(col("doc_id") >= 50)
       .toDF("store_id", "band_idx", "band_key")
     val cands = broadcast(batch).join(store, Seq("band_idx", "band_key"))
-      .select("batch_id", "store_id").distinct()
+      .select("batch_id", "store_id").distinct().cache()
     val toks = docs.select(col("doc_id"), tokens.as("toks"))
+    // Verify inputs are pruned to candidate ids BEFORE broadcasting:
+    // the batch token table is O(|batch|) by definition, and the store
+    // side is semi-joined down to candidate store_ids (a broadcast
+    // semi-join — cands is tiny), so only O(matches) store token rows
+    // are ever broadcast. Without the prune, broadcast(toks) would
+    // ship the whole corpus token table to every executor — O(|store|)
+    // per batch, contradicting the O(|batch| + matches) cost claim.
+    val batchToks = toks.where(col("doc_id") < 50).toDF("batch_id", "toks_a")
+    val storeToks = toks
+      .join(broadcast(cands.select("store_id").distinct()),
+        col("doc_id") === col("store_id"), "leftsemi")
+      .toDF("store_id", "toks_b")
     cands
-      .join(broadcast(toks.toDF("batch_id", "toks_a")), "batch_id")
-      .join(broadcast(toks.toDF("store_id", "toks_b")), "store_id")
+      .join(broadcast(batchToks), "batch_id")
+      .join(broadcast(storeToks), "store_id")
       // same slack size-ratio prefilter as minHashLsh (round-6 window)
       .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
         lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))

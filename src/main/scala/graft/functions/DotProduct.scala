@@ -21,10 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * list_reduce), so results stay bit-for-bit unchanged.
   *
   * Mirrors zip_with's length semantics: arrays of different lengths
-  * yield NULL (zip_with pads with null, nulling the fold) — so even
-  * malformed input keeps cross-engine row sets in sync. */
+  * yield NULL (zip_with pads with null, nulling the fold), and a NULL
+  * element on either side also yields NULL (the fold's `+` propagates
+  * it) — so even malformed input keeps cross-engine row sets in sync.
+  * The per-element null branch is only emitted when an input's
+  * ArrayType declares containsNull; non-null schemas keep the
+  * branch-free loop. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -44,9 +55,14 @@ case class DotProduct(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val checkNulls = elementsMayBeNull
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
   }
@@ -55,6 +71,9 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck = if (elementsMayBeNull)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -62,9 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

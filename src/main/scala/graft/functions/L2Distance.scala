@@ -20,10 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * +)` bit-for-bit. The expanded form `dot(a,a) - 2·dot(a,b) +
   * dot(b,b)` is NOT used anywhere: it is a different IEEE evaluation
   * order and would break cross-engine hash equality. Length-mismatch
-  * arrays yield NULL (zip_with semantics), keeping malformed input
-  * row sets in sync across engines. */
+  * arrays yield NULL (zip_with semantics), and so does a NULL element
+  * on either side (the fold's `+` propagates it), keeping malformed
+  * input row sets in sync across engines. The per-element null branch
+  * is only emitted when an input's ArrayType declares containsNull. */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  private def elementsMayBeNull: Boolean = Seq(left, right).exists {
+    _.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -43,9 +52,11 @@ case class L2Distance(left: Expression, right: Expression)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
+      val checkNulls = elementsMayBeNull
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         val d = x.getDouble(i) - y.getDouble(i)
         s += d * d
         i += 1
@@ -58,6 +69,9 @@ case class L2Distance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val nullCheck = if (elementsMayBeNull)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -65,10 +79,11 @@ case class L2Distance(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    final double $d = $a.getDouble($i) - $b.getDouble($i);
          |    $s += $d * $d;
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
        """.stripMargin
     })

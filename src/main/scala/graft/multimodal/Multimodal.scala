@@ -69,9 +69,14 @@ object Multimodal {
       // per-partition decoder context: ImageIO scanners are cached
       // statically by the JVM; a JNI decoder would init here
       it.map { r =>
+        // NonFatal, not just IOException: imageio decoders throw
+        // RuntimeExceptions on malformed payloads too (CMMException
+        // for broken ICC profiles, IndexOutOfBounds in the JPEG
+        // reader) — all must degrade to the sentinel row, not kill
+        // the task.
         val img =
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) ImageFeature(r.doc_id, -1, -1, -1.0)
         else {
           val (w, h) = (img.getWidth, img.getHeight)

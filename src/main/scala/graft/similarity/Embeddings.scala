@@ -459,8 +459,13 @@ object Embeddings {
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
     var assign = estep().localCheckpoint()
+    // collision-resistant assignment digest: xor of xxhash64(vec_id,
+    // cid) — equality ⇒ identical assignment with overwhelming
+    // probability, unlike sum(cid*vec_id), which two distinct
+    // assignments can collide on and falsely early-exit the loop
     def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("cid") * col("vec_id")), lit(0L))).head.getLong(0)
+      df.agg(coalesce(expr("bit_xor(xxhash64(vec_id, cid))"), lit(0L)))
+        .head.getLong(0)
     var prev = checksum(assign)
     var iter = 0
     var converged = false
@@ -740,14 +745,8 @@ object Embeddings {
     * shuffles for the assignment. */
   def embedPq(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
-    val subs = vecs(spark, dir)
-      .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
-        .as("t"))
-      .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
-    val codebook = subs
-      .where(col("vec_id") >= 100 && col("vec_id") < 116)
-      .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
+    val subs = pqSubs(spark, dir)
+    val codebook = pqCodebook(subs)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
     subs.join(broadcast(codebook), Seq("sub"))
@@ -756,6 +755,33 @@ object Embeddings {
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("sub"), col("cent_id").as("code"), col("dist2"))
       .orderBy("vec_id", "sub")
+  }
+
+  /** m = 8 subvectors of 8 dims per vector — the PQ decomposition
+    * shared by [[embedPq]], [[annPqTopK]] and [[annIvfPqTopK]]. */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), explode(expr(
+        "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
+        .as("t"))
+      .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
+
+  /** Per-subspace 16-centroid codebook: the subvector slices of
+    * vectors 100-115 (fixed-slice training stand-in). */
+  private def pqCodebook(subs: DataFrame): DataFrame =
+    subs.where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
+
+  /** The corpus's PQ codes (the [[embedPq]] assignment, floats
+    * dropped) — the only per-vector state an ADC search touches. */
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
+    subs.join(broadcast(codebook), Seq("sub"))
+      .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
+      .withColumn("rnk", row_number().over(w0))
+      .where(col("rnk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cent_id").as("code"))
   }
 
   val embedPqOracle: String =
@@ -797,22 +823,10 @@ object Embeddings {
     * at distance ~0 — self-match excluded like [[annTopK]]. */
   def annPqTopK(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
-    val subs = vecs(spark, dir)
-      .select(col("vec_id"), explode(expr(
-        "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
-        .as("t"))
-      .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
-    val codebook = subs
-      .where(col("vec_id") >= 100 && col("vec_id") < 116)
-      .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
+    val subs = pqSubs(spark, dir)
+    val codebook = pqCodebook(subs)
     // corpus side: codes only (the embedPq assignment), floats dropped
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
-    val codes = subs.join(broadcast(codebook), Seq("sub"))
-      .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
-      .withColumn("rnk", row_number().over(w0))
-      .where(col("rnk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cent_id").as("code"))
+    val codes = pqCodes(subs, codebook)
     val probes = subs.where(col("vec_id") < 5)
       .select(col("vec_id").as("probe_id"), col("sub"), col("xs"))
     val w = org.apache.spark.sql.expressions.Window
@@ -871,6 +885,135 @@ object Embeddings {
        |WHERE rank <= 5
        |ORDER BY probe_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- #40ab
+  /** IVFADC — [[annIvfTopK]]'s coarse quantizer composed with
+    * [[annPqTopK]]'s asymmetric-distance search: the FAISS shape that
+    * actually serves billion-vector indexes (ref: signalk-parquet has
+    * no vector index; this is the training-pipeline extension at its
+    * full-scale composition). The coarse quantizer assigns every
+    * corpus vector to its nearest of 16 cells (the inverted lists —
+    * at ingest, once); a probe picks its nprobe = 4 nearest cells and
+    * runs ADC ONLY over the codes in those cells. Search cost per
+    * probe drops from O(n) code lookups ([[annPqTopK]]'s exhaustive
+    * scan) to O(n · nprobe / K): the candidate join keys on the
+    * probe's cell set, so ~3/4 of the corpus is never touched — at
+    * warehouse scale the code table is PARTITIONED BY cell and the
+    * pruning is partition pruning. Everything downstream of the
+    * candidate set is bit-identical to [[annPqTopK]]: rounded
+    * per-subspace partials, DECIMAL sum (partition-order-proof),
+    * top-5 per probe with ties to the lower neighbor id.
+    * PlanAuditSpec pins the pruning (ADC partials = 8 rows per
+    * candidate, candidates ≪ probes × corpus); the recall-vs-
+    * exhaustive-ADC bound lives in SketchSpec. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.L2Distance.register(spark)
+    val e = vecs(spark, dir)
+    // coarse quantizer: identical fixed-slice centroids + rounded-
+    // cosine assignment as annIvfTopK (crank ties to lower cent_id)
+    val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_c"), col("norm2").as("norm2_c"))
+    def assign(df: DataFrame, keep: Int): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("ccos", r6(expr("graft_dot(v, v_c)") /
+          (sqrt(col("norm2")) * sqrt(col("norm2_c")))))
+        .withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("v_c", "norm2_c", "ccos", "crank")
+    }
+    val lists = assign(e, 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
+    val probeCells = assign(e.where(col("vec_id") < 5), 4)
+      .select(col("vec_id").as("probe_id"), col("cent_id").as("bucket"))
+    // CELL PRUNING — the point of IVF: each (probe, neighbor) pair
+    // exists only when the neighbor's cell is one of the probe's
+    // nprobe cells. probeCells is 5×4 rows → broadcast; each neighbor
+    // lives in exactly one list, so pairs are unique by construction.
+    val cand = broadcast(probeCells).join(lists, Seq("bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id")
+    val subs = pqSubs(spark, dir)
+    val codebook = pqCodebook(subs)
+    val codes = pqCodes(subs, codebook)
+    val probes = subs.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("sub"), col("xs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("adist2"), col("neighbor_id"))
+    // ADC over the pruned candidate set only: 8 partials per pair,
+    // never 8 × corpus per probe
+    broadcast(cand).join(codes, Seq("neighbor_id"))
+      .join(broadcast(codebook.withColumnRenamed("cent_id", "code")), Seq("sub", "code"))
+      .join(broadcast(probes), Seq("sub", "probe_id"))
+      .withColumn("part", r6(expr("graft_l2sq(xs, cs)"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      .groupBy("probe_id", "neighbor_id")
+      .agg(sum(col("part")).cast("double").as("adist2"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select("probe_id", "neighbor_id", "adist2", "rank")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Full DuckDB oracle: the annIvfTopK assignment CTEs feeding the
+    * annPqTopK ADC CTEs, with parts restricted to the candidate set. */
+  val annIvfPqTopKOracle: String =
+    s"""WITH e AS ($vecsSql),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS v_c, norm2 AS norm2_c
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 116
+       |), assign AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.v_c[i]), (x, y) -> x + y)
+       |      / (SQRT(e.norm2) * SQRT(c.norm2_c)), 6) + 0.0 AS ccos
+       |  FROM e CROSS JOIN cent c
+       |), ra AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  FROM assign
+       |), lists AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS bucket FROM ra WHERE crank <= 1
+       |), pcells AS (
+       |  SELECT vec_id AS probe_id, cent_id AS bucket FROM ra WHERE vec_id < 5 AND crank <= 4
+       |), cand AS (
+       |  SELECT p.probe_id, l.neighbor_id
+       |  FROM pcells p JOIN lists l USING (bucket)
+       |  WHERE p.probe_id <> l.neighbor_id
+       |), subs AS (
+       |  SELECT vec_id, s.sub, list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS xs
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s
+       |), cb AS (
+       |  SELECT sub, vec_id - 100 AS cent_id, xs AS cs
+       |  FROM subs WHERE vec_id >= 100 AND vec_id < 116
+       |), scored AS (
+       |  SELECT t.vec_id, t.sub, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (t.xs[i] - c.cs[i]) * (t.xs[i] - c.cs[i])), (x, y) -> x + y), 6) AS dist2
+       |  FROM subs t JOIN cb c USING (sub)
+       |), codes AS (
+       |  SELECT vec_id AS neighbor_id, sub, cent_id AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cent_id) AS rnk
+       |    FROM scored)
+       |  WHERE rnk = 1
+       |), parts AS (
+       |  SELECT cd.probe_id, cd.neighbor_id,
+       |    CAST(ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i])), (x, y) -> x + y), 6)
+       |      AS DECIMAL(18,6)) AS part
+       |  FROM cand cd
+       |  JOIN codes k ON k.neighbor_id = cd.neighbor_id
+       |  JOIN cb c ON c.sub = k.sub AND c.cent_id = k.code
+       |  JOIN subs p ON p.sub = k.sub AND p.vec_id = cd.probe_id
+       |), adist AS (
+       |  SELECT probe_id, neighbor_id, CAST(SUM(part) AS DOUBLE) AS adist2
+       |  FROM parts GROUP BY 1, 2
+       |)
+       |SELECT probe_id, neighbor_id, adist2, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rank
+       |  FROM adist)
+       |WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the oracle-checked demo pins the EXACT percentile (DuckDB's
     // quantile_cont is exact); production default is the approx sketch
@@ -886,7 +1029,8 @@ object Embeddings {
     "kmeans_assign" -> (kmeansAssign _),
     "kmeans_fit" -> (kmeansFitDemo _),
     "embed_pq" -> (embedPq _),
-    "ann_pq_topk" -> (annPqTopK _))
+    "ann_pq_topk" -> (annPqTopK _),
+    "ann_ivfpq_topk" -> (annIvfPqTopK _))
 
   val oracles: Map[String, String] = Map(
     "embed_outliers" -> embedOutliersOracle,
@@ -901,5 +1045,6 @@ object Embeddings {
     "kmeans_assign" -> kmeansAssignOracle,
     "kmeans_fit" -> kmeansFitOracle,
     "embed_pq" -> embedPqOracle,
-    "ann_pq_topk" -> annPqTopKOracle)
+    "ann_pq_topk" -> annPqTopKOracle,
+    "ann_ivfpq_topk" -> annIvfPqTopKOracle)
 }

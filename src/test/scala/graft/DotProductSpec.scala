@@ -35,6 +35,19 @@ class DotProductSpec extends SparkSpec {
     assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
   }
 
+  test("NULL element on either side propagates NULL, matching the fold") {
+    DotProduct.register(spark)
+    val rows = spark.sql(
+      """SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS l,
+        |       graft_dot(array(1.0D, 2.0D), array(CAST(NULL AS DOUBLE), 2.0D)) AS r,
+        |       aggregate(zip_with(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D),
+        |         (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS hof
+        |FROM (SELECT 1)""".stripMargin).collect()
+    assert(rows(0).isNullAt(0), "null element left must give NULL")
+    assert(rows(0).isNullAt(1), "null element right must give NULL")
+    assert(rows(0).isNullAt(2), "fold reference must also be NULL")
+  }
+
   test("native dot participates in whole-stage codegen") {
     DotProduct.register(spark)
     val df = Tables.embeddings(spark, sfDir)

@@ -39,6 +39,20 @@ class L2DistanceSpec extends SparkSpec {
     assert(rows(0).isNullAt(1))
   }
 
+  test("NULL element on either side propagates NULL, matching the fold") {
+    L2Distance.register(spark)
+    // build arrays with a null element via SQL literals (containsNull)
+    val rows = spark.sql(
+      s"""SELECT graft_l2sq(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) AS l,
+         |       graft_l2sq(array(1.0D, 2.0D), array(CAST(NULL AS DOUBLE), 2.0D)) AS r,
+         |       ${fold.replace("a,", "array(1.0D, CAST(NULL AS DOUBLE)),")
+                      .replace(" b,", " array(1.0D, 2.0D),")} AS hof
+         |FROM (SELECT 1)""".stripMargin).collect()
+    assert(rows(0).isNullAt(0), "null element left must give NULL")
+    assert(rows(0).isNullAt(1), "null element right must give NULL")
+    assert(rows(0).isNullAt(2), "fold reference must also be NULL")
+  }
+
   test("pq ADC recall against exact L2 brute force is nontrivial") {
     L2Distance.register(spark)
     // exact L2 top-5 per probe over full 64-dim vectors
