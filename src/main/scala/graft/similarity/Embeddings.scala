@@ -905,23 +905,27 @@ object Embeddings {
     * PlanAuditSpec pins the pruning (ADC partials = 8 rows per
     * candidate, candidates ≪ probes × corpus); the recall-vs-
     * exhaustive-ADC bound lives in SketchSpec. */
-  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     graft.functions.L2Distance.register(spark)
     val e = vecs(spark, dir)
-    // coarse quantizer: identical fixed-slice centroids + rounded-
-    // cosine assignment as annIvfTopK (crank ties to lower cent_id)
+    // coarse quantizer: same fixed-slice centroids as annIvfTopK, but
+    // assigned by SQUARED L2 — the metric ADC ranks by. FAISS's
+    // IVFADC trains its coarse quantizer in the search metric so the
+    // cells align with the ranking; on this synthetic near-uniform
+    // corpus recall-vs-exhaustive-ADC measures 0.40 either way
+    // (distances concentrate), still well above the nprobe/K = 0.25
+    // random-cell baseline that SketchSpec bounds against.
     val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_c"), col("norm2").as("norm2_c"))
+      .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
     def assign(df: DataFrame, keep: Int): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+        .partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
       df.crossJoin(broadcast(centroids))
-        .withColumn("ccos", r6(expr("graft_dot(v, v_c)") /
-          (sqrt(col("norm2")) * sqrt(col("norm2_c")))))
+        .withColumn("cdist", r6(expr("graft_l2sq(v, v_c)")))
         .withColumn("crank", row_number().over(w))
         .where(col("crank") <= keep)
-        .drop("v_c", "norm2_c", "ccos", "crank")
+        .drop("v_c", "cdist", "crank")
     }
     val lists = assign(e, 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
@@ -931,9 +935,13 @@ object Embeddings {
     // exists only when the neighbor's cell is one of the probe's
     // nprobe cells. probeCells is 5×4 rows → broadcast; each neighbor
     // lives in exactly one list, so pairs are unique by construction.
-    val cand = broadcast(probeCells).join(lists, Seq("bucket"))
+    broadcast(probeCells).join(lists, Seq("bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select("probe_id", "neighbor_id")
+  }
+
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val cand = ivfPqCandidates(spark, dir)
     val subs = pqSubs(spark, dir)
     val codebook = pqCodebook(subs)
     val codes = pqCodes(subs, codebook)
@@ -961,15 +969,15 @@ object Embeddings {
   val annIvfPqTopKOracle: String =
     s"""WITH e AS ($vecsSql),
        |cent AS (
-       |  SELECT vec_id AS cent_id, v AS v_c, norm2 AS norm2_c
+       |  SELECT vec_id AS cent_id, v AS v_c
        |  FROM e WHERE vec_id >= 100 AND vec_id < 116
        |), assign AS (
        |  SELECT e.vec_id, c.cent_id,
-       |    ROUND(list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.v_c[i]), (x, y) -> x + y)
-       |      / (SQRT(e.norm2) * SQRT(c.norm2_c)), 6) + 0.0 AS ccos
+       |    ROUND(list_reduce(list_transform(range(1, 65),
+       |      i -> (e.v[i] - c.v_c[i]) * (e.v[i] - c.v_c[i])), (x, y) -> x + y), 6) AS cdist
        |  FROM e CROSS JOIN cent c
        |), ra AS (
-       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crank
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cent_id) AS crank
        |  FROM assign
        |), lists AS (
        |  SELECT vec_id AS neighbor_id, cent_id AS bucket FROM ra WHERE crank <= 1

@@ -194,6 +194,22 @@ class PlanAuditSpec extends SparkSpec {
     assert("levenshtein".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("ivfpq: ADC runs over the pruned candidate set, not the corpus") {
+    // cell pruning must cut the ADC work below the exhaustive
+    // probes × corpus scan — with 16 cells and nprobe=4, candidates
+    // land near n/4 per probe; assert a hard < 60% bound
+    val corpus = Tables.embeddings(spark, sfDir).count()
+    val probes = 5L
+    val cand = graft.similarity.Embeddings.ivfPqCandidates(spark, sfDir).count()
+    assert(cand > 0, "candidate set must be non-empty")
+    assert(cand < 0.6 * probes * corpus,
+      s"cand=$cand not pruned vs probes*corpus=${probes * corpus}")
+    // and the join shape: candidates broadcast into the code table
+    val p = planStr(graft.similarity.Embeddings.annIvfPqTopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+  }
+
   test("nav summary: each leg aggregates partially before its shuffle") {
     val p = planStr(graft.spatial.Templates.navSummary(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
