@@ -179,6 +179,14 @@ object Dedup {
       hash((0 until 8).map(k => col("sigarr")(8 * j + k)): _*).as("band_key"))
   }
 
+  /** (doc_id, band_idx, band_key) rows for a (doc_id, text) frame —
+    * the persisted form of an LSH index ([[minHashLshIncremental]]'s
+    * store, [[graft.streaming.Streaming]]'s streaming near-dup). */
+  private[graft] def bandRows(docs: DataFrame): DataFrame =
+    signatures(docs)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+
   /** Operator core over any (doc_id, text) frame — split out so specs
     * can drive adversarial synthetic clusters through the REAL
     * signature/banding/verify path (MinHashRecallSpec pins the
@@ -275,9 +283,7 @@ object Dedup {
     graft.functions.PolyHash.register(spark)
     graft.functions.JaccardSim.register(spark)
     val docs = Tables.documents(spark, dir)
-    val bands = signatures(docs)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val bands = bandRows(docs)
     val batch = bands.where(col("doc_id") < 50)
       .toDF("batch_id", "band_idx", "band_key")
     val store = bands.where(col("doc_id") >= 50)

@@ -493,6 +493,91 @@ object Streaming {
     spark.read.parquet(outDir).orderBy("event_id")
   }
 
+  // ------------------------------------------------------------- #42h
+  /** Streaming near-dup dedup: the [[graft.dedup.Dedup]] LSH pipeline
+    * run per micro-batch against a persistent signature store — the
+    * shape a crawl pipeline runs at every ingest. Each arriving batch
+    * (3 files, one per trigger) is (a) near-dup'd against ITSELF via
+    * the full batch operator (signature collapse + 16×8 banding +
+    * exact-Jaccard verify — [[graft.dedup.Dedup.minHashLshOn]]), and
+    * (b) banded against the store of all earlier arrivals: the
+    * batch's band keys (tiny) BROADCAST into the persisted band
+    * table, candidates verify against store tokens semi-join-pruned
+    * to candidate ids first (never the whole store —
+    * the [[graft.dedup.Dedup.minHashLshIncremental]] discipline).
+    * Then the batch's bands + tokens APPEND to the store: in
+    * production the signature store is exactly this — computed once
+    * per doc at ingest, immutable, partitioned by band_key.
+    *
+    * Batch equivalence is structural: an unordered pair is emitted
+    * exactly once — by (a) if both docs share a trigger, by (b) when
+    * its later member arrives — so the union over triggers IS the
+    * one-shot [[graft.dedup.Dedup.minHashLsh]] answer, and the oracle
+    * is the same exact O(n²) SQL. StreamingSpec additionally pins
+    * set-equality against the one-shot batch run and that cross-
+    * trigger pairs actually occurred (≥3 triggers exercised). */
+  def streamDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Dedup
+    graft.functions.PolyHash.register(spark)
+    graft.functions.JaccardSim.register(spark)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lshsrc").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_lshstore").toString
+    val bandsDir = base + "/bands"; val toksDir = base + "/toks"
+    val outDir = base + "/pairs"
+    spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        // the batch feeds three distinct plans (within-pairs, band
+        // keys, tokens) — pin it so the file scan runs once
+        val b = batch.select("doc_id", "text").localCheckpoint()
+        val within = Dedup.minHashLshOn(b).select("id_a", "id_b", "jaccard")
+        val bBands = Dedup.bandRows(b)
+        val bToks = b.select(col("doc_id"), Dedup.tokens.as("toks"))
+        val cross = if (fs.exists(new org.apache.hadoop.fs.Path(bandsDir))) {
+          val storeBands = sp.read.parquet(bandsDir)
+          val cands = broadcast(bBands.toDF("batch_id", "band_idx", "band_key"))
+            .join(storeBands.toDF("store_id", "band_idx", "band_key"),
+              Seq("band_idx", "band_key"))
+            .select("batch_id", "store_id").distinct().cache()
+          val storeToks = sp.read.parquet(toksDir)
+            .join(broadcast(cands.select("store_id").distinct()),
+              col("doc_id") === col("store_id"), "leftsemi")
+            .toDF("store_id", "toks_b")
+          cands
+            .join(broadcast(bToks.toDF("batch_id", "toks_a")), "batch_id")
+            .join(broadcast(storeToks), "store_id")
+            // same slack size-ratio prefilter as minHashLsh
+            .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+              lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
+            .withColumn("jaccard", Dedup.jaccard(col("toks_a"), col("toks_b")))
+            .where(col("jaccard") >= 0.95)
+            .select(least(col("batch_id"), col("store_id")).as("id_a"),
+              greatest(col("batch_id"), col("store_id")).as("id_b"),
+              col("jaccard"))
+        } else within.limit(0)
+        within.unionAll(cross).write.mode("append").parquet(outDir)
+        // ingest: the batch joins the store
+        bBands.write.mode("append").parquet(bandsDir)
+        bToks.write.mode("append").parquet(toksDir)
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("stream_dedup_lsh"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir).orderBy("id_a", "id_b")
+  }
+
   /** Stateful demo streams pay per-PARTITION state-store overhead
     * (instances × per-commit files), not per-row: the range join took
     * 8 s at 32 shuffle partitions and 3 s at 8 on identical data. Pin
@@ -515,7 +600,8 @@ object Streaming {
     "stream_episodes" -> (streamEpisodes _),
     "stream_export_sink" -> (streamExportSink _),
     "stream_tier_maintenance" -> (streamTierMaintenance _),
-    "stream_asof" -> (streamAsOf _)
+    "stream_asof" -> (streamAsOf _),
+    "stream_dedup_lsh" -> (streamDedupLsh _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -529,5 +615,6 @@ object Streaming {
     "stream_episodes" -> streamEpisodesOracle,
     "stream_export_sink" -> streamExportSinkOracle,
     "stream_tier_maintenance" -> streamTierMaintenanceOracle,
-    "stream_asof" -> graft.operators.AsOf.asOfOracle)
+    "stream_asof" -> graft.operators.AsOf.asOfOracle,
+    "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle)
 }

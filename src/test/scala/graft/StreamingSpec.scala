@@ -89,6 +89,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_dedup_lsh equals the one-shot batch answer, with cross-trigger pairs") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamDedupLsh(spark, sfDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.dedup.Dedup.minHashLsh(spark, sfDir)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+    // the arrival split is the same doc_id range partitioning the
+    // operator writes; a pair spanning two ranges can only have been
+    // found via the store path — proof the per-trigger band join ran
+    val pid = Tables.documents(spark, sfDir)
+      .repartitionByRange(3, col("doc_id"))
+      .select(col("doc_id"), spark_partition_id().as("pid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.exists { case (a, b) => pid(a) != pid(b) },
+      "no cross-trigger pair found — store path never exercised")
+  }
+
   test("stream_episodes matches the batch operator's completed rows") {
     import org.apache.spark.sql.functions.col
     val streamed = Streaming.streamEpisodes(spark, sfDir)
