@@ -59,6 +59,57 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(out(2L).width == 8)
   }
 
+  /** 2:1 box-filter downscale (each output pixel = the mean of its
+    * 2×2 source block) re-encoded as PNG — a true thumbnail, the
+    * real-pixel analog of mm_resize's byte decimation. */
+  private def boxHalf(payload: Array[Byte]): Array[Byte] = {
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val (w, h) = (img.getWidth / 2, img.getHeight / 2)
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      var sum = 0
+      for (dy <- 0 to 1; dx <- 0 to 1) {
+        val rgb = img.getRGB(2 * x + dx, 2 * y + dy)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      }
+      val g = sum / 12
+      out.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real-PNG pHash is stable under a 2:1 box-filter resize; banding finds the pair") {
+    // varied but smooth 32×32 image: block-averaged 8×8 grids of the
+    // original and its true 2:1 thumbnail agree up to rounding, so
+    // the dHash comparisons — and hence the fingerprint — survive
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val g = (128 + 100 * math.sin(x * 0.55) * math.cos(y * 0.35)).toInt.max(0).min(255)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    val orig = bos.toByteArray
+    val thumb = boxHalf(orig)
+    val junk = Array[Byte](9, 9, 9)
+    val out = Multimodal.imagePhash(spark.createDataset(Seq(
+      MMRecord(1L, orig), MMRecord(2L, thumb), MMRecord(3L, junk))).repartition(2))
+      .collect().map(f => f.doc_id -> f.phash).toMap
+    assert(out(3L) == -1L, "junk must hit the sentinel")
+    val hamming = java.lang.Long.bitCount(out(1L) ^ out(2L))
+    assert(hamming <= 3, s"pHash not resize-stable: hamming $hamming")
+    // and the pigeonhole banding that mmPhashDedup joins on must
+    // put the pair in at least one common bucket
+    val bandsOf = (fp: Long) => (0 until 4).map(b => (b, (fp >> (14 * b)) & 16383L)).toSet
+    assert((bandsOf(out(1L)) & bandsOf(out(2L))).nonEmpty,
+      "orig and thumbnail share no band — banding would miss the pair")
+    assert((bandsOf(out(1L)) & bandsOf(out(3L))).isEmpty ||
+      java.lang.Long.bitCount(out(1L) ^ out(3L)) > 3,
+      "junk must not verify as a near-dup")
+  }
+
   test("round-trip: stub and real decoder share the pipeline signature") {
     // the same Dataset[MMRecord] feeds both decoders — the seam is the
     // type, not the implementation
