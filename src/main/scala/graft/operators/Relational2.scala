@@ -98,6 +98,101 @@ object Relational2 {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Scoped session confs: set, run, restore — the conf must hold at
+    * EXECUTION time, so callers materialize inside the scope. */
+  private[graft] def withConfs[A](spark: SparkSession, kvs: (String, String)*)(body: => A): A = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The conf scope under which [[skewJoinPlan]] runs: broadcast off
+    * (a broadcast join would sidestep the skew instead of
+    * demonstrating AQE handling it), skew detection thresholds sized
+    * to test-scale shuffle bytes (at warehouse scale the 256 MB
+    * defaults do this), and forceOptimizeSkewedJoin because the
+    * post-join aggregation reuses the join's hash partitioning — the
+    * split breaks that reuse, and AQE would otherwise decline to
+    * split rather than add the (trivial, 4-group) extra exchange. */
+  private[graft] def withSkewConfs[A](spark: SparkSession)(body: => A): A =
+    withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      // the split target is floored by minPartitionSize (default
+      // 1 MB) — above the whole test-scale hot partition, which
+      // silently disables the split
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8192",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")(body)
+
+  /** The deliberately-skewed join: 97% of lineitem rows collapse onto
+    * skew_key 0 (keys 0-96 fold together; 97-99 stay), joined 1:1
+    * against the 4-row per-key order-count dim. One shuffle partition
+    * holds ~97% of the probe bytes — the hot-key shape that kills a
+    * plain sort-merge join at scale. */
+  private[graft] def skewJoinPlan(spark: SparkSession, dir: String): DataFrame = {
+    def fold(key: org.apache.spark.sql.Column) =
+      when(pmod(key, lit(100)) < 97, lit(0L)).otherwise(pmod(key, lit(100)))
+    // the skew split's granularity is one MAP OUTPUT BLOCK per
+    // mapper: the test-scale parquet is a single row group, so the
+    // scan is one mapper and the hot reducer's bytes land in one
+    // unsplittable block — the repartition gives the join exchange
+    // the many-mapper input a production scan's row groups provide
+    // for free
+    val li = Tables.lineitem(spark, dir)
+      .select(fold(col("l_orderkey")).as("skew_key"), col("l_quantity"))
+      .repartition(8)
+    // dim materialized first: OptimizeSkewedJoin pattern-matches
+    // SMJ(Sort(shuffle), Sort(shuffle)) EXACTLY — a HashAggregate
+    // sitting between the dim's shuffle stage and its sort makes the
+    // rule not apply at all, so the per-key dim is computed eagerly
+    // (4 rows) and joins as a plain shuffle
+    val dim = Tables.orders(spark, dir)
+      .select(fold(col("o_orderkey")).as("skew_key"))
+      .groupBy("skew_key").agg(count(lit(1)).as("n_orders"))
+      .localCheckpoint()
+    li.join(dim, "skew_key")
+      .groupBy("skew_key")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("sum_qty"),
+        max("n_orders").as("n_orders"))
+      .orderBy("skew_key")
+  }
+
+  /** AQE skew-join demo — the runtime complement of [[saltedAgg]]'s
+    * MANUAL salting: no query rewrite at all; AQE detects the
+    * oversized shuffle partition at runtime and splits it across
+    * tasks (each hot-side chunk joined against a duplicated build
+    * slice — exactly what salting does by hand). Materialized via
+    * localCheckpoint inside the conf scope so the adaptive plan
+    * actually executes under it; PlanAuditSpec pins `skew=true` in
+    * the executed join. Oracle: the plain join answer — the split
+    * must be invisible in the result. */
+  def skewJoinAqe(spark: SparkSession, dir: String): DataFrame =
+    withSkewConfs(spark) { skewJoinPlan(spark, dir).localCheckpoint() }
+
+  val skewJoinOracle: String =
+    """WITH li AS (
+      |  SELECT CASE WHEN l_orderkey % 100 < 97 THEN 0 ELSE l_orderkey % 100 END AS skew_key,
+      |    l_quantity
+      |  FROM lineitem
+      |), od AS (
+      |  SELECT CASE WHEN o_orderkey % 100 < 97 THEN 0 ELSE o_orderkey % 100 END AS skew_key,
+      |    COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT li.skew_key, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  MAX(od.n_orders) AS n_orders
+      |FROM li JOIN od USING (skew_key)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** TPC-H Q10-flavored: top returned-item customers — join + filter
     * + agg + topk in one plan. */
   def q10Returned(spark: SparkSession, dir: String): DataFrame = {
@@ -126,12 +221,14 @@ object Relational2 {
     "q6_revenue" -> (q6Revenue _),
     "q4_priorities" -> (q4Priorities _),
     "q5_nation" -> (q5Nation _),
-    "q_salted_agg" -> (saltedAgg _))
+    "q_salted_agg" -> (saltedAgg _),
+    "q_skew_join" -> (skewJoinAqe _))
 
   val oracles: Map[String, String] = Map(
     "q10_returned" -> q10Oracle,
     "q6_revenue" -> q6Oracle,
     "q4_priorities" -> q4Oracle,
     "q5_nation" -> q5Oracle,
-    "q_salted_agg" -> saltedAggOracle)
+    "q_salted_agg" -> saltedAggOracle,
+    "q_skew_join" -> skewJoinOracle)
 }

@@ -210,6 +210,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(4000))
   }
 
+  test("q_skew_join: AQE's runtime skew split fires on the hot key") {
+    import graft.operators.Relational2
+    // sf0.01 (the driver's verify scale), not the spec default
+    // sf0.001: skew detection compares real shuffle BYTES against the
+    // 64 KB threshold the operator pins, and the sf0.001 hot
+    // partition compresses below it — too small to be "skewed" even
+    // for a demo
+    val p = Relational2.withSkewConfs(spark) {
+      val df = Relational2.skewJoinPlan(spark, "/root/testdata/sf0.01")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // the adaptive final plan must show the skew-handled SMJ — the
+    // split happened at runtime, with no rewrite in the query itself
+    assert(p.contains("skew=true"), p.take(4000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("nav summary: each leg aggregates partially before its shuffle") {
     val p = planStr(graft.spatial.Templates.navSummary(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
