@@ -26,7 +26,7 @@ object SparkEntry {
       graft.spatial.Templates.queries ++
       graft.dedup.Components.queries ++
       Analytics.queries ++ Intervals.queries ++ Downsample.queries ++
-      graft.sources.Compaction.queries
+      graft.sources.Compaction.queries ++ graft.spatial.Hull.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +46,5 @@ object SparkEntry {
       graft.spatial.Templates.oracles ++
       graft.dedup.Components.oracles ++
       Analytics.oracles ++ Intervals.oracles ++ Downsample.oracles ++
-      graft.sources.Compaction.oracles
+      graft.sources.Compaction.oracles ++ graft.spatial.Hull.oracles
 }

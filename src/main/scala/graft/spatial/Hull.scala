@@ -1,6 +1,6 @@
 package graft.spatial
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Convex hull of position fixes per group — the reference's
@@ -48,6 +48,78 @@ object Hull {
       val (x1, y1) = hull(i); val (x2, y2) = hull((i + 1) % hull.size)
       x1 * y2 - x2 * y1
     }.sum) / 2.0
+
+  /** Hull VERTEX rows per (vessel, day) — the oracle-checkable form
+    * of [[hullPerDay]] (whose WKT/area aggregate has no tractable SQL
+    * equivalent). The oracle recomputes the SAME vertex set in O(n²)
+    * SQL via the angular-gap characterization: p is a hull vertex of
+    * its group iff the direction angles from p to every other point
+    * leave a circular gap > π (all others fit in an open half-plane).
+    * Positions here are the 2-D spread variant
+    * ([[Spatial.positions2d]]) — the nav-track positions are exactly
+    * collinear by construction (lat and lon both affine in `value`),
+    * which degenerates every hull to a segment AND sits on the
+    * boundary of both predicates. Exact-collinear verticals from the
+    * lon grid still occur and the two characterizations agree on them
+    * exactly: the monotone chain's `cross <= 0` drops a collinear
+    * middle point, and its gap is exactly fl(π) (atan2(±d, +0.0) =
+    * ±fl(π/2), and doubling is exact in IEEE) — `> pi()` excludes it
+    * in DuckDB with no tolerance needed. */
+  def hullVertices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Spatial.positions2d(spark, dir)
+      .withColumn("day_ms", graft.funcs.bucketOfMs(col("ts_ms"), 86400000L))
+      .select(col("user_id"), col("day_ms"), col("lon"), col("lat"))
+      .distinct()
+      .as[(Long, Long, Double, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Double, Double)]) =>
+        convexHull(it.map(r => (r._3, r._4)).toSeq)
+          .map { case (x, y) => (key._1, key._2, x, y) }
+      }
+      .toDF("user_id", "day_ms", "lon", "lat")
+      .orderBy("user_id", "day_ms", "lon", "lat")
+  }
+
+  val hullVerticesOracle: String =
+    s"""WITH pos AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms,
+       |    -74.0 + (event_id % 1000) * 0.0002 AS lon,
+       |    40.0 + value * 0.001 AS lat
+       |  FROM events WHERE event_type = 'view'
+       |), ang AS (
+       |  SELECT a.user_id, a.day_ms, a.lon, a.lat,
+       |    atan2(b.lat - a.lat, b.lon - a.lon) AS th
+       |  FROM pos a JOIN pos b
+       |    ON a.user_id = b.user_id AND a.day_ms = b.day_ms
+       |    AND (a.lon <> b.lon OR a.lat <> b.lat)
+       |), gaps AS (
+       |  SELECT user_id, day_ms, lon, lat,
+       |    COALESCE(LEAD(th) OVER w, FIRST_VALUE(th) OVER w2 + 2 * PI()) - th AS gap
+       |  FROM ang
+       |  WINDOW
+       |    w AS (PARTITION BY user_id, day_ms, lon, lat ORDER BY th),
+       |    w2 AS (PARTITION BY user_id, day_ms, lon, lat ORDER BY th
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |), verts AS (
+       |  SELECT user_id, day_ms, lon, lat FROM gaps
+       |  GROUP BY 1, 2, 3, 4 HAVING MAX(gap) > PI()
+       |  UNION ALL
+       |  SELECT p.user_id, p.day_ms, p.lon, p.lat FROM pos p
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM pos q
+       |    WHERE q.user_id = p.user_id AND q.day_ms = p.day_ms
+       |      AND (q.lon <> p.lon OR q.lat <> p.lat))
+       |)
+       |SELECT user_id, day_ms, lon, lat FROM verts
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sk_hull_vertices" -> (hullVertices _))
+
+  val oracles: Map[String, String] = Map(
+    "sk_hull_vertices" -> hullVerticesOracle)
 
   /** Hull per (vessel, day) over a positions frame
     * (user_id, ts_ms, lat, lon). */

@@ -32,6 +32,19 @@ object Spatial {
       |    40.0 + value * 0.001 AS lat, -74.0 + value * 0.002 AS lon
       |  FROM events WHERE event_type = 'view'""".stripMargin
 
+  /** 2-D-spread position fixes: [[positions]] puts lat AND lon affine
+    * in `value`, so every track is exactly collinear — right for the
+    * nav demos (a vessel moves along a line), degenerate for hull
+    * geometry. Here lon comes from the event id instead (a 1000-step
+    * grid), giving generic-position points; both coordinate exprs are
+    * IEEE-identical in DuckDB ([[graft.spatial.Hull]]'s oracle). */
+  def positions2d(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        synthLat(col("value")).as("lat"),
+        (lit(-74.0) + (col("event_id") % 1000) * lit(0.0002)).as("lon"))
+
   // --------------------------------------------------------------- #19
   /** Bounding-box filter (meridian wrap handled in funcs.inBbox). */
   def bboxFilter(spark: SparkSession, dir: String): DataFrame =
