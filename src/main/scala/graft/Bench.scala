@@ -53,14 +53,57 @@ object Bench {
         spark.catalog.clearCache()
       }
     } catch { case _: Throwable => }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeAt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches between queries so one query's working set does
       // not pressure the next one's timing
       try spark.catalog.clearCache() catch { case _: Throwable => }
       dt
+    }
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double =
+      timeAt(fn, sfDir)
+    // SCALING MODE (SPARK_GRAFT_SCALING=1): wall-time-vs-rows curves
+    // for the hottest operators across all three SFs — the measured
+    // form of the per-plan scale audits in SURVEY §5a. Exponent is
+    // fitted between the two LARGEST SFs (per-query fixed overhead
+    // ~0.3 s dominates the smallest and would fake sublinearity);
+    // exponent ≈ 1 = the plan's work grows linearly in the data.
+    if (sys.env.get("SPARK_GRAFT_SCALING").isDefined) {
+      val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      val hot = Seq("dedup_minhash_lsh", "dedup_components", "dedup_edit_distance",
+        "dedup_substring", "mm_phash_dedup")
+      val docRows = sfs.map(d =>
+        d -> spark.read.parquet(s"$d/documents.parquet").count()).toMap
+      def r3(v: Double): String = f"$v%.3f"
+      val curves = hot.map { q =>
+        val fn = SparkEntry.queries(q)
+        val ts = sfs.map { d =>
+          val samples = Seq.fill(3)(timeAt(fn, d)).sorted
+          d -> samples(1)
+        }
+        val (d1, t1) = ts(1); val (d2, t2) = ts(2)
+        val exp = math.log(t2 / t1) /
+          math.log(docRows(d2).toDouble / docRows(d1))
+        (q, ts, exp)
+      }
+      val json = curves.map { case (q, ts, exp) =>
+        "\"" + q + "\":{" +
+          ts.map { case (d, t) =>
+            "\"" + d.split('/').last + "\":" + r3(t) }.mkString(",") +
+          ",\"exponent\":" + r3(exp) + "}"
+      }.mkString("{", ",", "}")
+      val rowsJson = docRows.toSeq.sortBy(_._1).map { case (d, n) =>
+        "\"" + d.split('/').last + "\":" + n }.mkString("{", ",", "}")
+      val line = s"""{"metric":"scaling","rows":$rowsJson,"curves":$json}"""
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_scaling.json"), line)
+      catch { case _: Throwable => }
+      spark.stop()
+      println(line)
+      return
     }
     // Median-of-3 for the headline set: r6 measured a ×4.75 query-level
     // swing between single-shot runs of IDENTICAL code, wider than the
