@@ -73,8 +73,13 @@ object Bench {
     // exponent ≈ 1 = the plan's work grows linearly in the data.
     if (sys.env.get("SPARK_GRAFT_SCALING").isDefined) {
       val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
-      val hot = Seq("dedup_minhash_lsh", "dedup_components", "dedup_edit_distance",
-        "dedup_substring", "mm_phash_dedup")
+      // SPARK_GRAFT_SCALING_QUERIES=a,b,c overrides the default hot set
+      // (used for one-off curve checks on a specific operator).
+      val hot = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+        .map(_.split(',').toSeq.map(_.trim).filter(SparkEntry.queries.contains))
+        .filter(_.nonEmpty)
+        .getOrElse(Seq("dedup_minhash_lsh", "dedup_components", "dedup_edit_distance",
+          "dedup_substring", "mm_phash_dedup"))
       val docRows = sfs.map(d =>
         d -> spark.read.parquet(s"$d/documents.parquet").count()).toMap
       def r3(v: Double): String = f"$v%.3f"
