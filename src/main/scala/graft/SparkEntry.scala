@@ -19,7 +19,8 @@ object SparkEntry {
       graft.text.TextOps.queries ++ graft.dedup.Dedup.queries ++
       graft.similarity.Embeddings.queries ++ graft.multimodal.Multimodal.queries ++
       graft.streaming.Streaming.queries ++ graft.api.ApiQueries.queries ++
-      Relational2.queries ++ Relational3.queries ++ Relational4.queries ++ AsOf.queries ++
+      Relational2.queries ++ Relational3.queries ++ Relational4.queries ++
+      Relational5.queries ++ AsOf.queries ++
       graft.plans.AsOfJoinNative.queries ++ graft.plans.IntervalJoinNative.queries ++
       graft.text.Pipeline.queries ++ graft.text.Pipeline2.queries ++
       graft.text.Pipeline3.queries ++ graft.text.Scrub.queries ++
@@ -39,7 +40,8 @@ object SparkEntry {
       graft.text.TextOps.oracles ++ graft.dedup.Dedup.oracles ++
       graft.similarity.Embeddings.oracles ++ graft.multimodal.Multimodal.oracles ++
       graft.streaming.Streaming.oracles ++ graft.api.ApiQueries.oracles ++
-      Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++ AsOf.oracles ++
+      Relational2.oracles ++ Relational3.oracles ++ Relational4.oracles ++
+      Relational5.oracles ++ AsOf.oracles ++
       graft.plans.AsOfJoinNative.oracles ++ graft.plans.IntervalJoinNative.oracles ++
       graft.text.Pipeline.oracles ++ graft.text.Pipeline2.oracles ++
       graft.text.Pipeline3.oracles ++ graft.text.Scrub.oracles ++

