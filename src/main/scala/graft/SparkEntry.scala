@@ -23,7 +23,8 @@ object SparkEntry {
       Relational5.queries ++ AsOf.queries ++
       graft.plans.AsOfJoinNative.queries ++ graft.plans.IntervalJoinNative.queries ++
       graft.text.Pipeline.queries ++ graft.text.Pipeline2.queries ++
-      graft.text.Pipeline3.queries ++ graft.text.Scrub.queries ++
+      graft.text.Pipeline3.queries ++ graft.text.Pipeline4.queries ++
+      graft.text.Scrub.queries ++
       graft.spatial.Templates.queries ++
       graft.dedup.Components.queries ++
       Analytics.queries ++ Intervals.queries ++ Downsample.queries ++
@@ -44,7 +45,8 @@ object SparkEntry {
       Relational5.oracles ++ AsOf.oracles ++
       graft.plans.AsOfJoinNative.oracles ++ graft.plans.IntervalJoinNative.oracles ++
       graft.text.Pipeline.oracles ++ graft.text.Pipeline2.oracles ++
-      graft.text.Pipeline3.oracles ++ graft.text.Scrub.oracles ++
+      graft.text.Pipeline3.oracles ++ graft.text.Pipeline4.oracles ++
+      graft.text.Scrub.oracles ++
       graft.spatial.Templates.oracles ++
       graft.dedup.Components.oracles ++
       Analytics.oracles ++ Intervals.oracles ++ Downsample.oracles ++
