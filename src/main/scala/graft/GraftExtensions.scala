@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, JaccardSim, PolyHash}
+import graft.functions.{DotProduct, JaccardSim, KnownNonNullElements, L2Distance, PolyHash}
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and every session
@@ -27,6 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Distance].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dense"),
+      new ExpressionInfo(classOf[KnownNonNullElements].getName, "graft_dense"),
+      (exprs: Seq[Expression]) => KnownNonNullElements(exprs.head)))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -95,8 +95,12 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object DotProduct {
-  /** Register `graft_dot(a, b)` (idempotent). */
+  /** Register `graft_dot(a, b)` (idempotent). `graft_dense` rides
+    * along: the dense-elements assertion is what lets this expression
+    * compile its branch-free loop on parquet-sourced arrays (file
+    * sources force containsNull=true on read). */
   def register(spark: SparkSession): Unit = {
+    KnownNonNullElements.register(spark)
     val registry = spark.sessionState.functionRegistry
     val ident = FunctionIdentifier("graft_dot")
     if (!registry.functionExists(ident)) {

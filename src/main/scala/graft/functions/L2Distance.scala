@@ -94,8 +94,10 @@ case class L2Distance(left: Expression, right: Expression)
 }
 
 object L2Distance {
-  /** Register `graft_l2sq(a, b)` (idempotent). */
+  /** Register `graft_l2sq(a, b)` (idempotent). `graft_dense` rides
+    * along — see [[DotProduct.register]]. */
   def register(spark: SparkSession): Unit = {
+    KnownNonNullElements.register(spark)
     val registry = spark.sessionState.functionRegistry
     val ident = FunctionIdentifier("graft_l2sq")
     if (!registry.functionExists(ident)) {

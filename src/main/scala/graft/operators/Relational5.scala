@@ -41,23 +41,7 @@ object Relational5 {
     * bucketing pays.
     */
   def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
-    val tOrders = s"graft_bkt_orders_$sfTag"
-    val tLine = s"graft_bkt_lineitem_$sfTag"
-    // pre-shuffle onto the bucket key so each bucket is one file per
-    // table (same writer-fanout hygiene as HiveStore.write)
-    Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderpriority")
-      .repartition(8, col("o_orderkey"))
-      .write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(tOrders)
-    Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
-      .repartition(8, col("l_orderkey"))
-      .write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(tLine)
+    val (tOrders, tLine) = stageBucketedTables(spark, dir)
     Relational2.withConfs(spark,
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       spark.table(tOrders)
@@ -71,13 +55,84 @@ object Relational5 {
     }
   }
 
+  /** Stage the two bucketed tables once per (fingerprint, sf dir),
+    * idempotently across JVMs — the bucketed analog of
+    * [[stageMonthStore]]. `mode("overwrite").saveAsTable` alone is NOT
+    * idempotent: on a fresh session whose in-memory catalog does not
+    * know the table but whose `spark-warehouse/` still holds its
+    * directory from a previous JVM, Spark treats the write as CREATE
+    * and throws `LOCATION_ALREADY_EXISTS` (this killed q_bucketed_join
+    * in every re-run environment at round 8). So: reuse when the
+    * catalog has the table AND its `_GRAFT_FP` sidecar matches the
+    * source fingerprint; otherwise DROP TABLE IF EXISTS, delete any
+    * stale warehouse location, and rewrite. The fingerprint (source
+    * parquet name/size/mtime) also re-stages when the testdata is
+    * regenerated. Within one JVM the second call is free — the ingest
+    * shuffle is paid once, which is the entire point of bucketing. */
+  private[graft] def stageBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val tOrders = s"graft_bkt_orders_$sfTag"
+    val tLine = s"graft_bkt_lineitem_$sfTag"
+    val warehouse = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+    def stage(table: String, src: String, write: => Unit): Unit = {
+      val fp = sourceFingerprint(dir, src)
+      val loc = new java.io.File(warehouse, table.toLowerCase)
+      // leading-underscore files are invisible to Spark's file listing,
+      // so the sidecar can live inside the table location (and is
+      // dropped/overwritten together with it)
+      val fpFile = new java.io.File(loc, "_GRAFT_FP")
+      val fresh = spark.catalog.tableExists(table) && fpFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(fpFile.toPath)) == fp
+      if (!fresh) {
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        deleteRecursively(loc) // stale location from a previous JVM
+        write
+        java.nio.file.Files.write(fpFile.toPath, fp.getBytes)
+      }
+    }
+    // pre-shuffle onto the bucket key so each bucket is one file per
+    // table (same writer-fanout hygiene as HiveStore.write)
+    stage(tOrders, "orders", {
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(tOrders)
+    })
+    stage(tLine, "lineitem", {
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+        .repartition(8, col("l_orderkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tLine)
+    })
+    (tOrders, tLine)
+  }
+
+  /** name/size/mtime of the source parquet — cheap staleness key for
+    * the staged layouts (the testdata can be regenerated between
+    * rounds; a content hash would re-read the data being staged). */
+  private def sourceFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    val parts = if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString("|")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+
   /** The un-aggregated bucketed join, for the plan audit: both scans
     * must feed the sort-merge join without an exchange. */
   private[graft] def bucketedJoinPlan(spark: SparkSession, dir: String): DataFrame = {
-    val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
-    spark.table(s"graft_bkt_orders_$sfTag")
-      .join(spark.table(s"graft_bkt_lineitem_$sfTag"),
-        col("o_orderkey") === col("l_orderkey"))
+    val (tOrders, tLine) = stageBucketedTables(spark, dir)
+    spark.table(tOrders)
+      .join(spark.table(tLine), col("o_orderkey") === col("l_orderkey"))
   }
 
   val bucketedJoinOracle: String =
@@ -118,14 +173,21 @@ object Relational5 {
       .orderBy("l_month")
   }
 
-  /** Stage the month-partitioned lineitem store once per (jvm, sf dir);
-    * partition values are `yyyy-MM` strings. Idempotent via marker. */
+  /** Stage the month-partitioned lineitem store once per (fingerprint,
+    * sf dir); partition values are `yyyy-MM` strings. Idempotent via a
+    * `_STAGED` marker whose CONTENT is the source fingerprint, so a
+    * regenerated testdata dir invalidates the staging instead of being
+    * silently shadowed by a stale store from a previous run. */
   private[graft] def stageMonthStore(spark: SparkSession, dir: String): String = {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_dpp_store_$sfTag")
     val marker = new java.io.File(root, "_STAGED")
-    if (!marker.exists()) {
+    val fp = sourceFingerprint(dir, "lineitem")
+    val fresh = marker.exists() &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fp
+    if (!fresh) {
+      deleteRecursively(root)
       Tables.lineitem(spark, dir)
         .select(col("l_extendedprice"), col("l_discount"),
           date_format(col("l_shipdate"), "yyyy-MM").as("l_month"))
@@ -133,7 +195,7 @@ object Relational5 {
         .repartition(col("l_month"))
         .write.mode("overwrite").partitionBy("l_month")
         .parquet(root.getAbsolutePath)
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath, fp.getBytes)
     }
     root.getAbsolutePath
   }

@@ -33,9 +33,14 @@ object Embeddings {
     // repartition: the single-file table otherwise pins the remaining
     // interpreted per-row transform to ONE core at test scale; at
     // warehouse scale the input splits provide the fan-out for free
+    // graft_dense: parquet reads force containsNull=true even on dense
+    // vectors, which would put a per-element null branch inside every
+    // graft_dot loop downstream — assert the elements non-null once
+    // here (the driver writes dense embeddings; zero-norm precondition
+    // above already excludes degenerate vectors)
     Tables.embeddings(spark, dir)
       .repartition(32)
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("v", expr("graft_dense(transform(embedding, x -> CAST(x AS DOUBLE)))"))
       .withColumn("norm2", dot("v", "v"))
       .select("vec_id", "label", "v", "norm2")
   }
@@ -96,7 +101,7 @@ object Embeddings {
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val cents = centroidsBase(spark, dir)
       .groupBy(col("label").as("cent_label"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .agg(expr("graft_dense(transform(array_sort(collect_list(struct(dim, c))), s -> s.c))").as("vc"))
       .withColumn("cnorm2", expr(
         "graft_dot(vc, vc)"))
     val w = org.apache.spark.sql.expressions.Window
@@ -386,7 +391,7 @@ object Embeddings {
     // be a wasted exchange before the groupBy re-shuffles on label.
     val cents = centroidsBase(spark, dir)
       .groupBy(col("label").as("cent_label"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .agg(expr("graft_dense(transform(array_sort(collect_list(struct(dim, c))), s -> s.c))").as("vc"))
       .withColumn("cnorm2", expr(
         "graft_dot(vc, vc)"))
     val w = org.apache.spark.sql.expressions.Window
@@ -476,7 +481,7 @@ object Embeddings {
         .agg(r6(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(28, 12)))
           .cast("double") / count(lit(1))).as("c"))
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("vc"))
+        .agg(expr("graft_dense(transform(array_sort(collect_list(struct(pos, c))), s -> s.c))").as("vc"))
         .withColumn("cnorm2", expr(
           "graft_dot(vc, vc)"))
         .localCheckpoint()
@@ -618,7 +623,7 @@ object Embeddings {
       exact: Boolean): DataFrame = {
     val cents = centroidsBase(spark, dir)
       .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), s -> s.c)").as("vc"))
+      .agg(expr("graft_dense(transform(array_sort(collect_list(struct(dim, c))), s -> s.c))").as("vc"))
       .withColumn("cnorm2", expr("graft_dot(vc, vc)"))
     val scored = vecs(spark, dir)
       .join(broadcast(cents), Seq("label"))

@@ -3,29 +3,15 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver-contract invariants of [[SparkEntry]] itself. The
-  * queries/oracles maps are built by `++` over ~30 module maps, and
-  * `++` silently SHADOWS duplicate keys — a name collision would make
-  * an operator quietly vanish from the correctness gate. */
+  * queries/oracles maps are built by `++` over the [[Modules.all]]
+  * registry, and `++` silently SHADOWS duplicate keys — a name
+  * collision would make an operator quietly vanish from the
+  * correctness gate. The spec folds the SAME registry SparkEntry
+  * folds (round 8 kept a private copy of the module list here and it
+  * went stale, shipping a red `sbt test`). */
 class ContractSpec extends AnyFunSuite {
 
-  private val moduleQueryMaps = Seq(
-    graft.operators.Relational.queries, graft.operators.TimeSeries.queries,
-    graft.operators.Angular.queries, graft.spatial.Spatial.queries,
-    graft.operators.Sessions.queries, graft.operators.SchemaOps.queries,
-    graft.sources.Gpx.queries, graft.sources.HiveStore.queries,
-    graft.sources.Migration.queries, graft.sources.Export.queries,
-    graft.sources.SignalKDelta.queries, graft.text.TextOps.queries,
-    graft.dedup.Dedup.queries, graft.similarity.Embeddings.queries,
-    graft.multimodal.Multimodal.queries, graft.streaming.Streaming.queries,
-    graft.api.ApiQueries.queries, graft.operators.Relational2.queries,
-    graft.operators.Relational3.queries, graft.operators.Relational4.queries,
-    graft.operators.AsOf.queries, graft.plans.AsOfJoinNative.queries,
-    graft.plans.IntervalJoinNative.queries, graft.text.Pipeline.queries,
-    graft.text.Pipeline2.queries, graft.text.Pipeline3.queries,
-    graft.text.Scrub.queries, graft.spatial.Templates.queries,
-    graft.dedup.Components.queries, graft.operators.Analytics.queries,
-    graft.operators.Intervals.queries, graft.operators.Downsample.queries,
-    graft.sources.Compaction.queries)
+  private val moduleQueryMaps = Modules.all.map(_._2)
 
   test("no query name is shadowed by the module-map merge") {
     val perModule = moduleQueryMaps.map(_.keySet)
@@ -49,11 +35,23 @@ class ContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"non-conforming query names: $bad")
   }
 
+  test("no oracle name is shadowed by the module-map merge") {
+    val perModule = Modules.all.map(_._3.keySet)
+    val dupes = perModule.flatMap(_.toSeq).groupBy(identity)
+      .collect { case (k, vs) if vs.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate oracle names across modules: $dupes")
+    assert(SparkEntry.oracleSql.keySet == perModule.reduce(_ ++ _))
+  }
+
+  test("module registry names are unique") {
+    val names = Modules.all.map(_._1)
+    assert(names.distinct == names)
+  }
+
   test("the gate is as wide as the round claims") {
-    // 140 oracle-checked queries as of round 7 (kmeans_fit,
-    // dedup_incremental_lsh, embed_pq, ann_pq_topk joined the gate) —
-    // a shrink means a module fell out of SparkEntry's merge
-    assert(SparkEntry.queries.size >= 140)
-    assert(SparkEntry.oracleSql.size >= 140)
+    // 149 oracle-checked queries as of round 9 (q_bucketed_join joined
+    // the tested gate) — a shrink means a module fell out of the merge
+    assert(SparkEntry.queries.size >= 149)
+    assert(SparkEntry.oracleSql.size >= 149)
   }
 }
