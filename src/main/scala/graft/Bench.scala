@@ -85,7 +85,12 @@ object Bench {
     // ~0.3 s dominates the smallest and would fake sublinearity);
     // exponent ≈ 1 = the plan's work grows linearly in the data.
     if (sys.env.get("SPARK_GRAFT_SCALING").isDefined) {
-      val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      // SPARK_GRAFT_SCALING_SFS=dir1,dir2,dir3 overrides the sf-dir
+      // ladder (the last two entries drive the exponent fit) — used to
+      // extend the curve onto a 10×-sf0.1 replicated corpus.
+      val sfs = sys.env.get("SPARK_GRAFT_SCALING_SFS")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"))
       // SPARK_GRAFT_SCALING_QUERIES=a,b,c overrides the default hot set
       // (used for one-off curve checks on a specific operator).
       val hot = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
@@ -106,10 +111,13 @@ object Bench {
         (q, ts, exp)
       }
       val json = curves.map { case (q, ts, exp) =>
+        // NaN is not valid JSON — a single failed point must not make
+        // the whole scaling line unparseable; serialize it as null
+        val expJson = if (exp.isNaN) "null" else r3(exp)
         "\"" + q + "\":{" +
           ts.map { case (d, t) =>
             "\"" + d.split('/').last + "\":" + r3(t) }.mkString(",") +
-          ",\"exponent\":" + r3(exp) + "}"
+          ",\"exponent\":" + expJson + "}"
       }.mkString("{", ",", "}")
       val rowsJson = docRows.toSeq.sortBy(_._1).map { case (d, n) =>
         "\"" + d.split('/').last + "\":" + n }.mkString("{", ",", "}")
@@ -152,8 +160,13 @@ object Bench {
       s"""{"total":${r3(total)},"errors":$errJson,"queries":${dict(results)},"samples":$spread,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val head = headline.flatMap(q => results.get(q).map(q -> _))
+    // A crashed query is EXCLUDED from `total`, so on any failure the
+    // sum is smaller (better-looking) than a clean run — emit the -1
+    // failure sentinel as the headline value so the perf gate can never
+    // pass on a crash; the partial sum stays in bench_full.json.
+    val gateTotal = if (failed.nonEmpty) -1.0 else total
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","errors":$errJson,"queries":${dict(head)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(gateTotal)},"unit":"sec","errors":$errJson,"queries":${dict(head)},"sf":"$sfDir"}"""
     // Fixed-path copy of the headline line as a parse fallback.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_headline.json"), line)

@@ -33,8 +33,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => L2Distance(exprs(0), exprs(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_dense"),
-      new ExpressionInfo(classOf[KnownNonNullElements].getName, "graft_dense"),
-      (exprs: Seq[Expression]) => KnownNonNullElements(exprs.head)))
+      // the dense-elements contract is an UNCHECKED assertion — spell
+      // it out where external callers (DESCRIBE FUNCTION) will see it
+      new ExpressionInfo(classOf[KnownNonNullElements].getName, null, "graft_dense",
+        "_FUNC_(arr) - Asserts the array's elements are non-null so " +
+          "downstream codegen drops per-element null checks. UNCHECKED: " +
+          "feeding an array that does contain nulls yields undefined " +
+          "values, not NULL. Exactly one argument.", ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 1) throw new IllegalArgumentException(
+          s"graft_dense expects exactly 1 argument, got ${exprs.size}")
+        KnownNonNullElements(exprs.head)
+      }))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

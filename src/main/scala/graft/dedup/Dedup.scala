@@ -208,9 +208,14 @@ object Dedup {
     // representative per distinct signature; member pairs are
     // reconstructed from the group lists afterwards, already unique —
     // no 50M-row distinct.
+    // localCheckpoint, not cache(): this runs per micro-batch inside
+    // stream_dedup_lsh's foreachBatch, and a CacheManager entry would
+    // outlive the batch (leaking one table per trigger). Checkpoint
+    // blocks pin the compute-once semantics but are reclaimed by the
+    // ContextCleaner when the batch's plans are released.
     val groups = sigs.groupBy("sigarr")
       .agg(min("doc_id").as("gid"), collect_list("doc_id").as("members"))
-      .cache()
+      .localCheckpoint()
     // Pairs within one signature group match in every band by
     // construction (quadratic in the group size — inherent: those
     // pairs are all in the answer).
@@ -288,8 +293,12 @@ object Dedup {
       .toDF("batch_id", "band_idx", "band_key")
     val store = bands.where(col("doc_id") >= 50)
       .toDF("store_id", "band_idx", "band_key")
+    // localCheckpoint, not cache(): the frame is returned lazily, so an
+    // in-function unpersist is impossible and a CacheManager entry
+    // would persist for the session (one per ingest batch in
+    // production). Checkpoint blocks are GC-reclaimed with the plan.
     val cands = broadcast(batch).join(store, Seq("band_idx", "band_key"))
-      .select("batch_id", "store_id").distinct().cache()
+      .select("batch_id", "store_id").distinct().localCheckpoint()
     val toks = docs.select(col("doc_id"), tokens.as("toks"))
     // Verify inputs are pruned to candidate ids BEFORE broadcasting:
     // the batch token table is O(|batch|) by definition, and the store
@@ -373,8 +382,9 @@ object Dedup {
   }
 
   def simHash(spark: SparkSession, dir: String): DataFrame = {
-    // cached: feeds both sides of the banded self-join
-    val sims = simHashDocs(spark, dir).cache()
+    // localCheckpoint (feeds both sides of the banded self-join):
+    // compute-once without a session-lifetime CacheManager entry
+    val sims = simHashDocs(spark, dir).localCheckpoint()
     val banded = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band_idx, shiftright(simhash, 15*b) & 32767 AS band_key))")).as("band"))
       .select(col("doc_id"), col("simhash"), col("band.band_idx"), col("band.band_key"))

@@ -75,8 +75,12 @@ object Relational5 {
     val tLine = s"graft_bkt_lineitem_$sfTag"
     val warehouse = new java.io.File(
       new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
-    def stage(table: String, src: String, write: => Unit): Unit = {
-      val fp = sourceFingerprint(dir, src)
+    // the fingerprint must cover the staged LAYOUT, not just the source
+    // data: under a persistent metastore a code change to the bucketing
+    // spec (count/keys/columns) would otherwise silently reuse the
+    // stale staged table — bump the layout token with the spec
+    def stage(table: String, src: String, layout: String, write: => Unit): Unit = {
+      val fp = layout + "|" + sourceFingerprint(dir, src)
       val loc = new java.io.File(warehouse, table.toLowerCase)
       // leading-underscore files are invisible to Spark's file listing,
       // so the sidecar can live inside the table location (and is
@@ -93,7 +97,7 @@ object Relational5 {
     }
     // pre-shuffle onto the bucket key so each bucket is one file per
     // table (same writer-fanout hygiene as HiveStore.write)
-    stage(tOrders, "orders", {
+    stage(tOrders, "orders", "v1:8:o_orderkey:o_orderpriority", {
       Tables.orders(spark, dir)
         .select("o_orderkey", "o_orderpriority")
         .repartition(8, col("o_orderkey"))
@@ -101,7 +105,7 @@ object Relational5 {
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(tOrders)
     })
-    stage(tLine, "lineitem", {
+    stage(tLine, "lineitem", "v1:8:l_orderkey:l_quantity,l_extendedprice,l_discount", {
       Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
         .repartition(8, col("l_orderkey"))
@@ -183,7 +187,8 @@ object Relational5 {
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_dpp_store_$sfTag")
     val marker = new java.io.File(root, "_STAGED")
-    val fp = sourceFingerprint(dir, "lineitem")
+    // layout token, same rationale as stageBucketedTables
+    val fp = "v1:month:l_extendedprice,l_discount|" + sourceFingerprint(dir, "lineitem")
     val fresh = marker.exists() &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath)) == fp
     if (!fresh) {

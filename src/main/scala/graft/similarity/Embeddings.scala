@@ -104,17 +104,20 @@ object Embeddings {
       .agg(expr("graft_dense(transform(array_sort(collect_list(struct(dim, c))), s -> s.c))").as("vc"))
       .withColumn("cnorm2", expr(
         "graft_dot(vc, vc)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
-    // cached: the assigned table feeds both self-join sides
+    // cached: the assigned table feeds both self-join sides.
+    // Assignment argmax via partial-aggregable min_by ((−ccos,
+    // cent_label) min = (ccos DESC, cent_label) first) — map-side
+    // collapse instead of a corpus×K vector-carrying window sort.
     val assigned = vecs(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("norm2"), col("cent_label").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("v"), col("norm2"), col("cent_label")),
+        struct(-col("ccos"), col("cent_label"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.norm2").as("norm2"),
+        col("best.cent_label").as("cluster"))
       .cache()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("norm2").as("norm2_a"))
@@ -290,15 +293,28 @@ object Embeddings {
     val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
       .select(col("vec_id").as("cent_id"), col("v").as("v_c"), col("norm2").as("norm2_c"))
     def assign(df: DataFrame, keep: Int): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-      df.crossJoin(broadcast(centroids))
+      val scored = df.crossJoin(broadcast(centroids))
         .withColumn("ccos",
           r6(expr("graft_dot(v, v_c)") /
             (sqrt(col("norm2")) * sqrt(col("norm2_c")))))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .drop("v_c", "norm2_c", "ccos", "crank")
+      if (keep == 1) {
+        // Argmax as a PARTIAL-AGGREGABLE min_by: min of (-ccos, cent_id)
+        // is the same total order as the oracle's (ccos DESC, cent_id)
+        // ROW_NUMBER — but each map task collapses its K candidate rows
+        // per vector locally, so the exchange carries corpus×1 rows,
+        // not the corpus×K vector-carrying rows the old row_number
+        // window shuffled and sorted.
+        val payload = struct(df.columns.map(col) :+ col("cent_id"): _*)
+        scored.groupBy(col("vec_id").as("gid"))
+          .agg(min_by(payload, struct(-col("ccos"), col("cent_id"))).as("best"))
+          .select("best.*")
+      } else {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .where(col("crank") <= keep)
+          .drop("v_c", "norm2_c", "ccos", "crank")
+      }
     }
     val lists = assign(e, 1).withColumnRenamed("cent_id", "bucket")
     val probes = assign(e.where(col("vec_id") < 5), 4)
@@ -308,10 +324,14 @@ object Embeddings {
       col("norm2").as("norm2_b"), col("bucket"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    // No dedup needed on (probe_id, neighbor_id): every corpus vector
+    // is assigned to exactly ONE list (assign(e, 1)), so even with the
+    // nprobe=4 probe fan-out a pair can match on at most one shared
+    // bucket. (The previous distinct() here was a provable no-op whose
+    // exchange carried BOTH full vectors — the most expensive node in
+    // the plan doing nothing.)
     broadcast(probes).join(corpus, Seq("bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "neighbor_id", "v_a", "norm2_a", "v_b", "norm2_b")
-      .distinct()
       .withColumn("cos", cosine)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 10)
@@ -394,17 +414,21 @@ object Embeddings {
       .agg(expr("graft_dense(transform(array_sort(collect_list(struct(dim, c))), s -> s.c))").as("vc"))
       .withColumn("cnorm2", expr(
         "graft_dot(vc, vc)"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_label"))
+    // Argmax as a PARTIAL-AGGREGABLE min_by: min of (-ccos, cent_label)
+    // is the oracle's (ccos DESC, cent_label) ROW_NUMBER order, but the
+    // K candidate rows per vector collapse map-side, so the exchange
+    // carries corpus×1 rows — not corpus×K rows dragging the vector
+    // arrays through a shuffle-and-sort window.
     vecs(spark, dir)
       .crossJoin(broadcast(cents))
       .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("cent_label").as("assigned"),
-        col("ccos").as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("label"), col("cent_label"), col("ccos")),
+        struct(-col("ccos"), col("cent_label"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.cent_label").as("assigned"), col("best.ccos").as("cos"))
       .orderBy("vec_id")
   }
 
@@ -454,15 +478,20 @@ object Embeddings {
           .orderBy("vec_id")).cast("long").as("cid"),
         col("v").as("vc"), col("norm2").as("cnorm2"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
+    // E-step argmax via partial-aggregable min_by ((−ccos, cid) min =
+    // (ccos DESC, cid) first): K candidate rows per vector collapse
+    // map-side every round instead of shuffling corpus×K through a
+    // window sort — this runs maxIters times, so it is the fit's
+    // dominant exchange.
     def estep() = e.crossJoin(broadcast(cents))
       .withColumn("ccos", r6(
         expr("graft_dot(v, vc)") /
           (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("v"), col("cid"), col("ccos")),
+        struct(-col("ccos"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cid").as("cid"),
+        col("best.ccos").as("ccos"))
     var assign = estep().localCheckpoint()
     // collision-resistant assignment digest: xor of xxhash64(vec_id,
     // cid) — equality ⇒ identical assignment with overwhelming
@@ -752,13 +781,16 @@ object Embeddings {
     graft.functions.L2Distance.register(spark)
     val subs = pqSubs(spark, dir)
     val codebook = pqCodebook(subs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
+    // argmin over the 16 codebook rows per (vector, subspace) as a
+    // partial-aggregable min_by — map-side collapse, no corpus-wide
+    // shuffle-and-sort window (same rewrite as annIvfTopK.assign)
     subs.join(broadcast(codebook), Seq("sub"))
       .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("sub"), col("cent_id").as("code"), col("dist2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(struct(col("cent_id").as("code"), col("dist2")),
+        struct(col("dist2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"),
+        col("best.dist2").as("dist2"))
       .orderBy("vec_id", "sub")
   }
 
@@ -779,15 +811,14 @@ object Embeddings {
 
   /** The corpus's PQ codes (the [[embedPq]] assignment, floats
     * dropped) — the only per-vector state an ADC search touches. */
-  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame = {
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "sub").orderBy(col("dist2"), col("cent_id"))
+  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame =
+    // argmin via partial-aggregable min_by (see embedPq) — the code
+    // table a production index PERSISTS is exactly this map-side
+    // reduction, never a corpus-wide window sort
     subs.join(broadcast(codebook), Seq("sub"))
       .withColumn("dist2", r6(expr("graft_l2sq(xs, cs)")))
-      .withColumn("rnk", row_number().over(w0))
-      .where(col("rnk") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("sub"), col("cent_id").as("code"))
-  }
+      .groupBy(col("vec_id").as("neighbor_id"), col("sub"))
+      .agg(min_by(col("cent_id"), struct(col("dist2"), col("cent_id"))).as("code"))
 
   val embedPqOracle: String =
     s"""WITH e AS ($vecsSql),
@@ -924,13 +955,23 @@ object Embeddings {
     val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
       .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
     def assign(df: DataFrame, keep: Int): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
-      df.crossJoin(broadcast(centroids))
+      val scored = df.crossJoin(broadcast(centroids))
         .withColumn("cdist", r6(expr("graft_l2sq(v, v_c)")))
-        .withColumn("crank", row_number().over(w))
-        .where(col("crank") <= keep)
-        .drop("v_c", "cdist", "crank")
+      if (keep == 1) {
+        // argmin as a partial-aggregable min_by — same map-side
+        // collapse as annIvfTopK.assign (the order (cdist, cent_id) is
+        // already a min order, no negation needed)
+        val payload = struct(df.columns.map(col) :+ col("cent_id"): _*)
+        scored.groupBy(col("vec_id").as("gid"))
+          .agg(min_by(payload, struct(col("cdist"), col("cent_id"))).as("best"))
+          .select("best.*")
+      } else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
+        scored.withColumn("crank", row_number().over(w))
+          .where(col("crank") <= keep)
+          .drop("v_c", "cdist", "crank")
+      }
     }
     val lists = assign(e, 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))

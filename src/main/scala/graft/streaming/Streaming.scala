@@ -543,32 +543,41 @@ object Streaming {
         val within = Dedup.minHashLshOn(b).select("id_a", "id_b", "jaccard")
         val bBands = Dedup.bandRows(b)
         val bToks = b.select(col("doc_id"), Dedup.tokens.as("toks"))
-        val cross = if (fs.exists(new org.apache.hadoop.fs.Path(bandsDir))) {
-          val storeBands = sp.read.parquet(bandsDir)
-          val cands = broadcast(bBands.toDF("batch_id", "band_idx", "band_key"))
-            .join(storeBands.toDF("store_id", "band_idx", "band_key"),
-              Seq("band_idx", "band_key"))
-            .select("batch_id", "store_id").distinct().cache()
-          val storeToks = sp.read.parquet(toksDir)
-            .join(broadcast(cands.select("store_id").distinct()),
-              col("doc_id") === col("store_id"), "leftsemi")
-            .toDF("store_id", "toks_b")
-          cands
-            .join(broadcast(bToks.toDF("batch_id", "toks_a")), "batch_id")
-            .join(broadcast(storeToks), "store_id")
-            // same slack size-ratio prefilter as minHashLsh
-            .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
-              lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
-            .withColumn("jaccard", Dedup.jaccard(col("toks_a"), col("toks_b")))
-            .where(col("jaccard") >= 0.95)
-            .select(least(col("batch_id"), col("store_id")).as("id_a"),
-              greatest(col("batch_id"), col("store_id")).as("id_b"),
-              col("jaccard"))
-        } else within.limit(0)
-        within.unionAll(cross).write.mode("append").parquet(outDir)
-        // ingest: the batch joins the store
-        bBands.write.mode("append").parquet(bandsDir)
-        bToks.write.mode("append").parquet(toksDir)
+        // cands feeds two plans (the store-token semi-join prune and
+        // the verify spine) — cached for the batch only: a long-running
+        // stream must not accumulate one candidate table per
+        // micro-batch in executor memory, so the batch's writes run
+        // under try/finally and the cache is dropped once they land
+        var cached: Option[DataFrame] = None
+        try {
+          val cross = if (fs.exists(new org.apache.hadoop.fs.Path(bandsDir))) {
+            val storeBands = sp.read.parquet(bandsDir)
+            val cands = broadcast(bBands.toDF("batch_id", "band_idx", "band_key"))
+              .join(storeBands.toDF("store_id", "band_idx", "band_key"),
+                Seq("band_idx", "band_key"))
+              .select("batch_id", "store_id").distinct().cache()
+            cached = Some(cands)
+            val storeToks = sp.read.parquet(toksDir)
+              .join(broadcast(cands.select("store_id").distinct()),
+                col("doc_id") === col("store_id"), "leftsemi")
+              .toDF("store_id", "toks_b")
+            cands
+              .join(broadcast(bToks.toDF("batch_id", "toks_a")), "batch_id")
+              .join(broadcast(storeToks), "store_id")
+              // same slack size-ratio prefilter as minHashLsh
+              .where(least(size(col("toks_a")), size(col("toks_b"))).cast("double") >=
+                lit(0.9499) * greatest(size(col("toks_a")), size(col("toks_b"))))
+              .withColumn("jaccard", Dedup.jaccard(col("toks_a"), col("toks_b")))
+              .where(col("jaccard") >= 0.95)
+              .select(least(col("batch_id"), col("store_id")).as("id_a"),
+                greatest(col("batch_id"), col("store_id")).as("id_b"),
+                col("jaccard"))
+          } else within.limit(0)
+          within.unionAll(cross).write.mode("append").parquet(outDir)
+          // ingest: the batch joins the store
+          bBands.write.mode("append").parquet(bandsDir)
+          bToks.write.mode("append").parquet(toksDir)
+        } finally cached.foreach(_.unpersist())
         ()
       }
       .option("checkpointLocation", tmpCheckpoint("stream_dedup_lsh"))

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ClassicConversions._
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True when the session's CacheManager holds no cached plans. Used
+    * by specs to pin that per-batch operators (stream_dedup_lsh) do
+    * not leak `.cache()` entries across micro-batches. */
+  def noCachedPlans(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState.cacheManager.isEmpty
 }

@@ -19,6 +19,13 @@ class ExtensionsSpec extends SparkSpec {
       val got = s2.sql("SELECT graft_polyhash('abc', 31) AS h").head().getLong(0)
       val want = "abc".getBytes.foldLeft(0L)((h, b) => (h * 31 + (b & 0xff)) % 1000000007L)
       assert(got == want)
+      // graft_dense is arity-checked: a zero-arg call must raise a real
+      // arity error, not a bare NoSuchElementException from exprs.head
+      val e = intercept[Exception] { s2.sql("SELECT graft_dense()").collect() }
+      assert(e.getMessage.contains("1 argument") || e.getMessage.contains("graft_dense"),
+        s"unexpected error: ${e.getMessage}")
+      assert(s2.sql("SELECT graft_dense(array(double(1.0), double(2.0))) AS v").head()
+        .getSeq[Double](0).toList == List(1.0, 2.0))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

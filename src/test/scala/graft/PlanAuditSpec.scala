@@ -258,4 +258,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     assert(p.contains("partial_"), p.take(3000))
   }
+
+  test("ann_ivf_topk: no vector-carrying dedup between bucket join and rank window") {
+    val p = planStr(graft.similarity.Embeddings.annIvfTopK(spark, sfDir))
+    // each corpus vector lives in exactly one IVF list, so the old
+    // distinct() over (probe, neighbor, v_a, v_b) was a no-op whose
+    // exchange shipped both full vectors — no aggregate keyed on the
+    // vector payload may appear in the plan
+    assert(!p.split("\n").exists(l => l.contains("HashAggregate") && l.contains("v_a")),
+      p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("assignment argmax partial-aggregates map-side (no corpus×K window sort)") {
+    // the E-step/coarse-assignment argmax must reach the exchange as a
+    // partial min_by — each map task collapses its K candidate rows per
+    // vector before any shuffle
+    for (df <- Seq(graft.similarity.Embeddings.kmeansAssign(spark, sfDir),
+                   graft.similarity.Embeddings.annIvfTopK(spark, sfDir),
+                   graft.similarity.Embeddings.embedPq(spark, sfDir))) {
+      val p = planStr(df)
+      assert(p.contains("partial_min_by"), p.take(4000))
+    }
+  }
 }

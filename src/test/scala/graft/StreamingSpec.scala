@@ -91,9 +91,14 @@ class StreamingSpec extends SparkSpec {
 
   test("stream_dedup_lsh equals the one-shot batch answer, with cross-trigger pairs") {
     import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
     val streamed = Streaming.streamDedupLsh(spark, sfDir)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the per-batch candidate cache must not outlive its micro-batch:
+    // after the stream completes, no cached plan may remain registered
+    assert(org.apache.spark.sql.GraftBridge.noCachedPlans(spark),
+      "stream_dedup_lsh leaked cached plans across micro-batches")
     val oneShot = graft.dedup.Dedup.minHashLsh(spark, sfDir)
       .select("id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
