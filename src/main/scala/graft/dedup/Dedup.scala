@@ -191,7 +191,14 @@ object Dedup {
     * can drive adversarial synthetic clusters through the REAL
     * signature/banding/verify path (MinHashRecallSpec pins the
     * correlated-permutation regression of SURVEY §5a #24). */
-  private[graft] def minHashLshOn(docs: DataFrame): DataFrame = {
+  private[graft] def minHashLshOn(docs: DataFrame): DataFrame =
+    minHashLshPairs(docs).orderBy("id_a", "id_b")
+
+  /** [[minHashLshOn]] without the presentation sort — the per-batch
+    * streaming caller appends to a pair store and sorts once at the
+    * final read, so a per-trigger range exchange (plus its sampling
+    * job) would be pure fixed cost. */
+  private[graft] def minHashLshPairs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     graft.functions.JaccardSim.register(spark)
@@ -266,7 +273,6 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
       .where(col("jaccard") >= 0.95)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   // -------------------------------------------------------------- #31a

@@ -222,6 +222,79 @@ object TimeSeries {
     * indistinguishable from rebuilding the tier from raw. */
   val tierIncrementalOracle: String = tierRollupRawOracle
 
+  // ---------------------------------------------------------------- #9d
+  /** Late-data tier CORRECTION as a CDC feed — the reference's
+    * aggregation-service rewinds `lastProcessed` when raw data arrives
+    * for dates it already published (aggregation-service.ts:405-421);
+    * the warehouse form: a late batch re-OPENS exactly the published
+    * 1 h buckets it touches and emits (old, corrected) rows downstream
+    * consumers can upsert. Deterministic split stands in for lateness:
+    * event_id % 17 = 3 arrives late, the rest was published on time.
+    *
+    * Scale shape: the late batch's touched-bucket set is tiny →
+    * BROADCAST both ways (semi-join prunes the published tier to
+    * touched buckets; in production the raw re-read is partition-pruned
+    * the same way). The published mass is never re-aggregated, and the
+    * decimal partial sums make merge-then-average equal full-recompute
+    * bit-for-bit — so the CDC rows ARE the values a from-scratch
+    * rebuild would publish. */
+  def tierCorrection(spark: SparkSession, dir: String): DataFrame = {
+    val all = ev(spark, dir)
+    val isLate = col("event_id") % 17 === 3
+    val keys = Seq("user_id", "event_type", "bucket_ms")
+    val published = tierPartials(all.where(!isLate), 3600000L)
+    val late = all.where(isLate)
+    val touched = late.select(col("user_id"), col("event_type"),
+      bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms")).distinct()
+    val oldTouched = published.join(broadcast(touched), keys, "left_semi")
+    val corrected = oldTouched.unionByName(tierPartials(late, 3600000L))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum("value_sum").as("value_sum"),
+        min("value_min").as("value_min"),
+        max("value_max").as("value_max"),
+        sum("sample_count").as("sample_count"),
+        min("first_ts_ms").as("first_ts_ms"),
+        max("last_ts_ms").as("last_ts_ms"))
+    corrected
+      .join(oldTouched.select(col("user_id"), col("event_type"), col("bucket_ms"),
+        (col("value_sum").cast("double") / col("sample_count")).as("old_avg"),
+        col("sample_count").as("old_n")), keys, "left")
+      .select(col("user_id"), col("event_type"), col("bucket_ms"),
+        col("old_avg"), col("old_n"),
+        (col("value_sum").cast("double") / col("sample_count")).as("new_avg"),
+        col("sample_count").as("new_n"))
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
+  /** Oracle: full recompute of the touched buckets (old side = on-time
+    * events only, new side = all events), NULL old for brand-new
+    * buckets. */
+  val tierCorrectionOracle: String =
+    """WITH pub AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    SUM(CAST(value AS DECIMAL(18,6))) AS vs, COUNT(*) AS n
+      |  FROM events WHERE event_id % 17 <> 3 GROUP BY 1, 2, 3
+      |), touched AS (
+      |  SELECT DISTINCT user_id, event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms
+      |  FROM events WHERE event_id % 17 = 3
+      |), corr AS (
+      |  SELECT user_id, event_type,
+      |    CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS new_avg,
+      |    COUNT(*) AS new_n
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT t.user_id, t.event_type, t.bucket_ms,
+      |  CAST(p.vs AS DOUBLE) / p.n AS old_avg, p.n AS old_n,
+      |  c.new_avg, c.new_n
+      |FROM touched t
+      |JOIN corr c USING (user_id, event_type, bucket_ms)
+      |LEFT JOIN pub p USING (user_id, event_type, bucket_ms)
+      |ORDER BY 1, 2, 3""".stripMargin
+
   // ---------------------------------------------------------------- #9c
   /** Tier auto-selection, end to end — HistoryAPI.ts:737-773 routes a
     * request to the coarsest tier whose resolution divides the
@@ -416,6 +489,7 @@ object TimeSeries {
     "sk_tier_rollup_raw5s" -> (tierRollupRaw _),
     "sk_tier_reagg" -> (tierReagg _),
     "sk_tier_incremental" -> (tierIncremental _),
+    "sk_tier_correction" -> (tierCorrection _),
     "sk_tier_select" -> (tierSelectQuery _),
     "sk_time_align" -> (timeAlign _),
     "sk_sma" -> (sma _),
@@ -430,6 +504,7 @@ object TimeSeries {
     "sk_tier_rollup_raw5s" -> tierRollupRawOracle,
     "sk_tier_reagg" -> tierReaggOracle,
     "sk_tier_incremental" -> tierIncrementalOracle,
+    "sk_tier_correction" -> tierCorrectionOracle,
     "sk_tier_select" -> tierSelectOracle,
     "sk_time_align" -> timeAlignOracle,
     "sk_sma" -> smaOracle,

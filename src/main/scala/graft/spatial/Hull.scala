@@ -65,7 +65,7 @@ object Hull {
     * middle point, and its gap is exactly fl(π) (atan2(±d, +0.0) =
     * ±fl(π/2), and doubling is exact in IEEE) — `> pi()` excludes it
     * in DuckDB with no tolerance needed. */
-  def hullVertices(spark: SparkSession, dir: String): DataFrame = {
+  private def hullVerticesCore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Spatial.positions2d(spark, dir)
       .withColumn("day_ms", graft.funcs.bucketOfMs(col("ts_ms"), 86400000L))
@@ -78,10 +78,58 @@ object Hull {
           .map { case (x, y) => (key._1, key._2, x, y) }
       }
       .toDF("user_id", "day_ms", "lon", "lat")
-      .orderBy("user_id", "day_ms", "lon", "lat")
   }
 
-  val hullVerticesOracle: String =
+  def hullVertices(spark: SparkSession, dir: String): DataFrame =
+    hullVerticesCore(spark, dir)
+      .orderBy("user_id", "day_ms", "lon", "lat")
+
+  // ------------------------------------------------------------- #22g
+  /** Hull AREA per (vessel, day), fully oracle-checkable — closes the
+    * gap that left [[hullPerDay]]'s area spec-only. The shoelace needs
+    * the CYCLIC vertex order, which SQL can recover deterministically
+    * without transcendentals: anchor = lexicographic min vertex (an
+    * exact data value, and always a hull vertex), remaining vertices
+    * sorted by the DIAMOND pseudo-angle dy/(dx+|dy|) from the anchor —
+    * every other vertex has dx>0 (or dx=0, dy>0), so the key is a
+    * monotone image of the true angle on the open right half-plane and
+    * uses only IEEE exactly-rounded ops (sub/add/div), bit-identical in
+    * any engine. No two hull vertices tie: a tie means three hull
+    * vertices collinear with the anchor, which the monotone chain's
+    * `cross <= 0` pop excludes. Shoelace terms are anchored (dx·dy' −
+    * dx'·dy ≈ area-sized, not coordinate-sized), rounded at 12 dp and
+    * summed as DECIMAL — partition-order- and engine-independent
+    * ([[graft.funcs.dsum]] rule). Degenerate hulls need no special
+    * case: 1-2 vertices yield all-zero terms → area 0. */
+  def hullArea(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = hullVerticesCore(spark, dir)
+    val anchors = hv.groupBy("user_id", "day_ms")
+      .agg(min(struct(col("lon"), col("lat"))).as("a"))
+      .select(col("user_id"), col("day_ms"),
+        col("a.lon").as("alon"), col("a.lat").as("alat"))
+    val rel = hv.join(anchors, Seq("user_id", "day_ms"))
+      .withColumn("dx", col("lon") - col("alon"))
+      .withColumn("dy", col("lat") - col("alat"))
+      .withColumn("k", when(col("dx") === 0.0 && col("dy") === 0.0, lit(-2.0))
+        .otherwise(col("dy") / (col("dx") + abs(col("dy")))))
+    val w = Window.partitionBy("user_id", "day_ms").orderBy("k", "dx", "dy")
+    val wf = Window.partitionBy("user_id", "day_ms").orderBy("k", "dx", "dy")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rel
+      .withColumn("ndx", coalesce(lead("dx", 1).over(w), first("dx").over(wf)))
+      .withColumn("ndy", coalesce(lead("dy", 1).over(w), first("dy").over(wf)))
+      .withColumn("t", graft.funcs.rN(col("dx") * col("ndy") - col("ndx") * col("dy"), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(28, 12)))
+      .groupBy("user_id", "day_ms")
+      .agg(count(lit(1)).as("n_hull_points"),
+        graft.funcs.r6(abs(sum(col("t")).cast("double")) / 2).as("area_deg2"))
+      .orderBy("user_id", "day_ms")
+  }
+
+  /** Shared CTE chain deriving the hull vertex set (see
+    * [[hullVertices]]'s Scaladoc for the angular-gap proof). */
+  private val hullVertsCte: String =
     s"""WITH pos AS (
        |  SELECT DISTINCT user_id,
        |    CAST(FLOOR(epoch_ms(ts) / 86400000) * 86400000 AS BIGINT) AS day_ms,
@@ -111,15 +159,50 @@ object Hull {
        |    SELECT 1 FROM pos q
        |    WHERE q.user_id = p.user_id AND q.day_ms = p.day_ms
        |      AND (q.lon <> p.lon OR q.lat <> p.lat))
-       |)
+       |)""".stripMargin
+
+  val hullVerticesOracle: String =
+    s"""$hullVertsCte
        |SELECT user_id, day_ms, lon, lat FROM verts
        |ORDER BY 1, 2, 3, 4""".stripMargin
 
+  /** Same anchor + diamond-pseudo-angle + decimal shoelace as
+    * [[hullArea]], over the oracle-derived vertex set. */
+  val hullAreaOracle: String =
+    s"""$hullVertsCte
+       |, va AS (
+       |  SELECT user_id, day_ms, lon, lat,
+       |    FIRST_VALUE(lon) OVER ws AS alon, FIRST_VALUE(lat) OVER ws AS alat
+       |  FROM verts
+       |  WINDOW ws AS (PARTITION BY user_id, day_ms ORDER BY lon, lat
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |), rel AS (
+       |  SELECT user_id, day_ms, lon - alon AS dx, lat - alat AS dy,
+       |    CASE WHEN lon - alon = 0 AND lat - alat = 0 THEN -2.0
+       |         ELSE (lat - alat) / ((lon - alon) + ABS(lat - alat)) END AS k
+       |  FROM va
+       |), terms AS (
+       |  SELECT user_id, day_ms,
+       |    CAST(ROUND(dx * COALESCE(LEAD(dy) OVER w, FIRST_VALUE(dy) OVER wf)
+       |             - COALESCE(LEAD(dx) OVER w, FIRST_VALUE(dx) OVER wf) * dy, 12)
+       |      AS DECIMAL(28,12)) AS t
+       |  FROM rel
+       |  WINDOW
+       |    w AS (PARTITION BY user_id, day_ms ORDER BY k, dx, dy),
+       |    wf AS (PARTITION BY user_id, day_ms ORDER BY k, dx, dy
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT user_id, day_ms, COUNT(*) AS n_hull_points,
+       |  ROUND(ABS(CAST(SUM(t) AS DOUBLE)) / 2, 6) AS area_deg2
+       |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_hull_vertices" -> (hullVertices _))
+    "sk_hull_vertices" -> (hullVertices _),
+    "sk_hull_area" -> (hullArea _))
 
   val oracles: Map[String, String] = Map(
-    "sk_hull_vertices" -> hullVerticesOracle)
+    "sk_hull_vertices" -> hullVerticesOracle,
+    "sk_hull_area" -> hullAreaOracle)
 
   /** Hull per (vessel, day) over a positions frame
     * (user_id, ts_ms, lat, lon). */

@@ -540,7 +540,9 @@ object Streaming {
         // the batch feeds three distinct plans (within-pairs, band
         // keys, tokens) — pin it so the file scan runs once
         val b = batch.select("doc_id", "text").localCheckpoint()
-        val within = Dedup.minHashLshOn(b).select("id_a", "id_b", "jaccard")
+        // unsorted pairs: the store sorts once at the final read — a
+        // per-trigger range exchange would be pure fixed cost
+        val within = Dedup.minHashLshPairs(b).select("id_a", "id_b", "jaccard")
         val bBands = Dedup.bandRows(b)
         val bToks = b.select(col("doc_id"), Dedup.tokens.as("toks"))
         // cands feeds two plans (the store-token semi-join prune and

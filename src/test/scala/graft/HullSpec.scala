@@ -18,6 +18,25 @@ class HullSpec extends SparkSpec {
     assert(Hull.polygonArea(Hull.convexHull(Seq((0.0, 0.0), (2.0, 2.0)))) == 0.0)
   }
 
+  test("hullArea matches the monotone chain's shoelace area per group") {
+    // the SQL-shaped area (anchor + diamond pseudo-angle + 12dp decimal
+    // shoelace) must agree with the typed chain's exact shoelace on the
+    // SAME vertex sets, to the 6dp the operator publishes
+    val sql = Hull.hullArea(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val chain = Hull.hullPerDay(graft.spatial.Spatial.positions2d(spark, sfDir))
+      .collect()
+    assert(chain.nonEmpty && sql.size == chain.length)
+    chain.foreach { h =>
+      val (n, area) = sql((h.user_id, h.day_ms))
+      assert(n == h.n_hull_points, s"${h.user_id}/${h.day_ms}: $n != ${h.n_hull_points}")
+      assert(math.abs(area - h.area_deg2) <= 2e-6,
+        s"${h.user_id}/${h.day_ms}: $area vs ${h.area_deg2}")
+    }
+    assert(chain.exists(h => h.n_hull_points >= 3 && h.area_deg2 > 0),
+      "want at least one non-degenerate polygon")
+  }
+
   test("hullPerDay over the synthetic positions produces valid polygons") {
     val rows = Hull.hullPerDay(graft.spatial.Spatial.positions(spark, sfDir))
       .collect()

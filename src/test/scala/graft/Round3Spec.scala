@@ -37,6 +37,25 @@ class Round3Spec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("tier correction: corrected values equal a full 1h rebuild on the touched buckets") {
+    val corr = TimeSeries.tierCorrection(spark, sfDir)
+      .select("user_id", "event_type", "bucket_ms", "new_avg", "new_n")
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getLong(2)),
+        (r.getDouble(3), r.getLong(4)))).toMap
+    assert(corr.nonEmpty)
+    val rebuilt = TimeSeries.tierRollup(Tables.events(spark, sfDir), 3600000L)
+      .collect().map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("bucket_ms")),
+        (r.getAs[Double]("value_avg"), r.getAs[Long]("sample_count")))).toMap
+    // every corrected bucket's (avg, n) must be the full-rebuild value
+    corr.foreach { case (k, v) => assert(rebuilt(k) == v, s"$k: $v vs ${rebuilt(k)}") }
+    // and the feed must witness genuine corrections: some bucket whose
+    // published value actually changed
+    val changed = TimeSeries.tierCorrection(spark, sfDir)
+      .where(col("old_avg").isNotNull && col("old_avg") =!= col("new_avg")).count()
+    assert(changed > 0, "no bucket's published average was corrected")
+  }
+
   test("scrub replaces all matches and counts them") {
     val (scrubbed, hits) = graft.text.Scrub.scrub(col("t"), "\\b(customer|order)\\b", "[X]")
     val r = Seq("customer order customerx order")
