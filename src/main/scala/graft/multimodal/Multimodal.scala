@@ -358,7 +358,7 @@ object Multimodal {
     val reEncoded = base.map(r => MMRecord(r.doc_id + 100000L,
       r.payload.zipWithIndex.map { case (b, i) =>
         if (i % 97 == 0) 'x'.toByte else b }))
-    val hashes = phashStub(base.union(reEncoded)).toDF().cache()
+    val hashes = phashStub(base.union(reEncoded)).toDF().localCheckpoint()
     val banded = hashes.select(col("doc_id"), col("phash"),
       explode(expr("transform(sequence(0, 3), b -> struct(b AS band_idx, shiftright(phash, 14*b) & 16383 AS band_key))")).as("band"))
       .select(col("doc_id"), col("phash"), col("band.band_idx"), col("band.band_key"))

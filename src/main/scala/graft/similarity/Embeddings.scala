@@ -118,7 +118,7 @@ object Embeddings {
         struct(-col("ccos"), col("cent_label"))).as("best"))
       .select(col("vec_id"), col("best.v").as("v"), col("best.norm2").as("norm2"),
         col("best.cent_label").as("cluster"))
-      .cache()
+      .localCheckpoint()
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
       col("v").as("v_a"), col("norm2").as("norm2_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),

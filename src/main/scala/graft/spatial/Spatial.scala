@@ -210,15 +210,17 @@ object Spatial {
     * (B's cell is unique). Pair volume is now bounded by local
     * density, not fleet size; the precise haversine runs after. */
   def proximityJoin(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the per-(vessel, hour) representative table feeds both
-    // self-join sides — without it the raw-fix scan + agg run twice
+    // pinned (localCheckpoint, not cache: no session-lifetime
+    // CacheManager entry): the per-(vessel, hour) representative table
+    // feeds both self-join sides — without it the raw-fix scan + agg
+    // run twice
     val rep = positions(spark, dir)
       .groupBy(col("user_id"), bucketOfMs(col("ts_ms"), 3600000L).as("bucket_ms"))
       .agg(min_by(col("lat"), col("event_id")).as("lat"),
         min_by(col("lon"), col("event_id")).as("lon"))
       .withColumn("cla", floor(col("lat") / lit(0.025)).cast("long"))
       .withColumn("clo", floor(col("lon") / lit(0.03)).cast("long"))
-      .cache()
+      .localCheckpoint()
     val a = rep.select(col("bucket_ms"), col("user_id").as("user_a"),
         col("lat").as("lat_a"), col("lon").as("lon_a"), col("cla"), col("clo"))
       .withColumn("d", explode(expr(

@@ -105,14 +105,16 @@ object Pipeline2 {
     * of 5 consecutive tokens. Spans occurring in more than 20
     * documents are boilerplate and skipped — which also bounds the
     * per-span join fan-out (the quadratic blow-up guard at corpus
-    * scale). The distinct (doc, span-hash) table is cached: it feeds
-    * both sides of the self-join (SURVEY §5a.4). */
+    * scale). The distinct (doc, span-hash) table is pinned
+    * (localCheckpoint — compute-once without a session-lifetime
+    * CacheManager entry): it feeds both sides of the self-join
+    * (SURVEY §5a.4). */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val dh = ngramStream(Tables.documents(spark, dir), 5)
       .select(col("doc_id"), md5(col("ngram")).as("h")).distinct()
     val ok = dh.groupBy("h").agg(count(lit(1)).as("nd"))
       .where(col("nd").between(2, 20)).select("h")
-    val d2 = dh.join(ok, Seq("h"), "left_semi").cache()
+    val d2 = dh.join(ok, Seq("h"), "left_semi").localCheckpoint()
     val pairs = d2.alias("a").join(d2.alias("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
