@@ -493,6 +493,93 @@ object Streaming {
     spark.read.parquet(outDir).orderBy("event_id")
   }
 
+  // ------------------------------------------------------------- #42i
+  /** Late-data tier correction as a STREAM — the streaming twin of
+    * [[graft.operators.TimeSeries.tierCorrection]] and the live form
+    * of the reference's lastProcessed rewind (aggregation-service.ts:
+    * 405-421): late raw events arrive over 3 triggers (hash-split so
+    * triggers genuinely collide on buckets); each batch (a) merges its
+    * partials into the persisted 1 h store via the same touched-only
+    * [[graft.operators.TimeSeries.mergeTierPartials]] discipline (the
+    * untouched mass passes through an anti-join, never re-aggregated),
+    * (b) APPENDS a CDC row per touched bucket — (old, corrected) as of
+    * that trigger — before atomically swapping the store. Because the
+    * partials carry decimal sums, applying late batches one trigger at
+    * a time is associatively identical to applying them all at once:
+    * the final store ≡ a full rebuild, so the driver-facing output
+    * (original published vs final store over all touched buckets)
+    * reuses the BATCH operator's oracle verbatim. The per-trigger CDC
+    * trail is spec-asserted (buckets corrected in several triggers
+    * emit several rows whose last value is the final one). */
+  def streamTierCorrection(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
+    import graft.operators.TimeSeries
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_corr_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_corr_store").toString
+    val pubDir = base + "/published"; val store = base + "/tier1h"
+    val cdcDir = base + "/cdc"
+    val keys = Seq("user_id", "event_type", "bucket_ms")
+    val isLate = col("event_id") % 17 === 3
+    val all = spark.read.option("pathGlobFilter", "events.parquet")
+      .schema(eventSchema).parquet(dir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+    // publish the on-time 1 h tier once; the working store starts there
+    TimeSeries.tierPartials(all.where(!isLate), 3600000L)
+      .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+      .coalesce(2).write.mode("overwrite").parquet(pubDir)
+    spark.read.parquet(pubDir).write.mode("overwrite").parquet(store)
+    // late arrivals: hash-split into 3 files = 3 AvailableNow triggers
+    all.where(isLate).drop("ts_ms")
+      .repartition(3, pmod(col("event_id"), lit(3)))
+      .write.mode("overwrite").parquet(srcDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def avgCols(df: DataFrame, avg: String, n: String): DataFrame =
+      df.select(col("user_id"), col("event_type"), col("bucket_ms"),
+        (col("value_sum").cast("double") / col("sample_count")).as(avg),
+        col("sample_count").as(n))
+    val q = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        // pinned: feeds the touched-key set and the merge
+        val delta = TimeSeries.tierPartials(batch, 3600000L)
+          .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+          .localCheckpoint()
+        val touched = delta.select(keys.map(col): _*)
+        val cur = sp.read.parquet(store)
+        val tmp = store + "_next"
+        TimeSeries.mergeTierPartials(cur, delta)
+          .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
+          .coalesce(2).write.mode("overwrite").parquet(tmp)
+        // CDC append runs BEFORE the swap: old side reads the current
+        // store (touched-pruned via broadcast), new side the staged one
+        avgCols(sp.read.parquet(tmp).join(broadcast(touched), keys, "left_semi"),
+            "new_avg", "new_n")
+          .join(avgCols(cur.join(broadcast(touched), keys, "left_semi"),
+            "old_avg", "old_n"), keys, "left")
+          .write.mode("append").parquet(cdcDir)
+        fs.delete(new org.apache.hadoop.fs.Path(store), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(store))
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("tiercorr"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // driver-facing output ≡ the one-shot batch answer: original
+    // published vs final store over every bucket any trigger touched
+    val touchedAll = spark.read.parquet(cdcDir).select(keys.map(col): _*).distinct()
+    avgCols(spark.read.parquet(store).join(broadcast(touchedAll), keys, "left_semi"),
+        "new_avg", "new_n")
+      .join(avgCols(spark.read.parquet(pubDir).join(broadcast(touchedAll), keys, "left_semi"),
+        "old_avg", "old_n"), keys, "left")
+      .select(col("user_id"), col("event_type"), col("bucket_ms"),
+        col("old_avg"), col("old_n"), col("new_avg"), col("new_n"))
+      .orderBy("user_id", "event_type", "bucket_ms")
+  }
+
   // ------------------------------------------------------------- #42h
   /** Streaming near-dup dedup: the [[graft.dedup.Dedup]] LSH pipeline
     * run per micro-batch against a persistent signature store — the
@@ -612,7 +699,8 @@ object Streaming {
     "stream_export_sink" -> (streamExportSink _),
     "stream_tier_maintenance" -> (streamTierMaintenance _),
     "stream_asof" -> (streamAsOf _),
-    "stream_dedup_lsh" -> (streamDedupLsh _)
+    "stream_dedup_lsh" -> (streamDedupLsh _),
+    "stream_tier_correction" -> (streamTierCorrection _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -627,5 +715,6 @@ object Streaming {
     "stream_export_sink" -> streamExportSinkOracle,
     "stream_tier_maintenance" -> streamTierMaintenanceOracle,
     "stream_asof" -> graft.operators.AsOf.asOfOracle,
-    "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle)
+    "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle,
+    "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle)
 }

@@ -259,6 +259,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("tier correction: broadcast-pruned merge, no cartesian, partial aggregation") {
+    val p = planStr(TimeSeries.tierCorrection(spark, sfDir))
+    // the touched-bucket set must broadcast (semi-join prune + CDC
+    // join); the published mass is never re-aggregated wholesale
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    assert(p.contains("partial_"), p.take(4000))
+  }
+
+  test("hull area: equi-joins and keyed windows only — no cartesian, no global sort") {
+    val p = planStr(graft.spatial.Hull.hullArea(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p.take(4000))
+    // the only range exchange is the presentation sort
+    assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(4000))
+  }
+
   test("ann_ivf_topk: no vector-carrying dedup between bucket join and rank window") {
     val p = planStr(graft.similarity.Embeddings.annIvfTopK(spark, sfDir))
     // each corpus vector lives in exactly one IVF list, so the old

@@ -115,6 +115,21 @@ class StreamingSpec extends SparkSpec {
       "no cross-trigger pair found — store path never exercised")
   }
 
+  test("stream_tier_correction equals the one-shot batch correction") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streaming.streamTierCorrection(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    val batch = graft.operators.TimeSeries.tierCorrection(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // every corrected bucket must have gained at least one sample, and
+    // the trail must include genuinely re-opened (not brand-new) buckets
+    val df = graft.operators.TimeSeries.tierCorrection(spark, sfDir)
+    assert(df.where(col("new_n") <= coalesce(col("old_n"), lit(0L))).count() == 0)
+    assert(df.where(col("old_n").isNotNull).count() > 0)
+  }
+
   test("stream_episodes matches the batch operator's completed rows") {
     import org.apache.spark.sql.functions.col
     val streamed = Streaming.streamEpisodes(spark, sfDir)
