@@ -426,16 +426,20 @@ object TimeSeries {
 
   // --------------------------------------------------------------- #17
   /** Latest value per (context, path) — History "last known value".
-    * row_number keeps the pick deterministic under ts ties. */
-  def latestPerPath(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    * The unique event_id breaks ts ties deterministically. */
+  def latestPerPath(spark: SparkSession, dir: String): DataFrame =
+    // argmax as a partial-aggregable max_by ((ts_ms, event_id) is a
+    // total order — event_id unique): each map task keeps one row per
+    // (context, path) before the exchange, so the hottest reference
+    // lookup (latest value per path) never shuffles raw events — the
+    // old row_number window shuffled and sorted the whole table
     ev(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("user_id", "event_type", "ts_ms", "value")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(struct(col("ts_ms"), col("value")),
+        struct(col("ts_ms"), col("event_id"))).as("best"))
+      .select(col("user_id"), col("event_type"),
+        col("best.ts_ms").as("ts_ms"), col("best.value").as("value"))
       .orderBy("user_id", "event_type")
-  }
 
   val latestPerPathOracle: String =
     """SELECT user_id, event_type, ts_ms, value FROM (

@@ -318,18 +318,25 @@ object Spatial {
         .otherwise(when(speedOk("prev_lat", "prev_lon", "lat", "lon", col("ts_ms") - col("prev_ts")), lit(1)).otherwise(lit(0))))
       .withColumn("next_ok", when(col("next_ts").isNull, lit(1))
         .otherwise(when(speedOk("lat", "lon", "next_lat", "next_lon", col("next_ts") - col("ts_ms")), lit(1)).otherwise(lit(0))))
-    val rankW = Window.partitionBy("user_id", "bucket_ms").orderBy(
-      (col("prev_ok") + col("next_ok")).desc,
-      when(col("ts_ms") >= col("mid_ms"), lit(0)).otherwise(lit(1)),
-      abs(col("ts_ms") - col("mid_ms")),
-      col("event_id"))
-    val best = scored.withColumn("rn", row_number().over(rankW)).where(col("rn") === 1)
-      .select("user_id", "bucket_ms", "lat", "lon")
-    val stats = base.groupBy("user_id", "bucket_ms")
-      .agg(count(lit(1)).as("sample_count"),
+    // representative pick + bucket stats in ONE grouped aggregation:
+    // min_by over the same total order the old rank window used
+    // ((-(links), late-flag, |ts-mid|, event_id) min ≡ that orderBy),
+    // computed alongside count/min/max — replaces a second window
+    // sort, a separate stats aggregation over base, and their join.
+    // The lag/lead window above already shuffled on the same key, so
+    // this aggregation is partial-agg'd with no further exchange.
+    scored.groupBy("user_id", "bucket_ms")
+      .agg(
+        min_by(struct(col("lat"), col("lon")),
+          struct((col("prev_ok") + col("next_ok")) * -1,
+            when(col("ts_ms") >= col("mid_ms"), lit(0)).otherwise(lit(1)),
+            abs(col("ts_ms") - col("mid_ms")),
+            col("event_id"))).as("best"),
+        count(lit(1)).as("sample_count"),
         min("ts_ms").as("first_ts_ms"), max("ts_ms").as("last_ts_ms"))
-    best.join(stats, Seq("user_id", "bucket_ms"))
-      .select("user_id", "bucket_ms", "lat", "lon", "sample_count", "first_ts_ms", "last_ts_ms")
+      .select(col("user_id"), col("bucket_ms"),
+        col("best.lat").as("lat"), col("best.lon").as("lon"),
+        col("sample_count"), col("first_ts_ms"), col("last_ts_ms"))
       .orderBy("user_id", "bucket_ms")
   }
 

@@ -259,6 +259,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p.take(3000))
   }
 
+  test("latest-per-path is a partial max_by — raw events never window-sorted") {
+    val p = planStr(TimeSeries.latestPerPath(spark, sfDir))
+    assert(p.contains("partial_max_by"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("position bucket: one key exchange serves lag/lead AND the grouped pick") {
+    val p = planStr(graft.spatial.Spatial.positionBucket(spark, sfDir))
+    assert(p.contains("partial_min_by"), p.take(4000))
+    // the lag/lead window's hashpartitioning is reused by the grouped
+    // aggregation (same key) — no second hash exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(4000))
+  }
+
   test("tier correction: broadcast-pruned merge, no cartesian, partial aggregation") {
     val p = planStr(TimeSeries.tierCorrection(spark, sfDir))
     // the touched-bucket set must broadcast (semi-join prune + CDC
