@@ -104,7 +104,9 @@ object Bench {
       val curves = hot.map { q =>
         val fn = SparkEntry.queries(q)
         val ts = sfs.map { d => d -> medianOk(Seq.fill(3)(timeAt(fn, d))) }
-        val (d1, t1) = ts(1); val (d2, t2) = ts(2)
+        // the last two ladder entries drive the fit — works for any
+        // ladder length ≥ 2, not just the default 3-dir one
+        val (d1, t1) = ts(ts.size - 2); val (d2, t2) = ts.last
         // a failed point poisons the fit — report NaN, not a fake slope
         val exp = if (t1 < 0 || t2 < 0) Double.NaN
           else math.log(t2 / t1) / math.log(docRows(d2).toDouble / docRows(d1))
