@@ -48,6 +48,7 @@ object Modules {
     ("Scrub", text.Scrub.queries, text.Scrub.oracles),
     ("Templates", spatial.Templates.queries, spatial.Templates.oracles),
     ("Components", dedup.Components.queries, dedup.Components.oracles),
+    ("BloomDedup", dedup.BloomDedup.queries, dedup.BloomDedup.oracles),
     ("Analytics", operators.Analytics.queries, operators.Analytics.oracles),
     ("Intervals", operators.Intervals.queries, operators.Intervals.oracles),
     ("Downsample", operators.Downsample.queries, operators.Downsample.oracles),

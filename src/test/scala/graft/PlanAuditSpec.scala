@@ -273,6 +273,18 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(4000))
   }
 
+  test("dedup_bloom: store sketch is a scalar subquery; hits verify through broadcast semi-join") {
+    val p = planStr(graft.dedup.BloomDedup.bloomIncrementalDedup(spark, sfDir))
+    // the batch-side prefilter probes the subquery-built sketch —
+    // Spark's runtime-filter machinery made explicit
+    assert(p.contains("might_contain"), p.take(4000))
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(4000))
+    // exact verification: candidates broadcast INTO the store scan —
+    // the store side never exchanges
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(4000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("tier correction: broadcast-pruned merge, no cartesian, partial aggregation") {
     val p = planStr(TimeSeries.tierCorrection(spark, sfDir))
     // the touched-bucket set must broadcast (semi-join prune + CDC
