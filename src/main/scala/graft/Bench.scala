@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: streaming/AQE WARN spam after the JSON line can
@@ -167,8 +168,17 @@ object Bench {
     // failure sentinel as the headline value so the perf gate can never
     // pass on a crash; the partial sum stays in bench_full.json.
     val gateTotal = if (failed.nonEmpty) -1.0 else total
+    // The driver keeps only the LAST ~2000 chars of output: a mass
+    // failure (round 10: 62 errored names) must not bloat the errors
+    // array past the window and truncate the line into unparseable
+    // JSON — cap at 5 names + a count; the full list stays in
+    // target/bench_full.json.
+    val errHead =
+      (failed.take(5).map("\"" + _ + "\"") ++
+        (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
+        .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(gateTotal)},"unit":"sec","errors":$errJson,"queries":${dict(head)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(gateTotal)},"unit":"sec","n_errors":${failed.size},"errors":$errHead,"queries":${dict(head)},"sf":"$sfDir"}"""
     // Fixed-path copy of the headline line as a parse fallback.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_headline.json"), line)

@@ -451,15 +451,19 @@ object TimeSeries {
   /** Discovery: series (contexts×paths) present in a time range with
     * row counts and first/last timestamps — path-discovery.ts semantics
     * (partition-pruned at scale; here a pruned scan + group). */
-  def discovery(spark: SparkSession, dir: String): DataFrame =
-    ev(spark, dir)
-      // predicate on the raw nanos column → pushed to the parquet scan
-      .where(col("ts") >= lit(1704672000000000000L) && col("ts") < lit(1705881600000000000L))
+  def discovery(spark: SparkSession, dir: String): DataFrame = {
+    val base = ev(spark, dir)
+    base
+      // predicate on the raw ts column in its native type → pushed to
+      // the parquet scan (2024-01-08 .. 2024-01-22 UTC)
+      .where(Tables.tsRange(base.schema("ts").dataType,
+        1704672000000L, 1705881600000L))
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n_records"),
         min("ts_ms").as("first_ts_ms"),
         max("ts_ms").as("last_ts_ms"))
       .orderBy("user_id", "event_type")
+  }
 
   val discoveryOracle: String =
     """SELECT user_id, event_type, COUNT(*) AS n_records,

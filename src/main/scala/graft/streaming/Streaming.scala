@@ -18,10 +18,18 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  private val eventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Stream-source schema for the events table, read from the parquet
+    * footer (one cheap driver-side read). The generator has shipped
+    * `ts` as TIMESTAMP(NANOS) (→ BIGINT nanos under the scoped legacy
+    * conf) and as TIMESTAMP(MICROS) (→ TIMESTAMP_NTZ); forcing a
+    * hardcoded LongType onto a micros file would silently reinterpret
+    * the raw int64 as nanos — 1000× off. */
+  private def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.option("pathGlobFilter", "events.parquet").parquet(dir).schema
+
+  /** Epoch-ms `ts_ms` from the physical `ts`, whatever its type. */
+  private def withTsMs(df: DataFrame): DataFrame =
+    df.withColumn("ts_ms", graft.Tables.tsMillis(df.schema("ts").dataType))
 
   /** Scoped nanosAsLong for a full stream run. Unlike the batch reader
     * (Tables.events), a stream re-plans its parquet scan every
@@ -40,10 +48,9 @@ object Streaming {
   }
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.readStream.schema(eventSchema)
+    withTsMs(spark.readStream.schema(eventsSchema(spark, dir))
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+      .parquet(dir))
       .withColumn("event_time", timestamp_millis(col("ts_ms")))
   }
 
@@ -409,13 +416,13 @@ object Streaming {
     import graft.operators.TimeSeries
     val srcDir = java.nio.file.Files.createTempDirectory("graft_tier_src").toString
     val store = java.nio.file.Files.createTempDirectory("graft_tier_store").toString + "/tier5m"
-    spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
+    val sch = eventsSchema(spark, dir)
+    spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
       .parquet(dir).repartition(4)
       .write.mode("overwrite").parquet(srcDir)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
-    val q = spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val q = withTsMs(spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val delta = TimeSeries.tierPartials(batch, 300000L)
@@ -468,16 +475,15 @@ object Streaming {
   def streamAsOf(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_asof_src").toString
     val outDir = java.nio.file.Files.createTempDirectory("graft_asof_out").toString + "/enriched"
-    spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
+    val sch = eventsSchema(spark, dir)
+    spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
       .parquet(dir).where(col("event_type") === "click").repartition(3)
       .write.mode("overwrite").parquet(srcDir)
-    val quotes = spark.read.option("pathGlobFilter", "events.parquet").schema(eventSchema)
-      .parquet(dir).where(col("event_type") === "view")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val quotes = withTsMs(spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
+      .parquet(dir).where(col("event_type") === "view"))
       .select("user_id", "ts_ms", "value", "event_id")
-    val q = spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val q = withTsMs(spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.plans.AsOfJoinNative.asOfJoin(
@@ -519,9 +525,9 @@ object Streaming {
     val cdcDir = base + "/cdc"
     val keys = Seq("user_id", "event_type", "bucket_ms")
     val isLate = col("event_id") % 17 === 3
-    val all = spark.read.option("pathGlobFilter", "events.parquet")
-      .schema(eventSchema).parquet(dir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val sch = eventsSchema(spark, dir)
+    val all = withTsMs(spark.read.option("pathGlobFilter", "events.parquet")
+      .schema(sch).parquet(dir))
     // publish the on-time 1 h tier once; the working store starts there
     TimeSeries.tierPartials(all.where(!isLate), 3600000L)
       .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
@@ -536,9 +542,8 @@ object Streaming {
       df.select(col("user_id"), col("event_type"), col("bucket_ms"),
         (col("value_sum").cast("double") / col("sample_count")).as(avg),
         col("sample_count").as(n))
-    val q = spark.readStream.schema(eventSchema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    val q = withTsMs(spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
