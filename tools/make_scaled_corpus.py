@@ -12,7 +12,7 @@ Mutation rules keep workload character honest:
   index (norm-preserving, direction-changing).
 - events: copies re-keyed by user_id/event_id offset (per-vessel
   density constant -- how a fleet warehouse actually grows); written
-  via pyarrow so ts stays timestamp[ns] like the driver's files.
+  via pyarrow so the physical ts encoding matches the driver's files.
 - all other tables symlink to sf0.1.
 
 Usage: python3 tools/make_scaled_corpus.py [outdir]   (default /tmp/graft_sf1)
@@ -51,8 +51,9 @@ def main():
       FROM '{SRC}/embeddings.parquet' e,
            (SELECT unnest(range(1, {COPIES})) AS copy) c
     ) TO '{out}/embeddings.parquet' (FORMAT PARQUET)""")
-    # events via pyarrow: DuckDB would downcast ts to timestamp[us];
-    # Tables.events reads the driver's nanosecond physical type
+    # events via pyarrow: preserves the driver's physical ts encoding
+    # verbatim (ns historically, us today; Tables.events normalizes
+    # both) — a DuckDB COPY would silently rewrite it
     import pyarrow as pa, pyarrow.parquet as pq, pyarrow.compute as pc
     t = pq.read_table(f"{SRC}/events.parquet")
     parts = [t]
