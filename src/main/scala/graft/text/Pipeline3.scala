@@ -225,13 +225,56 @@ object Pipeline3 {
       |  CAST(SUM(doc_id) FILTER (WHERE sampled) AS BIGINT) AS sampled_id_sum
       |FROM flagged GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------------------------------------- #40y2
+  /** Corpus-level n-gram frequency, exact top-k: the contamination /
+    * memorization-analysis primitive (count every trigram across the
+    * corpus, report the k most frequent). The reference has no analog;
+    * this is pure pipeline tooling (the table a decontamination run or
+    * a "most-duplicated span" report reads first).
+    *
+    * Scale shape: n-grams come from in-place array slices (§5a #22 —
+    * no lead() window, no per-token exchange before aggregation), the
+    * count is ONE hash aggregation with map-side partials on the gram
+    * key, and top-k is TakeOrderedAndProject — per-partition heaps
+    * merged on the driver, NOT a global sort shuffle. The only full
+    * exchange is the gram-key partial-to-final agg, which is the
+    * irreducible one. k and n are literals so the whole plan is
+    * codegen'd end to end. */
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      // guard BEFORE sequence(): Spark's sequence(1, 0) descends
+      // rather than returning empty, which would fabricate partial
+      // grams from out-of-range (null) slots via concat_ws
+      .where(size(col("t")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 2), " +
+          "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(k)
+  }
+
+  val ngramCountsOracle: String =
+    """WITH g AS (
+      |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS r(i)
+      |)
+      |SELECT ngram, COUNT(*) AS n_occurrences FROM g
+      |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> (boilerplateScrub _),
     "sample_stratified" -> (sampleStratified _),
-    "sample_temperature" -> (sampleTemperature _))
+    "sample_temperature" -> (sampleTemperature _),
+    "ngram_counts" -> (ngramCounts _))
 
   val oracles: Map[String, String] = Map(
     "text_boilerplate" -> boilerplateScrubOracle,
     "sample_stratified" -> sampleStratifiedOracle,
-    "sample_temperature" -> sampleTemperatureOracle)
+    "sample_temperature" -> sampleTemperatureOracle,
+    "ngram_counts" -> ngramCountsOracle)
 }

@@ -77,4 +77,19 @@ class Round3Spec extends SparkSpec {
     assert(assigns.where(col("doc_id") === col("component_id")).count() ==
       assigns.select("component_id").distinct().count())
   }
+
+  test("ngram_counts: exact trigram top-k, no global sort, short docs excluded") {
+    val df = graft.text.Pipeline3.ngramCounts(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    // counts are non-increasing with the (count desc, gram asc) tie order
+    val pairs = rows.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (c, g) => (-c, g) }))
+    // every reported gram is exactly 3 space-joined tokens
+    assert(rows.forall(_.getString(0).split(" ").length == 3))
+    // top-k is a driver-side heap merge, not a global sort exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
+  }
 }
