@@ -266,15 +266,70 @@ object Pipeline3 {
       |SELECT ngram, COUNT(*) AS n_occurrences FROM g
       |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 100""".stripMargin
 
+  // -------------------------------------------------------------- #40z2
+  /** Epoch materialization: turn a per-language mixture policy
+    * ("2.5 epochs of de, 3.25 of fr, …") into the actual repeated-row
+    * dataset a trainer consumes. Integer epochs replicate every doc;
+    * the fractional epoch keeps a deterministic md5-nibble slice of
+    * docs one extra time (the same engine-portable hash-decision
+    * idiom as [[Pipeline2.mixBalance]] — reproducible across runs,
+    * engines and input layouts, no RNG state).
+    *
+    * Scale shape: ZERO data shuffles — policy is a literal map
+    * expression, the copy count is a per-row projection, and the
+    * explode(sequence(1, n)) materialization is narrow; output size
+    * is the policy-weighted corpus (the unavoidable cost of epoch
+    * materialization). The trailing orderBy is presentation-only. At
+    * 100 TB you'd write this straight to the shuffled shard layout
+    * ([[Pipeline4.shuffleShards]]) instead of sorting. */
+  def mixEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val policy = map(
+      lit("en"), lit(1.0), lit("de"), lit(2.5), lit("es"), lit(2.0),
+      lit("fr"), lit(3.25), lit("zh"), lit(1.75))
+    Tables.documents(spark, dir)
+      .withColumn("epochs", coalesce(policy(col("lang")), lit(1.0)))
+      .withColumn("base", floor(col("epochs")).cast("long"))
+      .withColumn("frac", col("epochs") - col("base"))
+      .withColumn("extra",
+        (substring(md5(concat(col("doc_id").cast("string"), lit("#epoch"))), 1, 4) <
+          lower(lpad(hex(floor(col("frac") * 65536).cast("long")), 4, "0")))
+          .cast("long"))
+      .withColumn("n_copies", col("base") + col("extra"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("sequence(1, n_copies)")).as("epoch_idx"))
+      .orderBy("doc_id", "epoch_idx")
+  }
+
+  val mixEpochsOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 2.5 WHEN 'es' THEN 2.0
+      |              WHEN 'fr' THEN 3.25 WHEN 'zh' THEN 1.75 ELSE 1.0 END AS epochs
+      |  FROM documents
+      |), e AS (
+      |  SELECT doc_id, lang,
+      |    CAST(FLOOR(epochs) AS BIGINT) +
+      |    CASE WHEN substr(md5(doc_id || '#epoch'), 1, 4) <
+      |      lpad(lower(hex(CAST(FLOOR((epochs - FLOOR(epochs)) * 65536) AS BIGINT))), 4, '0')
+      |      THEN 1 ELSE 0 END AS n
+      |  FROM d
+      |)
+      |SELECT doc_id, lang, CAST(r.i AS BIGINT) AS epoch_idx
+      |FROM e, UNNEST(range(1, n + 1)) AS r(i)
+      |WHERE n > 0 ORDER BY doc_id, epoch_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> (boilerplateScrub _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
-    "ngram_counts" -> (ngramCounts _))
+    "ngram_counts" -> (ngramCounts _),
+    "mix_epochs" -> (mixEpochs _))
 
   val oracles: Map[String, String] = Map(
     "text_boilerplate" -> boilerplateScrubOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_temperature" -> sampleTemperatureOracle,
-    "ngram_counts" -> ngramCountsOracle)
+    "ngram_counts" -> ngramCountsOracle,
+    "mix_epochs" -> mixEpochsOracle)
 }

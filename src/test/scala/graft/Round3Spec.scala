@@ -92,4 +92,27 @@ class Round3Spec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
     assert(!plan.contains("Exchange rangepartitioning"), plan.take(2000))
   }
+
+  test("mix_epochs: copy counts bracket the policy, deterministic, idx dense") {
+    import org.apache.spark.sql.functions._
+    val out = graft.text.Pipeline3.mixEpochs(spark, sfDir)
+    val perDoc = out.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n"), max("epoch_idx").as("mx"), min("epoch_idx").as("mn"))
+    // epoch_idx is exactly 1..n per doc
+    assert(perDoc.where(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    // every doc gets floor(epochs) or floor(epochs)+1 copies
+    val policy = Map("en" -> 1.0, "de" -> 2.5, "es" -> 2.0, "fr" -> 3.25, "zh" -> 1.75)
+    val bad = perDoc.collect().count { r =>
+      val e = policy(r.getString(1)); val n = r.getLong(2)
+      n < math.floor(e).toLong || n > math.floor(e).toLong + (if (e % 1 > 0) 1 else 0)
+    }
+    assert(bad == 0)
+    // fractional slice lands near the target rate (de: 2.5 epochs)
+    val de = perDoc.where(col("lang") === "de")
+    val mean = de.agg(avg("n")).head.getDouble(0)
+    assert(mean > 2.2 && mean < 2.8, s"de mean epochs $mean")
+    // hash decision is deterministic: a second run is identical
+    val again = graft.text.Pipeline3.mixEpochs(spark, sfDir)
+    assert(out.exceptAll(again).count() == 0 && again.exceptAll(out).count() == 0)
+  }
 }
