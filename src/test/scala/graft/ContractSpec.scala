@@ -49,9 +49,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the gate is as wide as the round claims") {
-    // 149 oracle-checked queries as of round 9 (q_bucketed_join joined
-    // the tested gate) — a shrink means a module fell out of the merge
-    assert(SparkEntry.queries.size >= 149)
-    assert(SparkEntry.oracleSql.size >= 149)
+    // 155 oracle-checked queries as of round 11 (ngram_counts and
+    // mix_epochs joined) — a shrink means a module fell out of the merge
+    assert(SparkEntry.queries.size >= 155)
+    assert(SparkEntry.oracleSql.size >= 155)
   }
 }
