@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, JaccardSim, KnownNonNullElements, L2Distance, PolyHash}
+import graft.functions.{DotProduct, JaccardSim, KnownNonNullElements, L2Distance, NGrams, PolyHash}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
 
 /** Session-extension entry point: configure
   * `spark.sql.extensions=graft.GraftExtensions` and every session
@@ -44,6 +46,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (exprs.size != 1) throw new IllegalArgumentException(
           s"graft_dense expects exactly 1 argument, got ${exprs.size}")
         KnownNonNullElements(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, null, "graft_ngrams",
+        "_FUNC_(arr, n) - Space-joined n-grams of a string array in one " +
+          "codegen'd pass; n must be an INT literal (it shapes the " +
+          "generated loop).", ""),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(v: Int, IntegerType) => NGrams(exprs(0), v)
+        case other => throw new IllegalArgumentException(
+          s"graft_ngrams: n must be an INT literal, got $other")
       }))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

@@ -244,13 +244,13 @@ object Pipeline3 {
     val k = 100
     Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("t"))
-      // guard BEFORE sequence(): Spark's sequence(1, 0) descends
-      // rather than returning empty, which would fabricate partial
-      // grams from out-of-range (null) slots via concat_ws
-      .where(size(col("t")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 2), " +
-          "i -> concat_ws(' ', t[i-1], t[i], t[i+1]))")).as("ngram"))
+      // gram extraction is the codegen'd native expression — the
+      // transform(sequence, lambda) formulation runs every gram
+      // through Spark's interpreted lambda evaluator (§5a #18), which
+      // is the whole cost of this operator at corpus scale; the
+      // expression also returns empty (never partial grams) for docs
+      // shorter than n
+      .select(explode(graft.functions.NGrams.ngrams(col("t"), 3)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
