@@ -52,11 +52,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NGrams].getName, null, "graft_ngrams",
         "_FUNC_(arr, n) - Space-joined n-grams of a string array in one " +
           "codegen'd pass; n must be an INT literal (it shapes the " +
-          "generated loop).", ""),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(v: Int, IntegerType) => NGrams(exprs(0), v)
-        case other => throw new IllegalArgumentException(
-          s"graft_ngrams: n must be an INT literal, got $other")
+          "generated loop). Null elements are skipped concat_ws-style: " +
+          "_FUNC_(array('a', NULL, 'c'), 3) yields array('a c').", ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 2) throw new IllegalArgumentException(
+          s"graft_ngrams expects 2 arguments (tokens, n), got ${exprs.size}")
+        exprs(1) match {
+          case Literal(v: Int, IntegerType) => NGrams(exprs(0), v)
+          case other => throw new IllegalArgumentException(
+            s"graft_ngrams: n must be an INT literal, got $other")
+        }
       }))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

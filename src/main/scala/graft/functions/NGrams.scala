@@ -26,6 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `n` is a plan-time constant (it comes from the operator's
   * configuration, not the data), which keeps the generated loop
   * branch-free.
+  *
+  * Null handling: null ELEMENTS are skipped concat_ws-style (matching
+  * `concat_ws(' ', ...)` semantics), so `ngrams(["a",null,"c"], 3)`
+  * yields `["a c"]`. Tokenizer output (`split`) never contains nulls;
+  * callers feeding arrays with null slots should `filter(x -> x IS NOT
+  * NULL)` first if they want strict grams.
   */
 case class NGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, s"graft_ngrams needs n >= 1, got $n")
@@ -94,10 +100,14 @@ object NGrams {
     if (!registry.functionExists(ident)) {
       registry.createOrReplaceTempFunction(
         "graft_ngrams",
-        (exprs: Seq[Expression]) => exprs(1) match {
-          case Literal(v: Int, IntegerType) => NGrams(exprs(0), v)
-          case other => throw new IllegalArgumentException(
-            s"graft_ngrams: n must be an INT literal, got $other")
+        (exprs: Seq[Expression]) => {
+          if (exprs.size != 2) throw new IllegalArgumentException(
+            s"graft_ngrams expects 2 arguments (tokens, n), got ${exprs.size}")
+          exprs(1) match {
+            case Literal(v: Int, IntegerType) => NGrams(exprs(0), v)
+            case other => throw new IllegalArgumentException(
+              s"graft_ngrams: n must be an INT literal, got $other")
+          }
         },
         "built-in")
     }

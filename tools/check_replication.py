@@ -57,7 +57,12 @@ def replicate_resolve(base, c):
     # column is replication-comparable; drop the rest
     return base[["lang", "n_kept"]].copy()
 
-REPLICATORS = {}
+REPLICATORS = {
+    "dedup_resolve": replicate_resolve,
+    # dedup_components goes through COPY0_SLICE below, but keep its
+    # replicator registered for callers that bypass the slice check.
+    "dedup_components_full": replicate_components,
+}
 
 # Blocked operators key their candidate generation on n_chars-derived
 # buckets, and the corpus builder's token suffixes CHANGE n_chars for
@@ -112,8 +117,12 @@ def main():
             print(f"FAIL {name}: no id columns recognized in {list(base.columns)}")
             n_fail += 1; continue
         want = canon(pd.concat([rep(base, c) for c in range(COPIES)]))
-        got = canon(tenx[want.columns.tolist()] if set(want.columns) != set(tenx.columns)
-                    else tenx)
+        try:
+            got = canon(tenx[want.columns.tolist()] if set(want.columns) != set(tenx.columns)
+                        else tenx)
+        except KeyError as e:
+            print(f"FAIL {name}: expected columns missing from 10x output: {e}")
+            n_fail += 1; continue
         if list(want.columns) != list(got.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(want.columns)}")
             n_fail += 1; continue

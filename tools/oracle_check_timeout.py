@@ -74,7 +74,9 @@ def main():
             print(f"SKIP {name} (oracle exceeded {budget}s)")
             counts["SKIP"] += 1; skipped.append(name); continue
         try:
-            nm, status, msg = q.get_nowait()
+            # join() does not guarantee the feeder pipe has drained into the
+            # parent; a brief blocking get avoids a flaky false-FAIL.
+            nm, status, msg = q.get(timeout=5)
         except Exception:
             print(f"FAIL {name}: oracle process died"); counts["FAIL"] += 1
             failed.append(name); continue
