@@ -1,0 +1,138 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** Paced historical playback: replay an archived time window as a
+  * rate-controlled stream through the live streaming operators.
+  *
+  * Re-expresses the reference's historical streaming service
+  * (historical-streaming.ts:435-542): a `setInterval` loop that, every
+  * `rate` ms, queries the archive for the next window of data — the
+  * full `timeRange` on the first tick, then incremental slices after
+  * the last-seen timestamp (getHistoricalDataWindow,
+  * historical-streaming.ts:693-806) — buckets it at `resolution` with
+  * an aggregate method, and pushes the buckets to subscribers.
+  *
+  * Spark-first shape: the pacing is a SOURCE property, not a driver
+  * loop. [[stage]] carves the archived window into consecutive
+  * archive-time slices, one file per slice in replay order;
+  * `readStream` over the staged directory with `maxFilesPerTrigger=1`
+  * then makes each micro-batch exactly one slice — Structured
+  * Streaming's native rate-control knob standing in for the wall-clock
+  * interval (at demo scale Trigger.AvailableNow drains the slices
+  * back-to-back; a live deployment would use
+  * Trigger.ProcessingTime(rate) for real-time pacing with the same
+  * plan). The bucket aggregation downstream is the same windowed-agg
+  * shape as [[Streaming.streamBucketAgg]], so the accumulated replay
+  * output is oracle-checkable against the batch query over the same
+  * window — the incremental-tick invariant the reference maintains via
+  * `streamLastTimestamps`.
+  *
+  * Scale note: at warehouse scale the archive is time-partitioned, so
+  * staging is a METADATA operation — each slice is the set of existing
+  * partition directories in its range, and the replay source lists
+  * them in time order without copying bytes. Here the test archive is
+  * a single file, so [[stage]] physically slices it (each slice write
+  * is a pruned scan: the range predicate is on the native `ts` column,
+  * row-group pruning applies). Slice writes run through one
+  * `repartition(1)` each — the slice is a bounded replay quantum, not
+  * a full-corpus shuffle.
+  */
+object Replay {
+
+  case class Staged(dir: String, nSlices: Int, sliceMs: Long, startMs: Long, endMs: Long)
+
+  /** Stage `[startMs, endMs)` of the events archive as one parquet
+    * file per `sliceMs` of archive time, named and modification-
+    * stamped in replay order (the file source orders by mod time;
+    * explicit stamps make the order deterministic even when two slice
+    * writes land in the same clock ms). `ts_ms` is normalized to
+    * BIGINT at stage time so the replay stream is encoding-agnostic. */
+  def stage(spark: SparkSession, dir: String, startMs: Long, endMs: Long,
+            sliceMs: Long): Staged = {
+    val out = java.nio.file.Files.createTempDirectory("graft_replay_stage").toString
+    val raw = graft.Tables.table(spark, dir, "events")
+    val tsType = raw.schema("ts").dataType
+    val nSlices = ((endMs - startMs + sliceMs - 1) / sliceMs).toInt
+    var i = 0
+    while (i < nSlices) {
+      val s = startMs + i * sliceMs
+      val e = math.min(s + sliceMs, endMs)
+      val sliceDir = s"$out/work_$i"
+      graft.Tables.events(spark, dir)
+        .where(graft.Tables.tsRange(tsType, s, e))
+        .select(col("ts_ms"), col("event_type"), col("value"), col("user_id"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(sliceDir)
+      val part = new java.io.File(sliceDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(out, f"slice_$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1000000000000L + i * 60000L)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sliceDir))
+      i += 1
+    }
+    Staged(out, nSlices, sliceMs, startMs, endMs)
+  }
+
+  /** One-slice-per-trigger stream over a staged replay directory. */
+  def replayStream(spark: SparkSession, staged: Staged): DataFrame = {
+    val schema = spark.read.parquet(staged.dir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(staged.dir)
+  }
+
+  // --------------------------------------------------------------- #52
+  /** Gated query: replay 15 archived days ([2024-01-05, 2024-01-20))
+    * in 3-day slices through the 2 h bucket aggregation (the
+    * reference's `average` aggregate method at `resolution` = 2 h over
+    * a stream's `timeRange`). Complete-mode memory sink accumulates
+    * the per-trigger incremental buckets; the result must equal the
+    * batch bucket query over the same window — the invariant the
+    * reference's sliding `streamLastTimestamps` window preserves.
+    * (ReplaySpec drives [[replayStream]] directly through foreachBatch
+    * to pin each micro-batch's time bounds to its slice.) */
+  def streamReplay(spark: SparkSession, dir: String): DataFrame = {
+    val startMs = 1704412800000L // 2024-01-05T00:00:00Z
+    val endMs   = 1705708800000L // 2024-01-20T00:00:00Z
+    val sliceMs = 3L * 24 * 3600 * 1000
+    val staged = stage(spark, dir, startMs, endMs, sliceMs)
+    try {
+      val name = s"graft_replay_${System.nanoTime()}"
+      val q = replayStream(spark, staged)
+        .withColumn("event_time", timestamp_millis(col("ts_ms")))
+        .groupBy(window(col("event_time"), "2 hours"), col("event_type"))
+        .agg(
+          (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+            count(col("value"))).as("value_avg"),
+          count(lit(1)).as("sample_count"))
+        .select(unix_millis(col("window.start")).as("bucket_ms"),
+          col("event_type"), col("value_avg"), col("sample_count"))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_replay").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name).orderBy("event_type", "bucket_ms")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged.dir))
+    }
+  }
+
+  val streamReplayOracle: String =
+    """SELECT CAST(FLOOR(epoch_ms(ts) / 7200000) * 7200000 AS BIGINT) AS bucket_ms,
+      |  event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |  COUNT(*) AS sample_count
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+      |GROUP BY 1, 2 ORDER BY event_type, bucket_ms""".stripMargin
+}

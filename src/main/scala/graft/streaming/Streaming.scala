@@ -705,7 +705,8 @@ object Streaming {
     "stream_tier_maintenance" -> (streamTierMaintenance _),
     "stream_asof" -> (streamAsOf _),
     "stream_dedup_lsh" -> (streamDedupLsh _),
-    "stream_tier_correction" -> (streamTierCorrection _)
+    "stream_tier_correction" -> (streamTierCorrection _),
+    "stream_replay" -> (Replay.streamReplay _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -721,5 +722,6 @@ object Streaming {
     "stream_tier_maintenance" -> streamTierMaintenanceOracle,
     "stream_asof" -> graft.operators.AsOf.asOfOracle,
     "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle,
-    "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle)
+    "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle,
+    "stream_replay" -> Replay.streamReplayOracle)
 }

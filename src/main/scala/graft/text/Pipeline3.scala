@@ -240,8 +240,7 @@ object Pipeline3 {
     * exchange is the gram-key partial-to-final agg, which is the
     * irreducible one. k and n are literals so the whole plan is
     * codegen'd end to end. */
-  def ngramCounts(spark: SparkSession, dir: String): DataFrame = {
-    val k = 100
+  def ngramCountsN(n: Int, k: Int)(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("t"))
       // gram extraction is the codegen'd native expression — the
@@ -249,22 +248,31 @@ object Pipeline3 {
       // through Spark's interpreted lambda evaluator (§5a #18), which
       // is the whole cost of this operator at corpus scale; the
       // expression also returns empty (never partial grams) for docs
-      // shorter than n
-      .select(explode(graft.functions.NGrams.ngrams(col("t"), 3)).as("ngram"))
+      // shorter than n. n is a plan-time constant, so every gram
+      // length (unigrams through the 13-grams decontamination uses)
+      // shares the same branch-free generated loop.
+      .select(explode(graft.functions.NGrams.ngrams(col("t"), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram"))
       .limit(k)
+
+  def ngramCounts(spark: SparkSession, dir: String): DataFrame =
+    ngramCountsN(3, 100)(spark, dir)
+
+  def ngramCountsOracleN(n: Int, k: Int): String = {
+    val terms =
+      (0 until n).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+       |  SELECT $terms AS ngram
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+       |       UNNEST(range(1, GREATEST(len(w) - ${n - 2}, 1))) AS r(i)
+       |)
+       |SELECT ngram, COUNT(*) AS n_occurrences FROM g
+       |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT $k""".stripMargin
   }
 
-  val ngramCountsOracle: String =
-    """WITH g AS (
-      |  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
-      |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
-      |       UNNEST(range(1, GREATEST(len(w) - 1, 1))) AS r(i)
-      |)
-      |SELECT ngram, COUNT(*) AS n_occurrences FROM g
-      |GROUP BY 1 ORDER BY n_occurrences DESC, ngram LIMIT 100""".stripMargin
+  val ngramCountsOracle: String = ngramCountsOracleN(3, 100)
 
   // -------------------------------------------------------------- #40z2
   /** Epoch materialization: turn a per-language mixture policy
@@ -324,6 +332,7 @@ object Pipeline3 {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "ngram_counts" -> (ngramCounts _),
+    "ngram_counts5" -> (ngramCountsN(5, 100) _),
     "mix_epochs" -> (mixEpochs _))
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +340,6 @@ object Pipeline3 {
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_temperature" -> sampleTemperatureOracle,
     "ngram_counts" -> ngramCountsOracle,
+    "ngram_counts5" -> ngramCountsOracleN(5, 100),
     "mix_epochs" -> mixEpochsOracle)
 }

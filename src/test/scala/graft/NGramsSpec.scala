@@ -39,11 +39,45 @@ class NGramsSpec extends SparkSpec {
     assert(native.count() > 0)
   }
 
+  test("gram-length sweep n in {1,2,5,13}: count and content invariants") {
+    val toks = Seq("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8",
+      "t9", "t10", "t11", "t12", "t13", "t14")
+    for (n <- Seq(1, 2, 5, 13)) {
+      val grams = evalGrams(toks, n)
+      assert(grams.length == toks.length - n + 1, s"n=$n count")
+      grams.zipWithIndex.foreach { case (g, i) =>
+        assert(g == toks.slice(i, i + n).mkString(" "), s"n=$n gram $i")
+      }
+      // shorter-than-n input yields no (partial) grams
+      assert(evalGrams(toks.take(n - 1), n).isEmpty, s"n=$n short input")
+    }
+  }
+
+  test("gram-length sweep on the real corpus: total gram count matches sum(len-n+1)") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+    for (n <- Seq(5, 13)) {
+      val expected = toks
+        .select(sum(greatest(size(col("t")) - (n - 1), org.apache.spark.sql.functions.lit(0))))
+        .head.getLong(0)
+      val got = toks
+        .select(explode(graft.functions.NGrams.ngrams(col("t"), n)).as("g"))
+        .count()
+      assert(got == expected, s"n=$n corpus gram count")
+      assert(got > 0, s"n=$n corpus non-empty")
+    }
+  }
+
   test("SQL registration enforces the literal-n contract") {
     graft.functions.NGrams.register(spark)
     import spark.implicits._
     val got = Seq(Seq("p", "q", "r")).toDF("t")
       .selectExpr("graft_ngrams(t, 2) AS g").head.getSeq[String](0)
     assert(got == Seq("p q", "q r"))
+    // arity errors are explicit, not IndexOutOfBounds
+    val e = intercept[Exception] {
+      Seq(Seq("p")).toDF("t").selectExpr("graft_ngrams(t) AS g").collect()
+    }
+    assert(e.getMessage.contains("2 arguments") || e.getMessage.contains("graft_ngrams"))
   }
 }
