@@ -67,6 +67,60 @@ object ApiQueries {
       |WINDOW w AS (ORDER BY bucket_ms ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY bucket_ms""".stripMargin
 
+  // ------------------------------------------------ vessel enrichment
+  /** Vessel-context enrichment — vessel-context.ts:10
+    * (VesselContextManager): the reference extracts vessel identity
+    * metadata (name, MMSI/callsign, flag, classification) and attaches
+    * it to every analysis response. Re-expressed as a dimension join:
+    * the per-context history summary (the data response) broadcast-
+    * joined with the vessel registry derived from customer ⋈ nation —
+    * name, flag state, and class carried onto each response row, with
+    * the reference's "Not available" fallback for unregistered
+    * contexts. Aggregate-then-join: the summary collapses to one row
+    * per context BEFORE the join, and the registry is the broadcast
+    * side — no shuffle of the fact table against the dim at any scale. */
+  def historyEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val summary = series(spark, dir)
+      .where(col("ts_ms") >= 1704412800000L && col("ts_ms") < 1706140800000L &&
+        col("path") === "click")
+      .groupBy(col("context"))
+      .agg(count(lit(1)).as("n_points"), davg(col("value")).as("value_avg"),
+        max(col("ts_ms")).as("last_ts_ms"))
+    val registry = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(concat(lit("vessels.urn-"), col("c_custkey")).as("context"),
+        col("c_name").as("vessel_name"), col("n_name").as("flag"),
+        col("c_mktsegment").as("vessel_class"))
+    summary.join(broadcast(registry), Seq("context"), "left")
+      .select(col("context"),
+        coalesce(col("vessel_name"), lit("Not available")).as("vessel_name"),
+        coalesce(col("flag"), lit("Not available")).as("flag"),
+        coalesce(col("vessel_class"), lit("Not available")).as("vessel_class"),
+        col("n_points"), col("value_avg"), col("last_ts_ms"))
+      .orderBy("context")
+  }
+
+  val historyEnrichedOracle: String =
+    """WITH s AS (
+      |  SELECT 'vessels.urn-' || user_id AS context, user_id,
+      |    COUNT(*) AS n_points,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg,
+      |    MAX(epoch_ms(ts)) AS last_ts_ms
+      |  FROM events
+      |  WHERE epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1706140800000
+      |    AND event_type = 'click'
+      |  GROUP BY 1, 2
+      |)
+      |SELECT s.context,
+      |  COALESCE(c.c_name, 'Not available') AS vessel_name,
+      |  COALESCE(n.n_name, 'Not available') AS flag,
+      |  COALESCE(c.c_mktsegment, 'Not available') AS vessel_class,
+      |  s.n_points, s.value_avg, s.last_ts_ms
+      |FROM s
+      |LEFT JOIN customer c ON c.c_custkey = s.user_id
+      |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |ORDER BY s.context""".stripMargin
+
   // -------------------------------------------------------- value_json
   /** JSON value extraction + filter — the reference's `value_json`
     * column and source-filter semantics: extract a field from the
@@ -125,11 +179,13 @@ object ApiQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_history_values" -> (historyValues _),
+    "sk_history_enriched" -> (historyEnriched _),
     "sk_json_filter" -> (jsonFilter _),
     "sk_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "sk_history_values" -> historyValuesOracle,
+    "sk_history_enriched" -> historyEnrichedOracle,
     "sk_json_filter" -> jsonFilterOracle,
     "sk_profile" -> profileOracle)
 }

@@ -36,6 +36,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("vessel enrichment broadcasts the registry onto the aggregated summary") {
+    val p = planStr(graft.api.ApiQueries.historyEnriched(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // aggregate-then-join: the fact side collapses to per-context rows
+    // before the dim join, so the join input is the summary, not events
+    assert(p.indexOf("HashAggregate") >= 0, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("proximity join is an equi-join on (bucket, geo cell), not a cross join") {
     val p = planStr(graft.spatial.Spatial.proximityJoin(spark, sfDir))
     assert(!p.contains("CartesianProduct"), p.take(3000))
