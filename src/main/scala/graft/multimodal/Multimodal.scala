@@ -59,8 +59,8 @@ object Multimodal {
     * decoder instance (here the ImageIO reader context) is established
     * per partition, records stream through it, typed features come
     * out. This is the drop-in point a libjpeg/FFmpeg JNI decoder uses;
-    * MultimodalDecodeSpec drives a real PNG through it and asserts
-    * pixel-derived features. Payloads that are not decodable images
+    * MultimodalDecodeSpec drives real PNGs AND JPEGs (two codecs, one
+    * mixed partition) through it and asserts pixel-derived features. Payloads that are not decodable images
     * yield a null-feature row (width -1) rather than poisoning the
     * task — the per-record guard a 100 TB dirty corpus needs. */
   def decodeImages(records: Dataset[MMRecord]): Dataset[ImageFeature] = {

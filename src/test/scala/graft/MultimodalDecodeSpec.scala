@@ -110,6 +110,39 @@ class MultimodalDecodeSpec extends SparkSpec {
       "junk must not verify as a near-dup")
   }
 
+  /** Same deterministic pixels, JPEG-encoded: a SECOND real codec
+    * through the identical seam. JPEG is lossy, so dimensions must be
+    * exact but the luma mean only codec-close. */
+  private def jpeg(w: Int, h: Int): (Array[Byte], Double) = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var sum = 0.0
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 31 + y * 7) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      sum += g
+    }
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, "jpg", bos), "JVM has no JPEG writer")
+    (bos.toByteArray, sum / (w.toLong * h))
+  }
+
+  test("JPEG decodes through the same seam: exact dims, codec-close luma, sentinel intact") {
+    val (j16, jMean) = jpeg(16, 16)
+    val (p8, pMean) = png(8, 8)
+    val dirty = j16.take(j16.length / 2) // truncated JPEG: decoder throws mid-scan
+    // one partition carries BOTH codecs plus a dirty payload — the
+    // decoder context is format-agnostic and failure-isolated
+    val out = Multimodal.decodeImages(spark.createDataset(Seq(
+      MMRecord(1L, j16), MMRecord(2L, p8), MMRecord(3L, dirty))).repartition(1))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 16 && out(1L).height == 16)
+    assert(math.abs(out(1L).mean_luma - jMean) < 3.0,
+      s"JPEG luma ${out(1L).mean_luma} vs source $jMean drifted past codec loss")
+    assert(out(2L).width == 8 && out(2L).mean_luma == pMean)
+    assert(out(3L).width == -1 && out(3L).mean_luma == -1.0,
+      "truncated JPEG must hit the sentinel, not fail the task")
+  }
+
   test("round-trip: stub and real decoder share the pipeline signature") {
     // the same Dataset[MMRecord] feeds both decoders — the seam is the
     // type, not the implementation
