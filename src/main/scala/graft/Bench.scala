@@ -142,8 +142,13 @@ object Bench {
     // fall back to the default on a non-integer value
     val repeats = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3))
+    // SPARK_GRAFT_BENCH_ALL_MEDIAN=1: median-of-N for EVERY query, not
+    // just the headline set — the baseline re-pin protocol, where tail
+    // queries' single-shot ×1.5–1.8 spread would otherwise be frozen
+    // into the per-query medians the 2× gate compares against.
+    val allMedian = sys.env.get("SPARK_GRAFT_BENCH_ALL_MEDIAN").isDefined
     val samples = SparkEntry.queries.map { case (name, fn) =>
-      val n = if (headSet(name)) repeats else 1
+      val n = if (allMedian || headSet(name)) repeats else 1
       name -> Seq.fill(n)(timeOnce(fn)).sorted
     }
     val results = samples.map { case (name, ts) => name -> medianOk(ts) }
