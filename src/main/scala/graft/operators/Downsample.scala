@@ -151,9 +151,78 @@ object Downsample {
        |)
        |ORDER BY event_type, ts_ms""".stripMargin
 
+  // --------------------------------------------------------------- M4
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (series,
+    * time-bucket) keep the ≤4 REAL samples that bound the drawn line —
+    * value-min, value-max, time-first, time-last — the
+    * error-free-rendering guarantee for a width-NB pixel column. The
+    * reference's History API offers `min`/`max`/`first`/`last` bucket
+    * methods individually (HistoryAPI.ts:959 applyAggregateMethod);
+    * M4 is their union kept as actual samples, the standard chart
+    * backend contract alongside 51g's shape-preserving LTTB.
+    *
+    * Plan: per-series time bounds (one algebraic agg, broadcast back —
+    * the join adds no shuffle to the scan), integer equal-TIME bucket
+    * id, then ONE grouped aggregation with four partial-aggregable
+    * min_by/max_by picks — the map side reduces every task to ≤1 row
+    * per bucket before the exchange, so a bucket with a billion points
+    * costs one codegen'd pass and no per-series sort exists at all
+    * (unlike LTTB's equal-count rank, M4 needs no row_number — this is
+    * the variant that survives one monster series). The ≤4·NB·series
+    * picked points then dedupe (a sample can fill several roles) on a
+    * trivially small set.
+    *
+    * Cross-engine determinism: every pick carries an explicit total
+    * tie-break — min_by/max_by order structs (v,t,eid)/(v,-t,-eid)/
+    * (t,eid) ≡ the oracle's ROW_NUMBER ORDER BY lists. */
+  def m4(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts_ms").as("t"), col("event_id").as("eid"),
+        col("value").as("v"))
+    val bounds = pts.groupBy("event_type")
+      .agg(min(col("t")).as("mn"), max(col("t")).as("mx"))
+    val picked = pts.join(broadcast(bounds), "event_type")
+      .withColumn("k", expr(s"((t - mn) * $NB) div (mx - mn + 1)"))
+      .groupBy("event_type", "k")
+      .agg(
+        min_by(struct(col("t"), col("v")), struct(col("v"), col("t"), col("eid"))).as("pmin"),
+        max_by(struct(col("t"), col("v")),
+          struct(col("v"), (-col("t")).as("mt"), (-col("eid")).as("me"))).as("pmax"),
+        min_by(struct(col("t"), col("v")), struct(col("t"), col("eid"))).as("pfirst"),
+        max_by(struct(col("t"), col("v")), struct(col("t"), col("eid"))).as("plast"))
+    picked
+      .select(col("event_type"),
+        explode(array(col("pmin"), col("pmax"), col("pfirst"), col("plast"))).as("p"))
+      .select(col("event_type"), col("p.t").as("ts_ms"), col("p.v").as("value"))
+      .distinct()
+      .orderBy("event_type", "ts_ms", "value")
+  }
+
+  val m4Oracle: String =
+    s"""WITH pos AS (
+       |  SELECT event_type, epoch_ms(ts) AS t, event_id AS eid, value AS v FROM events
+       |), b AS (
+       |  SELECT event_type, MIN(t) AS mn, MAX(t) AS mx FROM pos GROUP BY 1
+       |), m AS (
+       |  SELECT p.event_type, ((t - mn) * $NB) // (mx - mn + 1) AS k, t, eid, v
+       |  FROM pos p JOIN b USING (event_type)
+       |), r AS (
+       |  SELECT event_type, k, t, v,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, k ORDER BY v, t, eid) AS rmin,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, k ORDER BY v DESC, t, eid) AS rmax,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, k ORDER BY t, eid) AS rfirst,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type, k ORDER BY t DESC, eid DESC) AS rlast
+       |  FROM m
+       |)
+       |SELECT DISTINCT event_type, t AS ts_ms, v AS value FROM r
+       |WHERE rmin = 1 OR rmax = 1 OR rfirst = 1 OR rlast = 1
+       |ORDER BY event_type, ts_ms, value""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sk_downsample_lttb" -> (lttb _))
+    "sk_downsample_lttb" -> (lttb _),
+    "sk_downsample_m4" -> (m4 _))
 
   val oracles: Map[String, String] = Map(
-    "sk_downsample_lttb" -> lttbOracle)
+    "sk_downsample_lttb" -> lttbOracle,
+    "sk_downsample_m4" -> m4Oracle)
 }

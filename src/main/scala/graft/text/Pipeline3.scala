@@ -327,10 +327,70 @@ object Pipeline3 {
       |FROM e, UNNEST(range(1, n + 1)) AS r(i)
       |WHERE n > 0 ORDER BY doc_id, epoch_idx""".stripMargin
 
+  // ------------------------------------------- token-budget sampling
+  /** Token-BUDGETED sampling: each language is cut to an absolute
+    * token budget B (here 20k tokens) — keep rate
+    * min(1, B / total_tokens_l) — the "give me exactly N billion
+    * tokens of each language" knob a training run actually turns
+    * (contrast [[Pipeline2.mixBalance]], which equalizes to the
+    * SMALLEST source, and [[sampleTemperature]], which reweights by
+    * corpus SHARE; this one hits an externally-fixed size target).
+    * The keep decision reuses mixBalance's deterministic md5-prefix
+    * threshold (engine-portable, no RNG state), salted with "#budget"
+    * so a doc's fate here is independent of its fate in other
+    * sampling stages. Expected kept tokens per language ≈ B;
+    * exact-quota variants (rank to a hard cutoff) pay a per-language
+    * sort — the hash form is the one that scales, and its deviation
+    * is O(√B) by Chernoff.
+    *
+    * Scale shape: one partial-aggregated sum builds the |languages|-row
+    * rate table (broadcast back); the decision is a per-row filter —
+    * the corpus never shuffles, and the output summary is one more
+    * partial agg. */
+  def sampleTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 20000.0
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+    val perLang = docs.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val rates = perLang.select(col("lang"),
+      least(lit(1.0), lit(budget) / col("lang_tokens").cast("double")).as("rate"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("keep", col("rate") >= 1.0 ||
+        substring(md5(concat(col("doc_id").cast("string"), lit("#budget"))), 1, 4) <
+          lower(lpad(hex(floor(col("rate") * 65536).cast("long")), 4, "0")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("keep"), col("n_tokens"))).as("kept_tokens"),
+        r6(max(col("rate"))).as("rate"))
+      .orderBy("lang")
+  }
+
+  val sampleTokenBudgetOracle: String =
+    """WITH d AS (SELECT *, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      |per_lang AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens FROM d GROUP BY 1),
+      |rates AS (
+      |  SELECT lang, LEAST(1.0, 20000.0 / CAST(lang_tokens AS DOUBLE)) AS rate
+      |  FROM per_lang),
+      |k AS (
+      |  SELECT d.*, rate,
+      |    rate >= 1.0 OR substr(md5(CAST(doc_id AS VARCHAR) || '#budget'), 1, 4) <
+      |      printf('%04x', CAST(FLOOR(rate * 65536) AS INT)) AS keep
+      |  FROM d JOIN rates USING (lang))
+      |SELECT lang, COUNT(*) AS n_total,
+      |  COUNT(*) FILTER (WHERE keep) AS n_kept,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(n_tokens) FILTER (WHERE keep) AS BIGINT) AS kept_tokens,
+      |  ROUND(MAX(rate), 6) AS rate
+      |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_boilerplate" -> (boilerplateScrub _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_token_budget" -> (sampleTokenBudget _),
     "ngram_counts" -> (ngramCounts _),
     "ngram_counts5" -> (ngramCountsN(5, 100) _),
     "mix_epochs" -> (mixEpochs _))
@@ -339,6 +399,7 @@ object Pipeline3 {
     "text_boilerplate" -> boilerplateScrubOracle,
     "sample_stratified" -> sampleStratifiedOracle,
     "sample_temperature" -> sampleTemperatureOracle,
+    "sample_token_budget" -> sampleTokenBudgetOracle,
     "ngram_counts" -> ngramCountsOracle,
     "ngram_counts5" -> ngramCountsOracleN(5, 100),
     "mix_epochs" -> mixEpochsOracle)

@@ -56,6 +56,23 @@ class Pipeline3Spec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("token-budget sampling: rate = min(1, B/total), kept tokens track the budget") {
+    val rows = Pipeline3.sampleTokenBudget(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTotal, nKept) = (r.getLong(1), r.getLong(2))
+      val (total, kept) = (r.getLong(3), if (r.isNullAt(4)) 0L else r.getLong(4))
+      val rate = r.getDouble(5)
+      assert(nKept <= nTotal && kept <= total)
+      assert(math.abs(rate - math.min(1.0, 20000.0 / total)) < 1e-6)
+      if (rate >= 1.0) assert(nKept == nTotal && kept == total)
+      // hash-keep deviation is O(sqrt(B)) in tokens — 30% covers the
+      // worst stratum at every SF the suite runs
+      else assert(math.abs(kept - 20000.0) < 0.3 * 20000.0,
+        s"${r.getString(0)}: kept $kept tokens vs budget 20000")
+    }
+  }
+
   test("stratified sampling plans a WindowGroupLimit (map-side top-k, no full sort)") {
     val plan = Pipeline3.stratifiedTopK(Tables.documents(spark, sfDir), 20)
       .queryExecution.executedPlan.toString

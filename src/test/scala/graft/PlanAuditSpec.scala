@@ -282,6 +282,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p.take(4000))
   }
 
+  test("m4 downsample: four partial min_by/max_by picks, no window, bounds broadcast") {
+    val p = planStr(graft.operators.Downsample.m4(spark, sfDir))
+    // the role picks collapse map-side before the (series, bucket)
+    // exchange; no per-series rank exists anywhere in the plan
+    assert(p.contains("partial_min_by") && p.contains("partial_max_by"), p.take(4000))
+    assert(!p.contains("Window"), p.take(4000))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
+  test("token-budget sampling: rate table broadcast back, corpus never hash-shuffled") {
+    val p = planStr(graft.text.Pipeline3.sampleTokenBudget(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+  }
+
   test("dedup_bloom: store sketch is a scalar subquery; hits verify through broadcast semi-join") {
     val p = planStr(graft.dedup.BloomDedup.bloomIncrementalDedup(spark, sfDir))
     // the batch-side prefilter probes the subquery-built sketch —
