@@ -194,6 +194,41 @@ object Embeddings {
        |SELECT probe_id, neighbor_id, cos, rank FROM ranked
        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- #34b
+  /** Cosine RANGE search: every corpus vector within a similarity
+    * radius of each probe (cos ≥ τ = 0.3) — the companion query shape
+    * to [[annTopK]]'s top-k (RAG retrieval wants k best; dedup/recall
+    * audits and "find everything this similar" want ALL above a
+    * threshold, and a k cutoff silently truncates dense neighborhoods).
+    *
+    * Plan: probes broadcast onto the corpus scan — the corpus never
+    * shuffles and there is NO per-probe window/rank at all (contrast
+    * top-k): the threshold is a plain codegen'd filter on the
+    * broadcast-joined pair, so the operator is one scan regardless of
+    * how dense the neighborhoods are. Exact by construction; for
+    * probe sets too large to broadcast, the scale path is the same
+    * banded prefilter as [[annLshTopK]] (bucket equi-join, exact
+    * verify on candidates), trading recall ≥ the LSH bound for a
+    * probe-side shuffle. */
+  def annRangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_b"), col("norm2").as("norm2_b"))
+    broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine)
+      .where(col("cos") >= 0.3)
+      .select("probe_id", "neighbor_id", "cos")
+      .orderBy("probe_id", "neighbor_id")
+  }
+
+  val annRangeSearchOracle: String =
+    s"""WITH e AS ($vecsSql)
+       |SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, $cosSql AS cos
+       |FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id <> b.vec_id
+       |WHERE $cosSql >= 0.3
+       |ORDER BY probe_id, neighbor_id""".stripMargin
+
   // --------------------------------------------------------------- #35
   /** LSH-bucketed ANN: multi-table random-hyperplane hashing — 4
     * tables × 6 deterministic pseudo-random hyperplanes; a candidate
@@ -1077,6 +1112,7 @@ object Embeddings {
     "dedup_embedding" -> (embeddingDedup _),
     "dedup_semantic" -> (semanticDedup _),
     "ann_topk" -> (annTopK _),
+    "ann_range_search" -> (annRangeSearch _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_filtered_topk" -> (annFilteredTopK _),
     "embed_centroids" -> (embedCentroids _),
@@ -1094,6 +1130,7 @@ object Embeddings {
     "dedup_embedding" -> embeddingDedupOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "ann_topk" -> annTopKOracle,
+    "ann_range_search" -> annRangeSearchOracle,
     "ann_filtered_topk" -> annFilteredTopKOracle,
     "embed_centroids" -> embedCentroidsOracle,
     "kmeans_assign" -> kmeansAssignOracle,
