@@ -53,7 +53,9 @@ object Modules {
     ("Intervals", operators.Intervals.queries, operators.Intervals.oracles),
     ("Downsample", operators.Downsample.queries, operators.Downsample.oracles),
     ("Compaction", sources.Compaction.queries, sources.Compaction.oracles),
-    ("Hull", spatial.Hull.queries, spatial.Hull.oracles))
+    ("Hull", spatial.Hull.queries, spatial.Hull.oracles),
+    ("Olap", operators.Olap.queries, operators.Olap.oracles),
+    ("AnnCompact", similarity.AnnCompact.queries, similarity.AnnCompact.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

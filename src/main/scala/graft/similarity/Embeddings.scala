@@ -28,7 +28,7 @@ object Embeddings {
   // vector is undefined (0/0 → NaN, where engine ordering/filter
   // semantics diverge). A production corpus should drop or re-embed
   // zero vectors upstream (`where(norm2 > 0)`) before these operators.
-  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+  private[similarity] def vecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     // repartition: the single-file table otherwise pins the remaining
     // interpreted per-row transform to ONE core at test scale; at
@@ -49,7 +49,7 @@ object Embeddings {
     r6(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))))
 
   /** DuckDB equivalents of the same fold arithmetic. */
-  private val vecsSql =
+  private[similarity] val vecsSql =
     """SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |    list_reduce(list_transform(range(1, len(embedding) + 1), i ->
       |      embedding[i]::DOUBLE * embedding[i]::DOUBLE), (x, y) -> x + y) AS norm2
@@ -60,7 +60,7 @@ object Embeddings {
   // -0.0 under DuckDB's ROUND but +0.0 under Spark's BigDecimal
   // HALF_UP, and the driver hashes bits. `x + 0.0` is the identity for
   // every double except -0.0 (which becomes +0.0, matching Spark).
-  private val cosSql =
+  private[similarity] val cosSql =
     """(ROUND(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
       | / (SQRT(a.norm2) * SQRT(b.norm2)), 6) + 0.0)""".stripMargin
 
