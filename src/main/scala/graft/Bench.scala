@@ -21,7 +21,11 @@ object Bench {
     "embed_outliers",
     // round-8 perf-weak set: median-of-3 so the 2×-vs-baseline gate is
     // judged on a trustworthy number, not a single-shot outlier
-    "dedup_incremental_lsh", "kmeans_assign", "stream_dedup_lsh")
+    "dedup_incremental_lsh", "kmeans_assign", "stream_dedup_lsh",
+    // round-12 additions: one per new family (compact-ANN funnel, OLAP
+    // cube, interpolating resample, sketch, chunking)
+    "ann_bq_topk", "q_rollup", "sk_resample_interp",
+    "sketch_hll_distinct", "doc_chunk_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

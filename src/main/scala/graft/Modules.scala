@@ -55,7 +55,9 @@ object Modules {
     ("Compaction", sources.Compaction.queries, sources.Compaction.oracles),
     ("Hull", spatial.Hull.queries, spatial.Hull.oracles),
     ("Olap", operators.Olap.queries, operators.Olap.oracles),
-    ("AnnCompact", similarity.AnnCompact.queries, similarity.AnnCompact.oracles))
+    ("AnnCompact", similarity.AnnCompact.queries, similarity.AnnCompact.oracles),
+    ("Hll", operators.Hll.queries, operators.Hll.oracles),
+    ("Chunking", text.Chunking.queries, text.Chunking.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

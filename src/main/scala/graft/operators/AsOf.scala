@@ -121,6 +121,68 @@ object AsOf {
       |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.bucket_ms = o.bucket_ms
       |ORDER BY 1, 2""".stripMargin
 
+  // ----------------------------------------------- linear resampling
+  /** Linear-interpolation resampling onto a regular 6-hour grid — the
+    * interpolating companion to [[gapFill]]'s LOCF (a telemetry UI
+    * draws the line BETWEEN samples; LOCF draws steps): each grid
+    * point g inside a consecutive-observation pair [t0, t1) gets
+    * v0 + (v1 − v0)·(g − t0)/(t1 − t0). Observations are first
+    * collapsed to one value per (series, ms) so the series is strictly
+    * increasing in time and the pair's denominator is never zero.
+    *
+    * Scale: ONE window (lead) per series builds the pairs, and each
+    * pair emits only its own grid points via `sequence` — no global
+    * calendar join, no per-grid-point search: a grid point belongs to
+    * exactly one pair because the pair windows [⌈t0⌉grid, t1) tile the
+    * series span disjointly. Work and output are grid-linear; the
+    * only shuffle is the per-series window sort. Grid start is pure
+    * integer math (`(t0 + res−1) DIV res · res`) — no float rounding
+    * of timestamps on either engine. */
+  def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
+    val res = 21600000L // 6 h
+    val obs = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts_ms").as("t0"))
+      .agg(davg(col("value")).as("v0"))
+    val w = Window.partitionBy("user_id").orderBy("t0")
+    val pairs = obs
+      .withColumn("t1", lead("t0", 1).over(w))
+      .withColumn("v1", lead("v0", 1).over(w))
+      .where(col("t1").isNotNull)
+      .withColumn("g0", expr(s"((t0 + ${res - 1}) DIV $res) * $res"))
+      .where(col("g0") < col("t1"))
+    pairs
+      .select(col("user_id"), col("t0"), col("v0"), col("t1"), col("v1"),
+        explode(sequence(col("g0"), col("t1") - 1, lit(res))).as("grid_ms"))
+      .withColumn("value", r6(col("v0") + (col("v1") - col("v0")) *
+        (col("grid_ms") - col("t0")).cast("double") / (col("t1") - col("t0")).cast("double")))
+      .select("user_id", "grid_ms", "value")
+      .orderBy("user_id", "grid_ms")
+  }
+
+  val resampleInterpOracle: String =
+    """WITH obs AS (
+      |  SELECT user_id, epoch_ms(ts) AS t0,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS v0
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+      |), p AS (
+      |  SELECT user_id, t0, v0,
+      |    LEAD(t0) OVER (PARTITION BY user_id ORDER BY t0) AS t1,
+      |    LEAD(v0) OVER (PARTITION BY user_id ORDER BY t0) AS v1
+      |  FROM obs
+      |), q AS (
+      |  SELECT user_id, t0, v0, t1, v1,
+      |    ((t0 + 21599999) // 21600000) * 21600000 AS g0
+      |  FROM p WHERE t1 IS NOT NULL
+      |), g AS (
+      |  SELECT user_id, t0, v0, t1, v1,
+      |    unnest(generate_series(g0, t1 - 1, 21600000)) AS grid_ms
+      |  FROM q WHERE g0 < t1
+      |)
+      |SELECT user_id, grid_ms,
+      |  ROUND(v0 + (v1 - v0) * CAST(grid_ms - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE), 6) + 0.0 AS value
+      |FROM g ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------------------- coverage
   /** Per-series sampling/coverage report: sample count, span,
     * inter-arrival median and max, count of gaps over one hour. */
@@ -156,10 +218,12 @@ object AsOf {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_asof_join" -> (skAsOfJoin _),
     "sk_gap_fill" -> (gapFill _),
-    "sk_data_coverage" -> (dataCoverage _))
+    "sk_data_coverage" -> (dataCoverage _),
+    "sk_resample_interp" -> (resampleInterp _))
 
   val oracles: Map[String, String] = Map(
     "sk_asof_join" -> asOfOracle,
     "sk_gap_fill" -> gapFillOracle,
-    "sk_data_coverage" -> dataCoverageOracle)
+    "sk_data_coverage" -> dataCoverageOracle,
+    "sk_resample_interp" -> resampleInterpOracle)
 }

@@ -51,15 +51,21 @@ object Replay {
     * explicit stamps make the order deterministic even when two slice
     * writes land in the same clock ms). `ts_ms` is normalized to
     * BIGINT at stage time so the replay stream is encoding-agnostic. */
+  /** `order`: replay position → ARCHIVE slice index (identity when
+    * empty) — a non-identity permutation replays slices out of
+    * archive-time order, the input shape [[LateData]] needs. */
   def stage(spark: SparkSession, dir: String, startMs: Long, endMs: Long,
-            sliceMs: Long): Staged = {
+            sliceMs: Long, order: Seq[Int] = Seq.empty): Staged = {
     val out = java.nio.file.Files.createTempDirectory("graft_replay_stage").toString
     val raw = graft.Tables.table(spark, dir, "events")
     val tsType = raw.schema("ts").dataType
     val nSlices = ((endMs - startMs + sliceMs - 1) / sliceMs).toInt
+    require(order.isEmpty || order.sorted == (0 until nSlices),
+      s"order must permute 0 until $nSlices")
     var i = 0
     while (i < nSlices) {
-      val s = startMs + i * sliceMs
+      val archiveIdx = if (order.isEmpty) i else order(i)
+      val s = startMs + archiveIdx * sliceMs
       val e = math.min(s + sliceMs, endMs)
       val sliceDir = s"$out/work_$i"
       graft.Tables.events(spark, dir)

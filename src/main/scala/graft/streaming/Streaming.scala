@@ -706,7 +706,8 @@ object Streaming {
     "stream_asof" -> (streamAsOf _),
     "stream_dedup_lsh" -> (streamDedupLsh _),
     "stream_tier_correction" -> (streamTierCorrection _),
-    "stream_replay" -> (Replay.streamReplay _)
+    "stream_replay" -> (Replay.streamReplay _),
+    "stream_late_data" -> (LateData.streamLateData _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -723,5 +724,6 @@ object Streaming {
     "stream_asof" -> graft.operators.AsOf.asOfOracle,
     "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle,
     "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle,
-    "stream_replay" -> Replay.streamReplayOracle)
+    "stream_replay" -> Replay.streamReplayOracle,
+    "stream_late_data" -> LateData.streamLateDataOracle)
 }
