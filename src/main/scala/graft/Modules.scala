@@ -57,7 +57,9 @@ object Modules {
     ("Olap", operators.Olap.queries, operators.Olap.oracles),
     ("AnnCompact", similarity.AnnCompact.queries, similarity.AnnCompact.oracles),
     ("Hll", operators.Hll.queries, operators.Hll.oracles),
-    ("Chunking", text.Chunking.queries, text.Chunking.oracles))
+    ("Chunking", text.Chunking.queries, text.Chunking.oracles),
+    ("Cms", operators.Cms.queries, operators.Cms.oracles),
+    ("Containment", dedup.Containment.queries, dedup.Containment.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

