@@ -140,8 +140,12 @@ object AsOf {
     * of timestamps on either engine. */
   def resampleInterp(spark: SparkSession, dir: String): DataFrame = {
     val res = 21600000L // 6 h
+    // one shuffle serves both stages: hash(user_id) satisfies the
+    // (user_id, ts_ms) aggregate's clustering AND the window's — the
+    // planner would otherwise insert an exact-key exchange for each
     val obs = Tables.events(spark, dir)
       .where(col("event_type") === "purchase")
+      .repartition(col("user_id"))
       .groupBy(col("user_id"), col("ts_ms").as("t0"))
       .agg(davg(col("value")).as("v0"))
     val w = Window.partitionBy("user_id").orderBy("t0")

@@ -346,4 +346,56 @@ class PlanAuditSpec extends SparkSpec {
       assert(p.contains("partial_min_by"), p.take(4000))
     }
   }
+
+  // ------------------------------------------------------- round 12
+
+  test("compact-ANN funnels broadcast the probes; corpus side never exchanges before the join") {
+    for (df <- Seq(graft.similarity.AnnCompact.mrlTopK(spark, sfDir),
+                   graft.similarity.AnnCompact.bqTopK(spark, sfDir))) {
+      val p = planStr(df)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct"), p.take(2000))
+    }
+  }
+
+  test("pivot grid is ONE conditional-aggregate pass: a single scan, partial aggregation") {
+    val p = planStr(Olap.pivotEvents(spark, sfDir))
+    // one parquet scan (no per-pivot-value re-scan), map-side partials
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1, p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(3000))
+  }
+
+  test("chunking has NO exchange at all before the presentation sort") {
+    val plan = graft.text.Chunking.chunkOverlap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only Exchange allowed is the rangepartitioning of the final
+    // orderBy (presentation); no hash exchange anywhere
+    assert(!plan.contains("hashpartitioning"), plan.take(3000))
+  }
+
+  test("hll registers partial-aggregate map-side; bin() never leaves codegen") {
+    val p = planStr(Hll.hllDistinct(spark, sfDir))
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("containment: equi-joins only — prefix filter join carries no cartesian/theta join") {
+    val p = planStr(graft.dedup.Containment.containment(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("cms probes broadcast-join the fixed-size counter table") {
+    val p = planStr(Cms.cmsTopK(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("resample: the pair build is ONE per-series window sort; generation adds no exchange") {
+    val p = planStr(AsOf.resampleInterp(spark, sfDir))
+    // exactly one hash exchange (the user_id window); explode/generate
+    // runs in the same stage
+    val hashEx = p.sliding("hashpartitioning".length).count(_ == "hashpartitioning")
+    assert(hashEx == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
+    assert(p.contains("Generate"), p.take(3000))
+  }
 }
