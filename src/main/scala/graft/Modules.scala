@@ -59,7 +59,8 @@ object Modules {
     ("Hll", operators.Hll.queries, operators.Hll.oracles),
     ("Chunking", text.Chunking.queries, text.Chunking.oracles),
     ("Cms", operators.Cms.queries, operators.Cms.oracles),
-    ("Containment", dedup.Containment.queries, dedup.Containment.oracles))
+    ("Containment", dedup.Containment.queries, dedup.Containment.oracles),
+    ("Canonical", dedup.Canonical.queries, dedup.Canonical.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

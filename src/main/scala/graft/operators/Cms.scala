@@ -39,11 +39,11 @@ object Cms {
     * count, min-over-rows estimate (≥ exact by construction), and the
     * collision overestimate. */
   def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGrams.register(spark) // codegen'd gram extraction
     val counts = Tables.documents(spark, dir)
       .select(split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 3)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' '))")).as("gram"))
+      .select(explode(expr("graft_ngrams(toks, 3)")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
       .localCheckpoint() // feeds the sketch, the top-k, and the probes
     val salts = array((0 until D).map(lit): _*)

@@ -121,11 +121,65 @@ object Sessions {
       |)
       |SELECT user_id, fire_ms FROM fires ORDER BY user_id, fire_ms""".stripMargin
 
+  // ----------------------------------------------- session_window
+  /** Gap-based sessionization via Spark's NATIVE `session_window`
+    * (3.2+): per-user sessions of `purchase` events with a 12 h
+    * inactivity gap — the declarative sibling of [[episodes]]'s
+    * boundary-pairing (here Catalyst owns the merge: a batch
+    * session_window plans as sort + one aggregation over merged
+    * windows; in streaming the same expression runs on the session-
+    * window state store). Session end is Spark's convention:
+    * last event + gap. An event JOINS a session iff its time is
+    * strictly before the current session end (t − prev < gap), so
+    * the oracle's island rule is `delta >= gap → new session`;
+    * event timestamps carry random sub-second offsets against the
+    * exact 12 h gap, so the boundary never ties.
+    *
+    * Scale: one shuffle on user_id, per-partition sort, streaming
+    * merge — no self-join, no window-function pass over pairs; the
+    * session count is data-bounded and the aggregation is partial-
+    * aggregable after the merge. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 43200000L // 12 h
+    Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .groupBy(col("user_id"), session_window(col("event_time"), "12 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), davg(col("value")).as("value_avg"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"), col("value_avg"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
+  val sessionWindowsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS t, value FROM events
+      |  WHERE event_type = 'purchase'
+      |), flagged AS (
+      |  SELECT *, CASE WHEN t - LAG(t) OVER w >= 43200000 OR LAG(t) OVER w IS NULL
+      |                 THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+      |), numbered AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, MIN(t) AS session_start_ms,
+      |  MAX(t) + 43200000 AS session_end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
+      |FROM numbered GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_episodes" -> (episodes _),
-    "sk_threshold_hysteresis" -> (thresholdHysteresis _))
+    "sk_threshold_hysteresis" -> (thresholdHysteresis _),
+    "sk_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "sk_episodes" -> episodesOracle,
-    "sk_threshold_hysteresis" -> thresholdHysteresisOracle)
+    "sk_threshold_hysteresis" -> thresholdHysteresisOracle,
+    "sk_session_window" -> sessionWindowsOracle)
 }
