@@ -167,11 +167,42 @@ object AnnCompact {
        |  FROM exact)
        |WHERE rank <= $K ORDER BY probe_id, rank""".stripMargin
 
+  // ------------------------------------------------------------ #34e
+  /** [[Embeddings.annTopK]]'s exact semantics through the native
+    * bounded-heap aggregate [[graft.functions.BoundedTopK]] instead
+    * of a window rank: `groupBy(probe).agg(graft_topk(cos, id, 10))`.
+    * Where the window formulation shuffles and SORTS every scored
+    * candidate into as many tasks as there are probes, the aggregate
+    * reduces each map slice to ≤ k pairs per probe BEFORE the
+    * exchange (partial_graft_topk, plan-pinned) — the shuffle carries
+    * k·maps rows instead of the corpus, which is the difference
+    * between an ANN scan that survives 100 TB and one that funnels
+    * the corpus through |probes| sort tasks. Same oracle as ann_topk:
+    * the (−score, id) total order makes heap and window answers
+    * identical. */
+  def topKAgg(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val e = Embeddings.vecs(spark, dir)
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"), col("norm2").as("norm2_a"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("v").as("v_b"), col("norm2").as("norm2_b"))
+    broadcast(probes).join(corpus, col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", Embeddings.cosine)
+      .groupBy("probe_id")
+      .agg(expr("graft_topk(cos, neighbor_id, 10)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_mrl_topk" -> (mrlTopK _),
-    "ann_bq_topk" -> (bqTopK _))
+    "ann_bq_topk" -> (bqTopK _),
+    "ann_topk_agg" -> (topKAgg _))
 
   val oracles: Map[String, String] = Map(
     "ann_mrl_topk" -> mrlTopKOracle,
-    "ann_bq_topk" -> bqTopKOracle)
+    "ann_bq_topk" -> bqTopKOracle,
+    "ann_topk_agg" -> Embeddings.annTopKOracle)
 }

@@ -45,7 +45,7 @@ object Embeddings {
       .select("vec_id", "label", "v", "norm2")
   }
 
-  private def cosine: Column =
+  private[similarity] def cosine: Column =
     r6(dot("v_a", "v_b") / (sqrt(col("norm2_a")) * sqrt(col("norm2_b"))))
 
   /** DuckDB equivalents of the same fold arithmetic. */
