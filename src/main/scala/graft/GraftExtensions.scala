@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, JaccardSim, KnownNonNullElements, L2Distance, NGrams, PolyHash}
+import graft.functions.{BoundedTopK, DotProduct, JaccardSim, KnownNonNullElements, L2Distance, NGrams, OverlapCount, PolyHash}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
@@ -62,6 +62,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"graft_ngrams: n must be an INT literal, got $other")
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_overlap"),
+      new ExpressionInfo(classOf[OverlapCount].getName, null, "graft_overlap",
+        "_FUNC_(a, b) - |A intersect B| of two SORTED-DISTINCT string " +
+          "arrays as BIGINT via one merge walk (the containment/overlap-" +
+          "coefficient primitive). Inputs must be array_sort(array_distinct(...)). " +
+          "Exactly two arguments.", ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 2) throw new IllegalArgumentException(
+          s"graft_overlap expects 2 arguments, got ${exprs.size}")
+        OverlapCount(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, null, "graft_topk",
+        "_FUNC_(score, id, k) - Aggregate: the k best (score DESC, id ASC) " +
+          "pairs per group as ARRAY<STRUCT<score, id>>, best-first; a " +
+          "k-bounded heap that partial-aggregates map-side. k must be a " +
+          "positive INT literal.", ""),
+      (exprs: Seq[Expression]) => {
+        if (exprs.size != 3) throw new IllegalArgumentException(
+          s"graft_topk expects 3 arguments (score, id, k), got ${exprs.size}")
+        BoundedTopK(exprs(0), exprs(1), exprs(2)).toAggregateExpression()
       }))
     // whole-operator extension: plans graft.plans.AsOfJoin nodes
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)

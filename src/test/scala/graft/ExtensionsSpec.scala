@@ -26,6 +26,14 @@ class ExtensionsSpec extends SparkSpec {
         s"unexpected error: ${e.getMessage}")
       assert(s2.sql("SELECT graft_dense(array(double(1.0), double(2.0))) AS v").head()
         .getSeq[Double](0).toList == List(1.0, 2.0))
+      // round-12 injections: merge-walk overlap + bounded top-k agg
+      assert(s2.sql("SELECT graft_overlap(array('a','b','c'), array('b','c','d')) AS o")
+        .head().getLong(0) == 2L)
+      val top = s2.sql(
+        """SELECT graft_topk(s, i, 2) AS t FROM VALUES
+          |  (1.0D, 1L), (3.0D, 2L), (2.0D, 3L) AS v(s, i)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 2L), (2.0, 3L)))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
