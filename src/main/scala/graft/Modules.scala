@@ -60,7 +60,10 @@ object Modules {
     ("Chunking", text.Chunking.queries, text.Chunking.oracles),
     ("Cms", operators.Cms.queries, operators.Cms.oracles),
     ("Containment", dedup.Containment.queries, dedup.Containment.oracles),
-    ("Canonical", dedup.Canonical.queries, dedup.Canonical.oracles))
+    ("Canonical", dedup.Canonical.queries, dedup.Canonical.oracles),
+    ("Winnow", text.Winnow.queries, text.Winnow.oracles),
+    ("Paragraph", dedup.Paragraph.queries, dedup.Paragraph.oracles),
+    ("Holdout", text.Holdout.queries, text.Holdout.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
