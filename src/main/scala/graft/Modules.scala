@@ -63,7 +63,8 @@ object Modules {
     ("Canonical", dedup.Canonical.queries, dedup.Canonical.oracles),
     ("Winnow", text.Winnow.queries, text.Winnow.oracles),
     ("Paragraph", dedup.Paragraph.queries, dedup.Paragraph.oracles),
-    ("Holdout", text.Holdout.queries, text.Holdout.oracles))
+    ("Holdout", text.Holdout.queries, text.Holdout.oracles),
+    ("BpeFit", text.BpeFit.queries, text.BpeFit.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
