@@ -29,6 +29,56 @@ class HllChunkSpec extends SparkSpec {
     assert(full.exceptAll(merged).count() === 0)
   }
 
+  test("hll set ops: union estimate is monotone and subadditive; intersection tracks exact") {
+    val rows = Hll.hllSetOps(spark, sfDir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (ea, eb, eu) = (r.getAs[Double]("est_a"), r.getAs[Double]("est_b"),
+        r.getAs[Double]("est_union"))
+      val ei = r.getAs[Double]("est_intersect")
+      val exact = r.getAs[Long]("exact_intersect").toDouble
+      // max-merge registers dominate each input sketch pointwise →
+      // the union estimate is ≥ each single estimate and ≤ their sum
+      assert(eu >= math.max(ea, eb) - 1e-6, r.toString)
+      assert(eu <= ea + eb + 1e-6, r.toString)
+      // inclusion–exclusion intersection within combined sketch error
+      // (three ±6.5%-stderr estimates; loose 3-sigma-ish bound scaled
+      // to the union size)
+      assert(math.abs(ei - exact) <= 0.35 * eu + 5.0,
+        s"${r.getString(0)}/${r.getString(1)}: est $ei vs exact $exact (union $eu)")
+      val j = r.getAs[Double]("jaccard_est")
+      assert(j >= 0.0 && j <= 1.0 + 1e-6, r.toString)
+    }
+  }
+
+  test("hll set ops: union estimate equals the single-sketch estimate of the concatenated slice") {
+    // sketch(A∪B) == max-merge(sketch(A), sketch(B)) exactly — so the
+    // pairwise union estimate must equal hllDistinct's estimate over
+    // events filtered to the two types, re-labeled as one group
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"))
+    val two = ev.select(col("event_type")).distinct()
+      .orderBy("event_type").limit(2).collect().map(_.getString(0))
+    val (ta, tb) = (two(0), two(1))
+    val setops = Hll.hllSetOps(spark, sfDir)
+      .filter(col("ta") === ta && col("tb") === tb)
+      .select("est_union").collect().head.getDouble(0)
+    val merged = Hll.registers(
+      ev.filter(col("event_type").isin(ta, tb))
+        .withColumn("event_type", lit("both")))
+    val mj = merged.collect().map(r => (r.getLong(1), r.getInt(2).toLong)).toMap
+    // recompute the estimate exactly as the operator does
+    val nHit = mj.size.toLong
+    val sHit = mj.values.map(m => 1L << (53 - m).toInt).sum
+    val vEmpty = 256L - nHit
+    val sScaled = sHit + vEmpty * (1L << 53)
+    val alpha = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0
+    val raw = alpha / sScaled.toDouble
+    val est = if (raw <= 640.0 && vEmpty > 0) 256.0 * math.log(256.0 / vEmpty.toDouble) else raw
+    val r6 = math.round(est * 1e6) / 1e6
+    assert(math.abs(r6 - setops) < 1e-9, s"$r6 vs $setops")
+  }
+
   test("chunking: stride windows tile the doc — stripped chunks reassemble the text") {
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
