@@ -43,13 +43,19 @@ object Winnow {
   private val W = 5        // winnow window (grams)
   private val Mult = 31    // polynomial hash multiplier
   private val IdxCap = 1 << 20
+  private val StopDf = 50  // stop-gram guard: drop hashes in > 50 docs
 
   // --------------------------------------------------------------- #57
   /** One row per SELECTED fingerprint: (doc_id, fp_idx, fp_hash) where
     * fp_idx is the 1-based start token of the chosen k-gram. Documents
     * shorter than k tokens emit nothing; documents with fewer than w
     * grams contribute their single all-gram window minimum. */
-  def winnow(spark: SparkSession, dir: String): DataFrame = {
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    fingerprints(spark, dir).orderBy("doc_id", "fp_idx")
+
+  /** The fingerprint table without the presentation sort — the form
+    * downstream joins consume. */
+  private[graft] def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     graft.functions.NGrams.register(spark)
     Tables.documents(spark, dir)
@@ -67,8 +73,70 @@ object Winnow {
       .select(col("doc_id"),
         expr(s"CAST(${IdxCap - 1} - (c % $IdxCap) AS BIGINT)").as("fp_idx"),
         expr(s"CAST(c div $IdxCap AS BIGINT)").as("fp_hash"))
-      .orderBy("doc_id", "fp_idx")
   }
+
+  // --------------------------------------------------------------- #62
+  /** The MOSS use of the fingerprints: overlap-candidate PAIRS.
+    * Documents sharing ≥ 2 selected fingerprints (distinct hashes)
+    * are local-overlap candidates — by the winnowing guarantee this
+    * catches every pair sharing two ≥ w+k−1-token spans, at ~1/w the
+    * join volume of the full gram table. Hashes occurring in more
+    * than [[StopDf]] documents are dropped first (stop-gram removal —
+    * MOSS's standard guard): they carry no discriminating signal and
+    * their join groups would be quadratic. The remaining candidate
+    * generation is a plain equi-join on fp_hash with per-group size
+    * bounded by StopDf, so pair volume is ≤ StopDf²·|hashes| no
+    * matter the corpus size — the same banding bound as the LSH
+    * dedups. The stop-hash filter is part of the operator's SEMANTICS
+    * (both engines apply it), not a silent cap. */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val fp = fingerprints(spark, dir)
+      .select("doc_id", "fp_hash").distinct()
+    val ok = fp.groupBy("fp_hash")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopDf)
+      .select("fp_hash")
+    val pruned = fp.join(ok, "fp_hash")
+    pruned.as("x").join(pruned.as("y"), "fp_hash")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val dedupWinnowOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $K
+       |), g AS (
+       |  SELECT doc_id, len(toks) - ${K - 1} AS m,
+       |    unnest(range(1, len(toks) - ${K - 1} + 1)) AS i, toks
+       |  FROM d
+       |), h AS (
+       |  SELECT doc_id, m, i,
+       |    ${TextOps.polyHashSql(s"array_to_string(toks[i : i + ${K - 1}], ' ')", Mult)}
+       |      * $IdxCap + (${IdxCap - 1} - i) AS comb
+       |  FROM g
+       |), w AS (
+       |  SELECT doc_id, m, i AS p,
+       |    min(comb) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS sel
+       |  FROM h
+       |), fp AS (
+       |  SELECT DISTINCT doc_id, CAST(sel // $IdxCap AS BIGINT) AS fp_hash
+       |  FROM w WHERE p <= greatest(1, m - ${W - 1})
+       |), ok AS (
+       |  SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= $StopDf
+       |), pruned AS (
+       |  SELECT fp.doc_id, fp.fp_hash FROM fp JOIN ok USING (fp_hash)
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM pruned x JOIN pruned y ON x.fp_hash = y.fp_hash
+       |  AND x.doc_id < y.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val winnowOracle: String =
     s"""WITH d AS (
@@ -98,8 +166,10 @@ object Winnow {
        |FROM s ORDER BY doc_id, fp_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_winnow" -> (winnow _))
+    "text_winnow" -> (winnow _),
+    "dedup_winnow" -> (dedupWinnow _))
 
   val oracles: Map[String, String] = Map(
-    "text_winnow" -> winnowOracle)
+    "text_winnow" -> winnowOracle,
+    "dedup_winnow" -> dedupWinnowOracle)
 }

@@ -43,6 +43,27 @@ class BpeFitSpec extends SparkSpec {
     }
   }
 
+  test("bpe_apply: token counts shrink from chars toward words, never past either bound") {
+    val out = graft.text.BpeFit.bpeApply(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nw, nc, nb) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nb <= nc, s"bpe tokens $nb exceed char symbols $nc")
+      assert(nb >= nw, s"bpe tokens $nb below word count $nw")
+    }
+    // the two merges actually fired somewhere
+    val (chars, bpe) = out.foldLeft((0L, 0L)) { case ((c, b), r) =>
+      (c + r.getLong(2), b + r.getLong(3)) }
+    assert(bpe < chars, s"no merge applied: $bpe vs $chars")
+  }
+
+  test("bpe_apply plan: vocabulary broadcasts onto the exploded corpus") {
+    val p = graft.text.BpeFit.bpeApply(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("plan: corpus scanned once — everything downstream runs on the checkpointed word table") {
     val p = graft.text.BpeFit.bpeFit(spark, sfDir)
       .queryExecution.executedPlan.toString

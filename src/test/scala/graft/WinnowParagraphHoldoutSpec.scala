@@ -85,6 +85,24 @@ class WinnowParagraphHoldoutSpec extends SparkSpec {
     assert("Exchange rangepartitioning".r.findAllIn(p).size <= 1, p.take(3000))
   }
 
+  test("dedup_winnow: reported pairs genuinely share a k-gram; join is equi-keyed") {
+    val out = graft.text.Winnow.dedupWinnow(spark, sfDir)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val rows = out.collect()
+    assert(rows.nonEmpty, "overlap-saturated corpus produced no candidate pairs")
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(2) >= 2))
+    // the strongest pair's texts share at least one literal 4-token gram
+    val top = rows.maxBy(_.getLong(2))
+    val texts = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id").isin(top.getLong(0), top.getLong(1)))
+      .collect().map(r => r.getAs[String]("text"))
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(4).map(_.mkString(" ")).toSet
+    assert((grams(texts(0)) intersect grams(texts(1))).nonEmpty,
+      s"pair $top shares no literal 4-gram")
+  }
+
   test("dedup_paragraph: keeper doc keeps its text verbatim; duplicates lose exactly the hot segments") {
     val out = graft.dedup.Paragraph.dedupParagraph(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
