@@ -55,26 +55,29 @@ object Hll {
     .groupBy("event_type", "idx")
     .agg(max("rho").as("mj"))
 
+  /** Estimate per event_type from a register table — shared by the
+    * batch sketch and the streaming register-store maintenance. */
+  private[graft] def estimateRegisters(regs: DataFrame): DataFrame = regs
+    .groupBy("event_type")
+    .agg(count(lit(1)).as("n_hit"),
+      sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("s_hit"))
+    .withColumn("v_empty", lit(M.toLong) - col("n_hit"))
+    .withColumn("s_scaled", col("s_hit") + col("v_empty") * lit(1L << 53))
+    // AlphaScaled is ONE Scala-computed double fed verbatim to both
+    // engines: spelling the formula in SQL made Spark parse 0.7213 /
+    // 256.0 as DECIMAL literals (different arithmetic than DuckDB's
+    // doubles — measured 3.5e-9 relative skew at sf0.1)
+    .withColumn("raw_est", lit(AlphaScaled) / col("s_scaled").cast("double"))
+    .withColumn("hll_estimate", r6(
+      when(col("raw_est") <= 640.0 && col("v_empty") > 0,
+        lit(256.0) * log(lit(256.0) / col("v_empty").cast("double")))
+        .otherwise(col("raw_est"))))
+
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
-    val regs = registers(ev)
-    val sums = regs.groupBy("event_type")
-      .agg(count(lit(1)).as("n_hit"),
-        sum(expr("shiftleft(1L, CAST(53 - mj AS INT))")).as("s_hit"))
-      .withColumn("v_empty", lit(M.toLong) - col("n_hit"))
-      .withColumn("s_scaled", col("s_hit") + col("v_empty") * lit(1L << 53))
-      // AlphaScaled is ONE Scala-computed double fed verbatim to both
-      // engines: spelling the formula in SQL made Spark parse 0.7213 /
-      // 256.0 as DECIMAL literals (different arithmetic than DuckDB's
-      // doubles — measured 3.5e-9 relative skew at sf0.1)
-      .withColumn("raw_est", lit(AlphaScaled) / col("s_scaled").cast("double"))
-      .withColumn("hll_estimate", r6(
-        when(col("raw_est") <= 640.0 && col("v_empty") > 0,
-          lit(256.0) * log(lit(256.0) / col("v_empty").cast("double")))
-          .otherwise(col("raw_est"))))
     val exact = ev.groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("exact_distinct"))
-    sums.join(exact, "event_type")
+    estimateRegisters(registers(ev)).join(exact, "event_type")
       .select("event_type", "n_hit", "s_scaled", "hll_estimate", "exact_distinct")
       .orderBy("event_type")
   }

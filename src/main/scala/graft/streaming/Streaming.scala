@@ -687,6 +687,74 @@ object Streaming {
     * the demo streams to 8 (scoped: the conf is restored after the
     * query starts — a stream reads it once at its first batch). At
     * production volume the number is sized to throughput instead. */
+  // ------------------------------------------------------------- #42k
+  /** LIVE SKETCH MAINTENANCE: the HLL register store (graft.operators
+    * .Hll) kept current by a stream — each micro-batch reduces to its
+    * own ≤ m-row register partial, max-merges into the persisted
+    * store, and atomically swaps it (the tier-maintenance pattern
+    * applied to a sketch). Because max is associative/commutative and
+    * the register pipeline is integer-exact, trigger-at-a-time
+    * maintenance is INDISTINGUISHABLE from a full batch rebuild — the
+    * final estimate reuses `sketch_hll_distinct`'s oracle verbatim.
+    * The exact-count accuracy column is maintained the same way: a
+    * persisted distinct (event_type, user_id) store unioned per batch
+    * (the state dropDuplicates would hold, made visible).
+    *
+    * At 100 TB/day this is THE distinct-counting shape: the raw
+    * stream is never retained, the store is m rows per group, and
+    * any historical slice question max-merges stored registers.
+    */
+  def streamHll(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
+    import graft.operators.Hll
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_hll_store").toString
+    val regStore = base + "/regs"
+    val exactStore = base + "/pairs"
+    val sch = eventsSchema(spark, dir)
+    spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
+      .parquet(dir).repartition(4)
+      .write.mode("overwrite").parquet(srcDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def swapIn(df: DataFrame, path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_next")
+      df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+    }
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val ev = batch.select(col("event_type"), col("user_id"))
+        val regDelta = Hll.registers(ev)
+        val regMerged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(regStore)))
+            s.read.parquet(regStore).unionByName(regDelta)
+              .groupBy("event_type", "idx").agg(max("mj").as("mj"))
+          else regDelta
+        swapIn(regMerged, regStore)
+        val pairDelta = ev.distinct()
+        val pairMerged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(exactStore)))
+            s.read.parquet(exactStore).unionByName(pairDelta).distinct()
+          else pairDelta
+        swapIn(pairMerged, exactStore)
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("streamhll"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val exact = spark.read.parquet(exactStore).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    Hll.estimateRegisters(spark.read.parquet(regStore))
+      .join(exact, "event_type")
+      .select("event_type", "n_hit", "s_scaled", "hll_estimate", "exact_distinct")
+      .orderBy("event_type")
+  }
+
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -707,7 +775,8 @@ object Streaming {
     "stream_dedup_lsh" -> (streamDedupLsh _),
     "stream_tier_correction" -> (streamTierCorrection _),
     "stream_replay" -> (Replay.streamReplay _),
-    "stream_late_data" -> (LateData.streamLateData _)
+    "stream_late_data" -> (LateData.streamLateData _),
+    "stream_hll_distinct" -> (streamHll _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -725,5 +794,8 @@ object Streaming {
     "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle,
     "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle,
     "stream_replay" -> Replay.streamReplayOracle,
-    "stream_late_data" -> LateData.streamLateDataOracle)
+    "stream_late_data" -> LateData.streamLateDataOracle,
+    // incremental register maintenance ≡ one-shot sketch, so the
+    // batch oracle carries over verbatim
+    "stream_hll_distinct" -> graft.operators.Hll.hllDistinctOracle)
 }
