@@ -25,7 +25,12 @@ object Bench {
     // round-12 additions: one per new family (compact-ANN funnel, OLAP
     // cube, interpolating resample, sketch, chunking)
     "ann_bq_topk", "q_rollup", "sk_resample_interp",
-    "sketch_hll_distinct", "doc_chunk_overlap")
+    "sketch_hll_distinct", "doc_chunk_overlap",
+    // late-r12 families: winnowing, span dedup, tokenizer fit,
+    // sketch algebra, exact-k holdout, live sketch maintenance
+    "text_winnow", "dedup_winnow", "bpe_fit", "bpe_apply",
+    "dedup_paragraph", "sample_holdout_k", "sketch_hll_setops",
+    "stream_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,8 +77,15 @@ object Bench {
       val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches between queries so one query's working set does
-      // not pressure the next one's timing
+      // not pressure the next one's timing. clearCache only covers
+      // Dataset caches — localCheckpoint blocks persist at the RDD
+      // level and accumulated across the 182-query suite until GC,
+      // measurably inflating later queries (mm_features 0.25 → 1.1 s
+      // in-suite vs isolated, r12); unpersist them explicitly.
       try spark.catalog.clearCache() catch { case _: Throwable => }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => }
       if (ok) dt else -1.0
     }
     // median over the SUCCESSFUL samples; -1.0 when every sample failed
@@ -151,7 +163,15 @@ object Bench {
     // queries' single-shot ×1.5–1.8 spread would otherwise be frozen
     // into the per-query medians the 2× gate compares against.
     val allMedian = sys.env.get("SPARK_GRAFT_BENCH_ALL_MEDIAN").isDefined
-    val samples = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c: time only the named queries (local
+    // iteration on a perf fix; not used by the driver)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val samples = benched.map { case (name, fn) =>
       val n = if (allMedian || headSet(name)) repeats else 1
       name -> Seq.fill(n)(timeOnce(fn)).sorted
     }

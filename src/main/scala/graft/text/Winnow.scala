@@ -58,18 +58,27 @@ object Winnow {
   private[graft] def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyHash.register(spark)
     graft.functions.NGrams.register(spark)
+    // Each intermediate (the gram array, then the packed-hash array)
+    // is BOUND ONCE per row via a single-element-array lambda —
+    // `element_at(transform(array(e), v -> body), 1)` — because a
+    // chain of withColumns would be projection-collapsed and the
+    // upstream array INLINED into every lambda iteration: measured
+    // 211 s at sf0.1 (the ngram array re-built per window per gram,
+    // O(m³) per doc) vs ~1 s bound (§5a #15's collapse class inside
+    // higher-order functions).
+    val fpExpr =
+      s"""element_at(transform(array(graft_ngrams(toks, $K)), gr ->
+         |  element_at(transform(array(
+         |      transform(sequence(1, size(gr)),
+         |        i -> graft_polyhash(element_at(gr, i), $Mult) * ${IdxCap}L
+         |             + (${IdxCap - 1}L - i))),
+         |    comb -> array_distinct(
+         |      transform(sequence(1, greatest(1, size(comb) - ${W - 1})),
+         |        p -> array_min(slice(comb, p, $W))))), 1)), 1)""".stripMargin
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= K)
-      .withColumn("m", (size(col("toks")) - (K - 1)).cast("int"))
-      .withColumn("gr", expr(s"graft_ngrams(toks, $K)"))
-      // pack (hash, rightmost-tie index) into one BIGINT per gram
-      .withColumn("comb", expr(
-        s"transform(sequence(1, m), i -> graft_polyhash(element_at(gr, i), $Mult) * ${IdxCap}L + (${IdxCap - 1}L - i))"))
-      // window minima, deduped per doc (adjacent windows often agree)
-      .withColumn("sel", expr(
-        s"array_distinct(transform(sequence(1, greatest(1, m - ${W - 1})), p -> array_min(slice(comb, p, $W))))"))
-      .select(col("doc_id"), explode(col("sel")).as("c"))
+      .select(col("doc_id"), explode(expr(fpExpr)).as("c"))
       .select(col("doc_id"),
         expr(s"CAST(${IdxCap - 1} - (c % $IdxCap) AS BIGINT)").as("fp_idx"),
         expr(s"CAST(c div $IdxCap AS BIGINT)").as("fp_hash"))
@@ -90,8 +99,11 @@ object Winnow {
     * dedups. The stop-hash filter is part of the operator's SEMANTICS
     * (both engines apply it), not a silent cap. */
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct fingerprint table is consumed three times (df
+    // filter + both join sides) — checkpoint so the fingerprint scan
+    // runs once
     val fp = fingerprints(spark, dir)
-      .select("doc_id", "fp_hash").distinct()
+      .select("doc_id", "fp_hash").distinct().localCheckpoint()
     val ok = fp.groupBy("fp_hash")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= StopDf)
