@@ -114,11 +114,51 @@ object Olap {
        |ORDER BY user_id""".stripMargin
   }
 
+  // --------------------------------------------------- grouping sets
+  /** Two INDEPENDENT dimension summaries in one aggregation — the
+    * multi-dashboard-tile query: order-priority totals and return-flag
+    * totals from a single scan via GROUP BY GROUPING SETS (neither
+    * dimension nests in the other, so neither ROLLUP nor CUBE fits
+    * without paying extra grouping sets). Catalyst plans it exactly
+    * like the ROLLUP above — one Expand (factor = number of sets,
+    * here 2) into ONE map-side-partial hash aggregate — so N summary
+    * tables cost one scan and one shuffle, not N jobs; at 100 TB
+    * that's the difference between one pass over the fact table and
+    * a pass per dashboard tile. `grouping_id()` tags which set each
+    * row belongs to with the same bitmask DuckDB's GROUPING() emits
+    * (verified by the rollup operator's oracle), and rolled columns
+    * COALESCE to 'ALL' so the key is engine-neutral. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("gs_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS dim_priority,
+        |       COALESCE(l_returnflag, 'ALL') AS dim_returnflag,
+        |       CAST(grouping_id() AS BIGINT) AS level,
+        |       COUNT(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM gs_lineitem JOIN gs_orders ON l_orderkey = o_orderkey
+        |GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag))
+        |ORDER BY level, dim_priority, dim_returnflag""".stripMargin)
+  }
+
+  val groupingSetsOracle: String =
+    """SELECT COALESCE(o_orderpriority, 'ALL') AS dim_priority,
+      |       COALESCE(l_returnflag, 'ALL') AS dim_returnflag,
+      |       CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS level,
+      |       COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY GROUPING SETS ((o_orderpriority), (l_returnflag))
+      |ORDER BY level, dim_priority, dim_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup" -> (rollupRevenue _),
-    "sk_pivot_wide" -> (pivotEvents _))
+    "sk_pivot_wide" -> (pivotEvents _),
+    "q_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
     "q_rollup" -> rollupRevenueOracle,
-    "sk_pivot_wide" -> pivotEventsOracle)
+    "sk_pivot_wide" -> pivotEventsOracle,
+    "q_grouping_sets" -> groupingSetsOracle)
 }

@@ -63,4 +63,23 @@ class OlapSpec extends SparkSpec {
     val plan = Olap.rollupRevenue(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("Expand"))
   }
+
+  test("q_grouping_sets: each set reproduces its own GROUP BY; levels partition the output") {
+    val rows = Olap.groupingSets(spark, sfDir).collect()
+    val byLevel = rows.groupBy(_.getAs[Long]("level"))
+    assert(byLevel.keySet == Set(1L, 2L), byLevel.keySet.toString)
+    // level 1 = priority rows (returnflag rolled), level 2 = the reverse
+    assert(byLevel(1L).forall(_.getAs[String]("dim_returnflag") == "ALL"))
+    assert(byLevel(2L).forall(_.getAs[String]("dim_priority") == "ALL"))
+    // both sets total the same joined row count
+    val n1 = byLevel(1L).map(_.getAs[Long]("n_lines")).sum
+    val n2 = byLevel(2L).map(_.getAs[Long]("n_lines")).sum
+    assert(n1 == n2 && n1 > 0)
+  }
+
+  test("q_grouping_sets plan: one Expand + one aggregate, not a union of jobs") {
+    val plan = Olap.groupingSets(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(3000))
+    assert(!plan.contains("Union"), plan.take(3000))
+  }
 }
