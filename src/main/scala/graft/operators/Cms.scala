@@ -31,28 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object Cms {
 
-  private val D = 4 // hash rows
-  private val W = 1024 // counters per row
+  private[graft] val D = 4 // hash rows
+  private[graft] val W = 1024 // counters per row
 
-  // --------------------------------------------------------------- #57
-  /** Exact top-20 trigrams with their CMS estimates: gram, exact
-    * count, min-over-rows estimate (≥ exact by construction), and the
-    * collision overestimate. */
-  def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.NGrams.register(spark) // codegen'd gram extraction
-    val counts = Tables.documents(spark, dir)
-      .select(split(col("text"), " ").as("toks"))
-      .where(size(col("toks")) >= 3)
-      .select(explode(expr("graft_ngrams(toks, 3)")).as("gram"))
-      .groupBy("gram").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // feeds the sketch, the top-k, and the probes
-    val salts = array((0 until D).map(lit): _*)
-    def hashed(df: DataFrame): DataFrame = df
-      .select(col("*"), explode(salts).as("salt"))
-      .withColumn("idx", expr(
-        s"CAST(conv(substring(md5(CAST(salt AS STRING) || '#' || gram), 1, 15), 16, 10) AS BIGINT) % $W"))
-    val counters = hashed(counts).groupBy("salt", "idx")
-      .agg(sum("n").as("c")) // the sketch: <= D*W rows, merge by +
+  /** Per-gram exact counts for a documents frame — the aggregation
+    * both the batch sketch and the per-micro-batch delta run. */
+  private[graft] def gramCounts(docs: DataFrame): DataFrame = docs
+    .select(split(col("text"), " ").as("toks"))
+    .where(size(col("toks")) >= 3)
+    .select(explode(expr("graft_ngrams(toks, 3)")).as("gram"))
+    .groupBy("gram").agg(count(lit(1)).as("n"))
+
+  /** d hash rows per gram row: (…, salt, idx). */
+  private[graft] def hashed(df: DataFrame): DataFrame = df
+    .select(col("*"), explode(array((0 until D).map(lit): _*)).as("salt"))
+    .withColumn("idx", expr(
+      s"CAST(conv(substring(md5(CAST(salt AS STRING) || '#' || gram), 1, 15), 16, 10) AS BIGINT) % $W"))
+
+  /** Read back the top-20 estimates from a (gram,n) table + counter
+    * sketch — shared by the batch operator and the stream's final
+    * probe. */
+  private[graft] def probeTopK(counts: DataFrame, counters: DataFrame): DataFrame = {
     val top = counts.orderBy(col("n").desc, col("gram")).limit(20)
       .withColumnRenamed("n", "exact_n")
     hashed(top)
@@ -61,6 +60,19 @@ object Cms {
       .agg(min("c").as("cms_estimate"))
       .withColumn("overestimate", col("cms_estimate") - col("exact_n"))
       .orderBy(col("exact_n").desc, col("gram"))
+  }
+
+  // --------------------------------------------------------------- #57
+  /** Exact top-20 trigrams with their CMS estimates: gram, exact
+    * count, min-over-rows estimate (≥ exact by construction), and the
+    * collision overestimate. */
+  def cmsTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGrams.register(spark) // codegen'd gram extraction
+    val counts = gramCounts(Tables.documents(spark, dir))
+      .localCheckpoint() // feeds the sketch, the top-k, and the probes
+    val counters = hashed(counts).groupBy("salt", "idx")
+      .agg(sum("n").as("c")) // the sketch: <= D*W rows, merge by +
+    probeTopK(counts, counters)
   }
 
   val cmsTopKOracle: String =

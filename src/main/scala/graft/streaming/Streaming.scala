@@ -755,6 +755,63 @@ object Streaming {
       .orderBy("event_type")
   }
 
+  // ------------------------------------------------------------- #42l
+  /** Live COUNT-MIN maintenance — the ADD-merge twin of [[streamHll]]
+    * (registers merge by max; counters merge by +): each micro-batch
+    * of documents reduces to its own gram-count delta, its counter
+    * delta ADDS cell-wise into the persisted ≤ d·w-row sketch, and
+    * the gram-count store sums in parallel (the exact top-k side).
+    * Addition is associative/commutative and batches partition the
+    * corpus, so trigger-at-a-time ≡ the one-shot sketch and the batch
+    * oracle carries over verbatim. The production read: frequency
+    * sketches over an unbounded stream cost a FIXED-size store and a
+    * per-batch partial aggregation — never a rescan.
+    */
+  def streamCms(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
+    import graft.operators.Cms
+    graft.functions.NGrams.register(spark)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cms_src").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_store").toString
+    val cntStore = base + "/counters"
+    val gramStore = base + "/grams"
+    val docs = spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val sch = docs.schema
+    docs.repartition(4).write.mode("overwrite").parquet(srcDir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def swapIn(df: DataFrame, path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_next")
+      df.coalesce(2).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(p, true)
+      fs.rename(tmp, p)
+    }
+    def mergeAdd(store: String, delta: DataFrame, keys: Seq[String], cnt: String): Unit = {
+      val s = delta.sparkSession
+      val merged =
+        if (fs.exists(new org.apache.hadoop.fs.Path(store)))
+          s.read.parquet(store).unionByName(delta)
+            .groupBy(keys.map(col): _*).agg(sum(cnt).as(cnt))
+        else delta
+      swapIn(merged, store)
+    }
+    val q = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val counts = Cms.gramCounts(batch).localCheckpoint()
+        mergeAdd(gramStore, counts, Seq("gram"), "n")
+        mergeAdd(cntStore,
+          Cms.hashed(counts).groupBy("salt", "idx").agg(sum("n").as("c")),
+          Seq("salt", "idx"), "c")
+        ()
+      }
+      .option("checkpointLocation", tmpCheckpoint("streamcms"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Cms.probeTopK(spark.read.parquet(gramStore), spark.read.parquet(cntStore))
+  }
+
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)
@@ -776,7 +833,8 @@ object Streaming {
     "stream_tier_correction" -> (streamTierCorrection _),
     "stream_replay" -> (Replay.streamReplay _),
     "stream_late_data" -> (LateData.streamLateData _),
-    "stream_hll_distinct" -> (streamHll _)
+    "stream_hll_distinct" -> (streamHll _),
+    "stream_cms_topk" -> (streamCms _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -797,5 +855,6 @@ object Streaming {
     "stream_late_data" -> LateData.streamLateDataOracle,
     // incremental register maintenance ≡ one-shot sketch, so the
     // batch oracle carries over verbatim
-    "stream_hll_distinct" -> graft.operators.Hll.hllDistinctOracle)
+    "stream_hll_distinct" -> graft.operators.Hll.hllDistinctOracle,
+    "stream_cms_topk" -> graft.operators.Cms.cmsTopKOracle)
 }

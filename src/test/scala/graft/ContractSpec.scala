@@ -52,7 +52,7 @@ class ContractSpec extends AnyFunSuite {
     // 158 oracle-checked queries as of round 12 (ngram_counts5,
     // stream_replay, sk_history_enriched joined) — a shrink means a
     // module fell out of the merge
-    assert(SparkEntry.queries.size >= 183)
+    assert(SparkEntry.queries.size >= 184)
     assert(SparkEntry.oracleSql.size >= 174)
   }
 }

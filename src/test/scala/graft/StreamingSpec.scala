@@ -89,6 +89,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream_cms_topk equals the one-shot batch sketch bit-for-bit") {
+    val streamed = Streaming.streamCms(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    val oneShot = graft.operators.Cms.cmsTopK(spark, sfDir)
+      .collect().map(_.mkString("|")).toSeq
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream_hll_distinct equals the one-shot batch sketch bit-for-bit") {
     val streamed = Streaming.streamHll(spark, sfDir)
       .collect().map(_.mkString("|")).toSeq
