@@ -22,13 +22,29 @@ object Canonical {
   // --------------------------------------------------------------- #58
   /** Exact duplicate clusters with priority-ranked keepers: lower
     * source number = more trusted (src1 ≻ src2 ≻ …); emits only
-    * multi-doc clusters with the keeper and its source. */
-  def canonicalDedup(spark: SparkSession, dir: String): DataFrame =
-    canonicalOf(Tables.documents(spark, dir))
+    * multi-doc clusters with the keeper and its source.
+    *
+    * The corpus is the base table UNION a deterministic mirror-site
+    * slice (doc_id % 13 = 5, re-keyed +1e6, source re-labeled
+    * 'src'||(doc_id%7)) — the cross-source replica scenario canonical
+    * selection exists for, and one where the seeded copy often
+    * OUTRANKS the original (src0..src6 beat most of src0..src19), so
+    * the keeper pick is exercised both ways. Mirrored verbatim in the
+    * oracle → nonzero clusters at every gated SF (round-13
+    * de-vacuation; the generated corpus alone has no exact dups below
+    * sf0.1). */
+  def canonicalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text", "source")
+    val mirror = docs.where(col("doc_id") % 13 === 5)
+      .withColumn("source",
+        concat(lit("src"), (col("doc_id") % 7).cast("string")))
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    canonicalOf(docs.unionByName(mirror))
+  }
 
   /** Core on any (doc_id, text, source) frame — split out so the spec
-    * can prove the keeper rule on a synthetic corpus (the sf0.01 gate
-    * corpus has no exact-dup clusters; sf0.1 has 8). */
+    * can prove the keeper rule on a synthetic corpus independent of
+    * the seeded-union staging above. */
   private[graft] def canonicalOf(docs: DataFrame): DataFrame = {
     docs
       .withColumn("rank", regexp_extract(col("source"), "(\\d+)", 1).cast("long"))
@@ -44,10 +60,16 @@ object Canonical {
   }
 
   val canonicalDedupOracle: String =
-    """WITH d AS (
+    """WITH corpus AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text,
+      |    'src' || CAST(doc_id % 7 AS VARCHAR) AS source
+      |  FROM documents WHERE doc_id % 13 = 5
+      |), d AS (
       |  SELECT doc_id, source, md5(text) AS content_md5,
       |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) AS rank
-      |  FROM documents
+      |  FROM corpus
       |), picked AS (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5 ORDER BY rank, doc_id) AS rn,
       |    COUNT(*) OVER (PARTITION BY content_md5) AS n_docs,

@@ -32,17 +32,34 @@ object Dedup {
 
   // --------------------------------------------------------------- #29
   /** Exact duplicate groups: md5(text) groupBy, keeper = min doc_id —
-    * the canonical 100 TB dedup pattern (single shuffle on the hash). */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * the canonical 100 TB dedup pattern (single shuffle on the hash).
+    *
+    * The corpus is the base documents table UNION a deterministically
+    * re-ingested slice (doc_id % 17 = 3, re-keyed +1e6) — the
+    * re-crawl scenario exact dedup exists for. The seed is mirrored
+    * verbatim in the oracle, so the gate proves NONZERO duplicate
+    * detection at every SF (the generated corpus alone has no exact
+    * dups below sf0.1, and a 0 = 0-row hash match proves only that
+    * both engines found nothing — round-13 de-vacuation). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val recrawl = docs.where(col("doc_id") % 17 === 3)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    docs.unionByName(recrawl)
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
       .where(col("n_docs") > 1)
       .orderBy("content_md5")
+  }
 
   val exactDedupOracle: String =
-    """SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
-      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 3
+      |)
+      |SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+      |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------- #30
   /** Blocked n-gram (unigram-set) Jaccard: candidate pairs within a
@@ -233,7 +250,12 @@ object Dedup {
       .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
     // Cross-group candidates: banded self-join over distinct-signature
     // representatives only, then expand each (group, group) hit to its
-    // member pairs. groups is tiny relative to the corpus → broadcast.
+    // member pairs. The member-list fetch joins are UN-HINTED: groups
+    // is one row per distinct signature, which in a mostly-unique
+    // corpus is corpus-sized — a forced broadcast() would ship it
+    // whole to every executor at 100 TB. Statistics (localCheckpoint
+    // preserves them) broadcast it while it fits; past the threshold
+    // the same plan shuffles on gid, bounded by |groupPairs| + |groups|.
     val repBands = groups
       .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
       .select(col("gid"), col("band.band_idx"), col("band.band_key"))
@@ -244,8 +266,8 @@ object Dedup {
       .distinct()
     val membersOf = groups.select(col("gid"), col("members"))
     val cross = groupPairs
-      .join(broadcast(membersOf.toDF("gid_a", "mem_a")), "gid_a")
-      .join(broadcast(membersOf.toDF("gid_b", "mem_b")), "gid_b")
+      .join(membersOf.toDF("gid_a", "mem_a"), "gid_a")
+      .join(membersOf.toDF("gid_b", "mem_b"), "gid_b")
       .select(explode(col("mem_a")).as("id_x"), col("mem_b"))
       .select(col("id_x"), explode(col("mem_b")).as("id_y"))
       .select(least(col("id_x"), col("id_y")).as("id_a"),
@@ -253,15 +275,18 @@ object Dedup {
     // Disjoint by construction: within-pairs share a signature, cross
     // pairs span two groups, and each (gid_a, gid_b) is distinct.
     val candidates = within.unionAll(cross)
-    // Token arrays broadcast to both sides of the verify: the doc
-    // table is tiny next to the candidate pairs, so this avoids
-    // shuffling millions of candidates twice. (At 100 TB the same
-    // join is a shuffle join on doc_id — Spark picks it when the
-    // build side exceeds the broadcast threshold.)
+    // Token-fetch for verify: UN-HINTED equi-joins on doc_id, so the
+    // planner chooses by statistics — at bench scale the doc token
+    // table sits under autoBroadcastJoinThreshold and both joins plan
+    // as broadcasts; at 100 TB the table exceeds the threshold and the
+    // same plan degrades to shuffle joins on doc_id (each side hashed
+    // once — O(candidates + corpus), no 8 GB broadcast ceiling). A
+    // forced broadcast() here would override the size check and ship
+    // the whole corpus token table to every executor.
     val toksById = docs.select(col("doc_id"), tokens.as("toks"))
     candidates
-      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
-      .join(broadcast(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
+      .join(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
       // size-ratio bound: j ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|),
       // so this integer prefilter prunes candidates before the O(n)
       // intersection without changing the result set. The constant is

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   * with cross-doc df ≥ 2) is computed by one map-side-partial
   * aggregation on the hash key and is SMALL (duplicated boilerplate is
   * a tiny distinct set even when its occurrence mass is huge), so it
-  * broadcasts and the corpus takes one broadcast left-join — the
-  * corpus itself shuffles ONCE, on doc_id, to reassemble (and at
-  * 100 TB that reassembly can ride an existing doc_id partitioning; if
-  * the hot set ever exceeds the broadcast budget the same plan
-  * degrades gracefully to a shuffle join on the hash key). Reassembly
+  * broadcasts (UN-HINTED — the planner picks broadcast on statistics
+  * while the hot set fits, and past autoBroadcastJoinThreshold the
+  * same plan degrades to a shuffle join on the hash key; a forced
+  * broadcast() here would instead OOM when the hot set grows) and the
+  * corpus takes one broadcast left-join — the corpus itself shuffles
+  * ONCE, on doc_id, to reassemble (and at 100 TB that reassembly can
+  * ride an existing doc_id partitioning). Reassembly
   * is sort_array over an in-doc segment list — bounded by document
   * size, never by corpus size.
   *
@@ -59,7 +61,7 @@ object Paragraph {
       .agg(countDistinct("doc_id").as("df"), min("doc_id").as("keeper"))
       .filter(col("df") >= DfThreshold)
       .select("h", "keeper")
-    seg.join(broadcast(hot), Seq("h"), "left")
+    seg.join(hot, Seq("h"), "left")
       .withColumn("keep", col("keeper").isNull || col("doc_id") === col("keeper"))
       .groupBy("doc_id")
       .agg(

@@ -29,10 +29,13 @@ object Relational2 {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
 
   /** TPC-H Q4-flavored: order priority counts for orders with at least
-    * one lineitem — LEFT SEMI join, the scalable EXISTS. */
+    * one lineitem — LEFT SEMI join, the scalable EXISTS. Window is
+    * 1995-H1 (the generated corpus starts 1995-01-01; the TPC-H
+    * 1994 window matched zero orders, so the gate row passed vacuously
+    * on 0 = 0 rows — round-13 de-vacuation). */
   def q4Priorities(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .where(col("o_orderdate") >= lit("1994-01-01") && col("o_orderdate") < lit("1994-07-01"))
+      .where(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1995-07-01"))
       .join(Tables.lineitem(spark, dir).select("l_orderkey"),
         col("o_orderkey") === col("l_orderkey"), "left_semi")
       .groupBy("o_orderpriority")
@@ -42,7 +45,7 @@ object Relational2 {
   val q4Oracle: String =
     """SELECT o_orderpriority, COUNT(*) AS order_count
       |FROM orders
-      |WHERE o_orderdate >= TIMESTAMP '1994-01-01' AND o_orderdate < TIMESTAMP '1994-07-01'
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
       |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

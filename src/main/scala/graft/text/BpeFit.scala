@@ -69,8 +69,15 @@ object BpeFit {
   private def fitState(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     graft.functions.NGrams.register(spark)
+    // Empty-word guard (mirrored in both oracles): irregular
+    // whitespace (leading/trailing/double spaces) splits into "" words,
+    // and for those Spark's sequence(1, length(w)) = sequence(1, 0)
+    // yields the DESCENDING [1, 0] — two phantom "" symbols and a
+    // phantom pair — while DuckDB's string_split(w, '') yields [] — a
+    // silent cross-engine divergence. Both engines drop "" up front.
     val words = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
       .localCheckpoint()
     val seq0 = words.withColumn("syms",
@@ -128,7 +135,7 @@ object BpeFit {
     s"""WITH RECURSIVE words AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  GROUP BY w
+       |  WHERE w <> '' GROUP BY w
        |), s0 AS (
        |  SELECT w, f, string_split(w, '') AS syms FROM words
        |), p1 AS (
@@ -176,7 +183,7 @@ object BpeFit {
     s"""WITH RECURSIVE words AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  GROUP BY w
+       |  WHERE w <> '' GROUP BY w
        |), s0 AS (
        |  SELECT w, f, string_split(w, '') AS syms FROM words
        |), p1 AS (

@@ -26,12 +26,13 @@ import org.apache.spark.sql.functions._
   * feeds an equi-join on hash for overlap candidates.
   *
   * Determinism: the rightmost-min tie rule is encoded arithmetically —
-  * each gram i (1-based) becomes `hash·2^20 + (2^20−1−i)`, so the
+  * each gram i (1-based) becomes `hash·2^32 + (2^32−1−i)`, so the
   * plain integer `array_min` picks the smallest hash and, among equal
   * hashes, the LARGEST index; both engines decode (hash, idx) back
   * out of one BIGINT, so the oracle is bit-exact. Hash < 2^30 and
-  * idx < 2^20 keep the packed value < 2^50 (no overflow, exact in
-  * any engine's arithmetic).
+  * idx < 2^32 keep the packed value < 2^62 (no overflow, exact in
+  * signed 64-bit in both engines; the idx term stays non-negative for
+  * any document under 4B grams).
   *
   * Reference: signalk-parquet has whole-stream fingerprinting only
   * (src/utils.ts hashing); winnowing is the training-data-pipeline
@@ -42,7 +43,12 @@ object Winnow {
   private val K = 4        // gram size (tokens)
   private val W = 5        // winnow window (grams)
   private val Mult = 31    // polynomial hash multiplier
-  private val IdxCap = 1 << 20
+  // Widened from 2^20 (round 13): with idx < 2^32 and hash < 2^30 the
+  // packed value stays < 2^62 — exact in signed 64-bit in both
+  // engines — and the idx term (IdxCap-1-i) can no longer go negative
+  // and corrupt the decode until a single document reaches 4B grams
+  // (a ~16 GB doc — beyond any row a parquet reader will hand us).
+  private val IdxCap = 1L << 32
   private val StopDf = 50  // stop-gram guard: drop hashes in > 50 docs
 
   // --------------------------------------------------------------- #57

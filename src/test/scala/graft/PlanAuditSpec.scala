@@ -88,6 +88,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("minhash LSH carries no forced broadcast — verify joins are statistics-chosen") {
+    val df = graft.dedup.Dedup.minHashLsh(spark, sfDir)
+    // The corpus token table and the signature-group member lists are
+    // both corpus-scaled at 100 TB; a broadcast() hint on either would
+    // override the planner's size check and ship them whole to every
+    // executor. Pin: zero hints anywhere in the pairs path, so join
+    // strategy degrades to a doc_id/gid shuffle past the threshold.
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.isEmpty, s"forced hints in minhash plan: $hints")
+    // At bench scale statistics still pick broadcast for the verify —
+    // the fast shape is preserved where it is actually safe.
+    val p = planStr(df)
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("ann_topk broadcasts the probe side") {
     val p = planStr(graft.similarity.Embeddings.annTopK(spark, sfDir))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(3000))

@@ -62,11 +62,16 @@ class SessionCanonicalSpec extends SparkSpec {
   }
 
   test("canonical on the real corpus: every keeper carries its cluster's best rank") {
-    // sf0.001/0.01 have no exact-dup clusters (0 rows is correct);
-    // the invariant must hold wherever clusters exist
-    val out = Canonical.canonicalDedup(spark, sfDir)
+    // the seeded mirror-site union guarantees clusters at every SF
+    // (round-13 de-vacuation), so this is never a vacuous invariant
+    val out = Canonical.canonicalDedup(spark, sfDir).cache()
+    assert(out.count() > 0)
     assert(out.where(
       regexp_extract(col("keeper_source"), "(\\d+)", 1).cast("long") =!= col("best_rank"))
       .count() === 0)
+    // the mirror slice CAN win the keeper pick: at least one keeper is
+    // a seeded doc (rank src0..src6 beats most base sources)
+    assert(out.where(col("keeper_id") >= 1000000L).count() > 0)
+    out.unpersist()
   }
 }

@@ -22,7 +22,11 @@ class TextDedupSpec extends SparkSpec {
 
   test("exact dedup groups identical texts") {
     val rows = Dedup.exactDedup(spark, sfDir).collect()
+    // the seeded re-crawl union guarantees clusters at every SF
+    assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
+    // keepers are base-corpus ids; re-crawl copies never win min()
+    rows.foreach(r => assert(r.getAs[Long]("keeper_id") < 1000000L))
   }
 
   test("minhash signatures identical for identical token sets") {
