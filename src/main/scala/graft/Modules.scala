@@ -64,7 +64,9 @@ object Modules {
     ("Winnow", text.Winnow.queries, text.Winnow.oracles),
     ("Paragraph", dedup.Paragraph.queries, dedup.Paragraph.oracles),
     ("Holdout", text.Holdout.queries, text.Holdout.oracles),
-    ("BpeFit", text.BpeFit.queries, text.BpeFit.oracles))
+    ("BpeFit", text.BpeFit.queries, text.BpeFit.oracles),
+    ("LshStore", dedup.LshStore.queries, dedup.LshStore.oracles),
+    ("StoredIndex", similarity.StoredIndex.queries, similarity.StoredIndex.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

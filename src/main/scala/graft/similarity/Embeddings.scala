@@ -831,22 +831,27 @@ object Embeddings {
 
   /** m = 8 subvectors of 8 dims per vector — the PQ decomposition
     * shared by [[embedPq]], [[annPqTopK]] and [[annIvfPqTopK]]. */
-  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
-    vecs(spark, dir)
-      .select(col("vec_id"), explode(expr(
+  private[similarity] def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    pqSubsOf(vecs(spark, dir))
+
+  /** The same decomposition over any (vec_id, v) frame — so
+    * [[StoredIndex]] can decompose PROBES ONLY without touching the
+    * corpus floats its staged code table replaces. */
+  private[similarity] def pqSubsOf(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(expr(
         "transform(sequence(0, 7), s -> struct(s AS sub, slice(v, s * 8 + 1, 8) AS xs))"))
         .as("t"))
       .select(col("vec_id"), col("t.sub").as("sub"), col("t.xs").as("xs"))
 
   /** Per-subspace 16-centroid codebook: the subvector slices of
     * vectors 100-115 (fixed-slice training stand-in). */
-  private def pqCodebook(subs: DataFrame): DataFrame =
+  private[similarity] def pqCodebook(subs: DataFrame): DataFrame =
     subs.where(col("vec_id") >= 100 && col("vec_id") < 116)
       .select(col("sub"), (col("vec_id") - 100).as("cent_id"), col("xs").as("cs"))
 
   /** The corpus's PQ codes (the [[embedPq]] assignment, floats
     * dropped) — the only per-vector state an ADC search touches. */
-  private def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame =
+  private[similarity] def pqCodes(subs: DataFrame, codebook: DataFrame): DataFrame =
     // argmin via partial-aggregable min_by (see embedPq) — the code
     // table a production index PERSISTS is exactly this map-side
     // reduction, never a corpus-wide window sort
@@ -976,6 +981,34 @@ object Embeddings {
     * PlanAuditSpec pins the pruning (ADC partials = 8 rows per
     * candidate, candidates ≪ probes × corpus); the recall-vs-
     * exhaustive-ADC bound lives in SketchSpec. */
+  /** Coarse-quantizer assignment (squared-L2, rounded, ties to the
+    * lower cent_id): nearest `keep` centroids per vector. keep = 1
+    * runs as a partial-aggregable min_by (map-side collapse — the
+    * ingest-side full-corpus assignment); keep > 1 as a per-vector
+    * window (the probe side, O(probes) rows). Shared by
+    * [[ivfPqCandidates]] and [[StoredIndex]] so the staged index and
+    * the inline rebuild are the same arithmetic by construction. */
+  private[similarity] def ivfAssign(df: DataFrame, centroids: DataFrame,
+      keep: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(centroids))
+      .withColumn("cdist", r6(expr("graft_l2sq(v, v_c)")))
+    if (keep == 1) {
+      // argmin as a partial-aggregable min_by — same map-side
+      // collapse as annIvfTopK.assign (the order (cdist, cent_id) is
+      // already a min order, no negation needed)
+      val payload = struct(df.columns.map(col) :+ col("cent_id"): _*)
+      scored.groupBy(col("vec_id").as("gid"))
+        .agg(min_by(payload, struct(col("cdist"), col("cent_id"))).as("best"))
+        .select("best.*")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
+      scored.withColumn("crank", row_number().over(w))
+        .where(col("crank") <= keep)
+        .drop("v_c", "cdist", "crank")
+    }
+  }
+
   private[graft] def ivfPqCandidates(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     graft.functions.L2Distance.register(spark)
@@ -989,28 +1022,9 @@ object Embeddings {
     // random-cell baseline that SketchSpec bounds against.
     val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
       .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(centroids))
-        .withColumn("cdist", r6(expr("graft_l2sq(v, v_c)")))
-      if (keep == 1) {
-        // argmin as a partial-aggregable min_by — same map-side
-        // collapse as annIvfTopK.assign (the order (cdist, cent_id) is
-        // already a min order, no negation needed)
-        val payload = struct(df.columns.map(col) :+ col("cent_id"): _*)
-        scored.groupBy(col("vec_id").as("gid"))
-          .agg(min_by(payload, struct(col("cdist"), col("cent_id"))).as("best"))
-          .select("best.*")
-      } else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("cdist"), col("cent_id"))
-        scored.withColumn("crank", row_number().over(w))
-          .where(col("crank") <= keep)
-          .drop("v_c", "cdist", "crank")
-      }
-    }
-    val lists = assign(e, 1)
+    val lists = ivfAssign(e, centroids, 1)
       .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
-    val probeCells = assign(e.where(col("vec_id") < 5), 4)
+    val probeCells = ivfAssign(e.where(col("vec_id") < 5), centroids, 4)
       .select(col("vec_id").as("probe_id"), col("cent_id").as("bucket"))
     // CELL PRUNING — the point of IVF: each (probe, neighbor) pair
     // exists only when the neighbor's cell is one of the probe's
