@@ -103,22 +103,27 @@ object Replay {
     * reference's sliding `streamLastTimestamps` window preserves.
     * (ReplaySpec drives [[replayStream]] directly through foreachBatch
     * to pin each micro-batch's time bounds to its slice.) */
+  private val ReplayStartMs = 1704412800000L // 2024-01-05T00:00:00Z
+  private val ReplayEndMs   = 1705708800000L // 2024-01-20T00:00:00Z
+  private val ReplaySliceMs = 3L * 24 * 3600 * 1000
+
+  /** The 2 h bucket aggregation both replay modes stream through. */
+  private def bucketAgg(slices: DataFrame): DataFrame =
+    slices
+      .withColumn("event_time", timestamp_millis(col("ts_ms")))
+      .groupBy(window(col("event_time"), "2 hours"), col("event_type"))
+      .agg(
+        (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+          count(col("value"))).as("value_avg"),
+        count(lit(1)).as("sample_count"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"),
+        col("event_type"), col("value_avg"), col("sample_count"))
+
   def streamReplay(spark: SparkSession, dir: String): DataFrame = {
-    val startMs = 1704412800000L // 2024-01-05T00:00:00Z
-    val endMs   = 1705708800000L // 2024-01-20T00:00:00Z
-    val sliceMs = 3L * 24 * 3600 * 1000
-    val staged = stage(spark, dir, startMs, endMs, sliceMs)
+    val staged = stage(spark, dir, ReplayStartMs, ReplayEndMs, ReplaySliceMs)
     try {
       val name = s"graft_replay_${System.nanoTime()}"
-      val q = replayStream(spark, staged)
-        .withColumn("event_time", timestamp_millis(col("ts_ms")))
-        .groupBy(window(col("event_time"), "2 hours"), col("event_type"))
-        .agg(
-          (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
-            count(col("value"))).as("value_avg"),
-          count(lit(1)).as("sample_count"))
-        .select(unix_millis(col("window.start")).as("bucket_ms"),
-          col("event_type"), col("value_avg"), col("sample_count"))
+      val q = bucketAgg(replayStream(spark, staged))
         .writeStream
         .format("memory").queryName(name)
         .outputMode(OutputMode.Complete)
@@ -131,6 +136,72 @@ object Replay {
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged.dir))
     }
+  }
+
+  // --------------------------------------------------------------- #52b
+  /** A LIVE paced run's observable outcome: the accumulated table,
+    * the wall-clock start of every data-carrying trigger, and how many
+    * slices were committed before the stop. */
+  private[graft] case class PacedRun(rows: Array[org.apache.spark.sql.Row],
+      batchStartsMs: Seq[Long], slicesCommitted: Int, prefixEndMs: Long)
+
+  /** Run the replay plan under `Trigger.ProcessingTime(rateMs)` — the
+    * reference's LIVE mode (historical-streaming.ts:435-542: a
+    * `setInterval(rate)` tick emitting the next archive window) — and
+    * STOP after `stopAfterSlices` committed slices. This is the
+    * wall-clock-paced, mid-stream-stoppable execution the drain-mode
+    * [[streamReplay]] only documents: same staged source, same plan,
+    * different trigger. The sink is Complete-mode memory, so after a
+    * mid-stream stop the table holds exactly the buckets of the
+    * replayed PREFIX — the incremental-tick invariant (the reference's
+    * `streamLastTimestamps` high-water mark) at every stop point, not
+    * just at drain. */
+  private[graft] def runPaced(spark: SparkSession, dir: String, rateMs: Long,
+      stopAfterSlices: Int): PacedRun = {
+    val staged = stage(spark, dir, ReplayStartMs, ReplayEndMs, ReplaySliceMs)
+    try {
+      val name = s"graft_replay_live_${System.nanoTime()}"
+      val q = bucketAgg(replayStream(spark, staged))
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Complete)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_ckpt_replay_live").toString)
+        .trigger(Trigger.ProcessingTime(s"$rateMs milliseconds"))
+        .start()
+      def committed = q.recentProgress.count(_.numInputRows > 0)
+      val target = math.min(stopAfterSlices, staged.nSlices)
+      val deadline = System.currentTimeMillis() + 120000
+      while (q.isActive && committed < target &&
+          System.currentTimeMillis() < deadline) Thread.sleep(25)
+      q.stop()
+      q.awaitTermination()
+      // re-read AFTER the stop: a trigger racing the stop() may have
+      // committed one more slice than the poll saw — the prefix bound
+      // must match what the sink actually holds
+      val dataBatches = q.recentProgress.filter(_.numInputRows > 0).toSeq
+      val n = dataBatches.size
+      PacedRun(
+        spark.table(name).orderBy("event_type", "bucket_ms").collect(),
+        dataBatches.map(p => java.time.Instant.parse(p.timestamp).toEpochMilli),
+        n,
+        math.min(ReplayStartMs + n.toLong * ReplaySliceMs, ReplayEndMs))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staged.dir))
+    }
+  }
+
+  /** Gated query: the full window under LIVE pacing (200 ms ticks, one
+    * slice per tick) — must equal the batch answer, like the drain. */
+  def streamReplayLive(spark: SparkSession, dir: String): DataFrame = {
+    val run = runPaced(spark, dir, rateMs = 200, stopAfterSlices = Int.MaxValue)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value_avg", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("sample_count", org.apache.spark.sql.types.LongType)))
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(run.rows: _*)), schema)
   }
 
   val streamReplayOracle: String =

@@ -832,6 +832,7 @@ object Streaming {
     "stream_dedup_lsh" -> (streamDedupLsh _),
     "stream_tier_correction" -> (streamTierCorrection _),
     "stream_replay" -> (Replay.streamReplay _),
+    "stream_replay_live" -> (Replay.streamReplayLive _),
     "stream_late_data" -> (LateData.streamLateData _),
     "stream_hll_distinct" -> (streamHll _),
     "stream_cms_topk" -> (streamCms _)
@@ -852,6 +853,8 @@ object Streaming {
     "stream_dedup_lsh" -> graft.dedup.Dedup.minHashLshOracle,
     "stream_tier_correction" -> graft.operators.TimeSeries.tierCorrectionOracle,
     "stream_replay" -> Replay.streamReplayOracle,
+    // live pacing is execution-schedule-only: same plan, same answer
+    "stream_replay_live" -> Replay.streamReplayOracle,
     "stream_late_data" -> LateData.streamLateDataOracle,
     // incremental register maintenance ≡ one-shot sketch, so the
     // batch oracle carries over verbatim

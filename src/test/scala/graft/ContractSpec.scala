@@ -49,11 +49,11 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("the gate is as wide as the round claims") {
-    // 186 oracle-checked queries as of round 13 (stored-index twins
-    // joined) — every queries entry ships an oracle, so both floors
-    // track together; a shrink in either means a module (or its
-    // oracle) fell out of the merge
-    assert(SparkEntry.queries.size >= 186)
-    assert(SparkEntry.oracleSql.size >= 186)
+    // 187 oracle-checked queries as of round 13 (stored-index twins +
+    // live replay joined) — every queries entry ships an oracle, so
+    // both floors track together; a shrink in either means a module
+    // (or its oracle) fell out of the merge
+    assert(SparkEntry.queries.size >= 187)
+    assert(SparkEntry.oracleSql.size >= 187)
   }
 }

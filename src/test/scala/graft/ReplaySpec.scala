@@ -73,6 +73,43 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  private def batchBuckets(loMs: Long, hiMs: Long) =
+    Tables.events(spark, sfDir)
+      .where(col("ts_ms") >= loMs && col("ts_ms") < hiMs)
+      .groupBy((floor(col("ts_ms") / 7200000L) * 7200000L).cast("long").as("bucket_ms"),
+        col("event_type"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(col("value"))).as("value_avg"),
+        count(lit(1)).as("sample_count"))
+      .orderBy("event_type", "bucket_ms")
+
+  test("LIVE pacing: ProcessingTime triggers are wall-clock spaced at the rate") {
+    // full drain under a 300 ms tick: 5 slices → 5 data triggers; the
+    // gaps between consecutive data-trigger starts must reflect the
+    // rate, not back-to-back draining (historical-streaming.ts's
+    // setInterval(rate) semantics)
+    val run = Replay.runPaced(spark, sfDir, rateMs = 300, stopAfterSlices = Int.MaxValue)
+    assert(run.slicesCommitted == 5, s"full drain: ${run.slicesCommitted}")
+    val gaps = run.batchStartsMs.sorted.sliding(2).collect {
+      case Seq(a, b) => b - a
+    }.toSeq
+    // ≥2 distinct wall-clock gaps, each at least ~2/3 of the rate
+    // (trigger scheduling jitter allowed; a drain would show ~0 gaps)
+    assert(gaps.count(_ >= 200) >= 2, s"gaps not rate-paced: $gaps")
+    assert(gaps.distinct.size >= 2, s"need >=2 distinct gaps: $gaps")
+  }
+
+  test("LIVE mid-stream stop: accumulated table equals the batch answer over the replayed prefix") {
+    val run = Replay.runPaced(spark, sfDir, rateMs = 400, stopAfterSlices = 2)
+    // stopped mid-stream — strictly fewer than the 5 staged slices
+    assert(run.slicesCommitted >= 2 && run.slicesCommitted < 5,
+      s"expected a mid-stream stop, committed ${run.slicesCommitted}")
+    val expected = batchBuckets(1704412800000L, run.prefixEndMs).collect()
+    assert(run.rows.nonEmpty)
+    assert(run.rows.map(_.toString).toSeq == expected.map(_.toString).toSeq,
+      s"prefix mismatch at ${run.slicesCommitted} slices")
+  }
+
   test("accumulated replay output equals the batch bucket query over the window") {
     val replayed = Replay.streamReplay(spark, sfDir)
     val batch = Tables.events(spark, sfDir)
