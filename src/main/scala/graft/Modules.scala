@@ -66,6 +66,7 @@ object Modules {
     ("Holdout", text.Holdout.queries, text.Holdout.oracles),
     ("BpeFit", text.BpeFit.queries, text.BpeFit.oracles),
     ("LshStore", dedup.LshStore.queries, dedup.LshStore.oracles),
+    ("BufferUnion", sources.BufferUnion.queries, sources.BufferUnion.oracles),
     ("StoredIndex", similarity.StoredIndex.queries, similarity.StoredIndex.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)

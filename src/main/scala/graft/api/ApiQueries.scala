@@ -121,6 +121,58 @@ object ApiQueries {
       |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
       |ORDER BY s.context""".stripMargin
 
+  // ------------------------------------------------------ object paths
+  /** Object-path expansion through the facade — one
+    * `navigation.position` pathspec returning aligned latitude /
+    * longitude / fix_type columns ([[History.objectValues]];
+    * history-provider.ts:347-417). The object series is synthesized
+    * from view events like the spatial family (lat/lon affine in
+    * `value`): every 11th sample is an ALL-NULL malformed row (must
+    * contribute to no bucket — the componentWhereConditions OR), and
+    * `fix_type` is a STRING component, so its `average` request
+    * falls back to FIRST per the reference's numeric dispatch. */
+  def objectPath(spark: SparkSession, dir: String): DataFrame = {
+    import History._
+    val bad = col("event_id") % 11 === 0
+    val objSeries = Tables.events(spark, dir)
+      .where(col("event_type") === "view")
+      .select(
+        concat(lit("vessels.urn-"), col("user_id")).as("context"),
+        lit("navigation.position").as("path"),
+        col("ts_ms"), col("event_id").as("order_id"),
+        when(!bad, lit(40.0) + col("value") * 0.001).as("value_latitude"),
+        when(!bad, lit(-74.0) + col("value") * 0.002).as("value_longitude"),
+        when(!bad, when(col("event_id") % 3 === 0, "gps").otherwise("dgps"))
+          .as("value_fixtype"))
+    History.objectValues(objSeries, "vessels.urn-3", "navigation.position",
+        Seq(
+          Component("latitude", "value_latitude"),
+          Component("longitude", "value_longitude"),
+          Component("fix_type", "value_fixtype", numeric = false)),
+        Method.Average,
+        fromMs = 1704412800000L, toMs = 1706140800000L,
+        resolutionMs = 21600000L)
+  }
+
+  val objectPathOracle: String =
+    """WITH s AS (
+      |  SELECT epoch_ms(ts) AS ts_ms, event_id,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE 40.0 + value * 0.001 END AS lat,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL ELSE -74.0 + value * 0.002 END AS lon,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         WHEN event_id % 3 = 0 THEN 'gps' ELSE 'dgps' END AS ft
+      |  FROM events
+      |  WHERE user_id = 3 AND event_type = 'view'
+      |    AND epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1706140800000
+      |)
+      |SELECT CAST(FLOOR(ts_ms / 21600000) * 21600000 AS BIGINT) AS bucket_ms,
+      |  CAST(SUM(CAST(lat AS DECIMAL(18,6))) AS DOUBLE) / COUNT(lat) AS latitude,
+      |  CAST(SUM(CAST(lon AS DECIMAL(18,6))) AS DOUBLE) / COUNT(lon) AS longitude,
+      |  arg_min(ft, event_id) AS fix_type
+      |FROM s
+      |WHERE lat IS NOT NULL OR lon IS NOT NULL OR ft IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- value_json
   /** JSON value extraction + filter — the reference's `value_json`
     * column and source-filter semantics: extract a field from the
@@ -180,12 +232,14 @@ object ApiQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_history_values" -> (historyValues _),
     "sk_history_enriched" -> (historyEnriched _),
+    "sk_object_path" -> (objectPath _),
     "sk_json_filter" -> (jsonFilter _),
     "sk_profile" -> (profile _))
 
   val oracles: Map[String, String] = Map(
     "sk_history_values" -> historyValuesOracle,
     "sk_history_enriched" -> historyEnrichedOracle,
+    "sk_object_path" -> objectPathOracle,
     "sk_json_filter" -> jsonFilterOracle,
     "sk_profile" -> profileOracle)
 }

@@ -245,6 +245,44 @@ object History {
       count(c).over(w)
   }
 
+  /** One component of an object-valued path — the reference's
+    * ComponentInfo (utils/schema-cache.ts): display name, the
+    * flattened storage column, and whether it aggregates numerically. */
+  case class Component(name: String, columnName: String, numeric: Boolean = true)
+
+  /** Object-path expansion — history-provider.ts:347-417: ONE pathspec
+    * over an object-valued path (e.g. `navigation.position`) returns N
+    * aligned component columns (longitude, latitude, …) from a SINGLE
+    * bucket aggregation. Reference semantics preserved exactly:
+    * numeric components aggregate with the pathspec's method,
+    * non-numeric components fall back to FIRST
+    * (history-provider.ts:353 `comp.dataType === 'numeric' ? aggFunc :
+    * 'FIRST'`), and a row qualifies when ANY component is non-null
+    * (the `componentWhereConditions` OR — an all-null sample row
+    * contributes to no bucket, not even to counts).
+    *
+    * Scale shape: identical to [[values]] — one shuffle on the bucket
+    * key, every component a conditional aggregate in the same pass;
+    * adding components adds zero shuffles, and the component columns
+    * prune at the scan (only the requested object's columns are
+    * read). */
+  def objectValues(series: DataFrame, context: String, path: String,
+      components: Seq[Component], method: Method,
+      fromMs: Long, toMs: Long, resolutionMs: Long): DataFrame = {
+    require(components.nonEmpty, "an object path needs at least one component")
+    val base = series
+      .where(col("context") === context && col("path") === path &&
+        col("ts_ms") >= fromMs && col("ts_ms") < toMs)
+      .where(components.map(c => col(c.columnName).isNotNull).reduce(_ || _))
+      .withColumn("bucket_ms", bucketOfMs(col("ts_ms"), resolutionMs))
+    val aggs = components.map { c =>
+      val eff = if (c.numeric) method else Method.First
+      val v = if (c.numeric) col(c.columnName).cast("double") else col(c.columnName)
+      aggFor(PathSpec(path, eff), v, col("order_id")).as(c.name)
+    }
+    base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*).orderBy("bucket_ms")
+  }
+
   /** `/history/contexts` equivalent. */
   def contexts(series: DataFrame, fromMs: Long, toMs: Long): DataFrame =
     series.where(col("ts_ms") >= fromMs && col("ts_ms") < toMs)

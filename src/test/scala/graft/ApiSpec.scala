@@ -105,6 +105,34 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("object path expands to aligned components; non-numeric falls to FIRST; all-null rows drop") {
+    import spark.implicits._
+    import History.Component
+    val series = Seq(
+      // bucket 0: two good fixes + one malformed all-null row
+      ("v1", "navigation.position", 1000L, 1L, Some(40.0), Some(-74.0), Some("gps")),
+      ("v1", "navigation.position", 2000L, 2L, Some(42.0), Some(-73.0), Some("dgps")),
+      ("v1", "navigation.position", 3000L, 3L, None, None, None),
+      // bucket 1: a single fix
+      ("v1", "navigation.position", 11000L, 4L, Some(50.0), Some(-70.0), Some("gps")))
+      .toDF("context", "path", "ts_ms", "order_id",
+        "value_latitude", "value_longitude", "value_fixtype")
+    val out = History.objectValues(series, "v1", "navigation.position",
+      Seq(Component("latitude", "value_latitude"),
+        Component("longitude", "value_longitude"),
+        Component("fix_type", "value_fixtype", numeric = false)),
+      History.Method.Average, 0L, 20000L, 10000L).collect()
+    assert(out.length == 2) // the all-null row creates no extra bucket rows
+    assert(out(0).getAs[Double]("latitude") == 41.0) // avg over NON-null fixes only
+    assert(out(0).getAs[Double]("longitude") == -73.5)
+    assert(out(0).getAs[String]("fix_type") == "gps") // FIRST by order_id, not averaged
+    assert(out(1).getAs[Double]("latitude") == 50.0)
+    assert(out(1).getAs[String]("fix_type") == "gps")
+    // one pathspec, N columns: schema is exactly bucket + components
+    assert(out(0).schema.fieldNames.toSeq ==
+      Seq("bucket_ms", "latitude", "longitude", "fix_type"))
+  }
+
   test("sourceRef filter narrows one spec without touching its sibling") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
