@@ -121,6 +121,64 @@ object Sessions {
       |)
       |SELECT user_id, fire_ms FROM fires ORDER BY user_id, fire_ms""".stripMargin
 
+  // ----------------------------------------------- threshold band
+  /** Two-level threshold watch (Schmitt trigger) — the reference's
+    * ThresholdConfig composition (types.ts:210-245, commands.ts:913):
+    * a command carries MULTIPLE level-triggered thresholds, so a
+    * below-threshold watch (`operator: 'lt'`, the direction
+    * [[thresholdHysteresis]]'s `gt` demo doesn't cover) pairs with an
+    * above-threshold release at an INDEPENDENT level — activate when
+    * value < lo (e.g. a low-voltage alarm), deactivate only when value
+    * recovers past hi > lo, hold in between. Value-band hysteresis,
+    * complementing #16's time-based suppression.
+    *
+    * Spark-first: the state is a last-decisive-event carry — rows
+    * below lo are decisive ON, above hi decisive OFF, the band carries
+    * the previous state — i.e. `last(decisive, ignoreNulls)` over the
+    * per-key prefix window. ONE shuffle on the key, both windows
+    * inside it, no iteration: the state machine that looks inherently
+    * sequential is a running last-non-null, which Spark evaluates in a
+    * single sorted pass per key. Emits only the transitions
+    * (level-triggered edge output, commands.ts:915 "set to
+    * activateOnMatch when condition met"); initial state is OFF. */
+  def thresholdBand(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = (50.0, 150.0)
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .withColumn("decisive",
+        when(col("value") < lo, 1).when(col("value") > hi, 0))
+      .withColumn("state", coalesce(last("decisive", ignoreNulls = true).over(wp), lit(0)))
+      .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0)))
+      .where(col("state") =!= col("prev_state"))
+      .select(col("user_id"), col("ts_ms"),
+        when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
+        col("value"))
+      .orderBy("user_id", "ts_ms")
+  }
+
+  val thresholdBandOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+      |    CASE WHEN value < 50.0 THEN 1 WHEN value > 150.0 THEN 0 END AS decisive
+      |  FROM events WHERE event_type = 'error'
+      |), st AS (
+      |  SELECT *, COALESCE(LAST_VALUE(decisive IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+      |  FROM s
+      |), tr AS (
+      |  SELECT *, COALESCE(LAG(state) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id), 0) AS prev_state
+      |  FROM st
+      |)
+      |SELECT user_id, ts_ms,
+      |  CASE WHEN state = 1 THEN 'activated' ELSE 'deactivated' END AS transition,
+      |  value
+      |FROM tr WHERE state <> prev_state
+      |ORDER BY user_id, ts_ms""".stripMargin
+
   // ----------------------------------------------- session_window
   /** Gap-based sessionization via Spark's NATIVE `session_window`
     * (3.2+): per-user sessions of `purchase` events with a 12 h
@@ -176,10 +234,12 @@ object Sessions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_episodes" -> (episodes _),
     "sk_threshold_hysteresis" -> (thresholdHysteresis _),
+    "sk_threshold_band" -> (thresholdBand _),
     "sk_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "sk_episodes" -> episodesOracle,
     "sk_threshold_hysteresis" -> thresholdHysteresisOracle,
+    "sk_threshold_band" -> thresholdBandOracle,
     "sk_session_window" -> sessionWindowsOracle)
 }

@@ -65,6 +65,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("thresholdBand: activates below lo, releases only above hi, holds in the band") {
+    val out = Sessions.thresholdBand(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // both directions occur: a below-lo activation AND an above-hi release
+    val byT = out.groupBy(_.getAs[String]("transition"))
+    assert(byT.contains("activated") && byT.contains("deactivated"))
+    // level semantics: every activation row is strictly below lo, every
+    // release strictly above hi — a band-valued row can never transition
+    byT("activated").foreach(r => assert(r.getAs[Double]("value") < 50.0))
+    byT("deactivated").foreach(r => assert(r.getAs[Double]("value") > 150.0))
+    // transitions strictly alternate per user, starting with an
+    // activation (initial state is OFF) — no flapping inside the band
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val seq = rs.sortBy(_.getLong(1)).map(_.getAs[String]("transition")).toSeq
+      assert(seq.headOption.forall(_ == "activated"))
+      seq.sliding(2).foreach {
+        case Seq(a, b) => assert(a != b, s"flap: $seq")
+        case _ =>
+      }
+    }
+  }
+
   test("tier re-aggregation equals direct aggregation on counts and min/max") {
     val direct = TimeSeries.tierRollup(Tables.events(spark, sfDir), 3600000L)
       .select(sum("sample_count"), min("value_min"), max("value_max")).head()
