@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * vector, 4-bit codes) — and the query plan touches the RAW CORPUS
   * FLOATS ONLY FOR THE PROBE ROWS (`vec_id < 5`, pushed to the
   * embeddings scan; StoredIndexSpec pins that every embeddings
-  * FileScan carries that pushed filter). At warehouse scale `codes`/
-  * `lists` are partitioned by bucket so the nprobe cell pruning is
-  * partition pruning, and the whole search reads O(corpus/K · nprobe)
-  * code bytes + a few KB of broadcast index metadata.
+  * FileScan carries that pushed filter). `codes`/`lists` are
+  * physically PARTITIONED BY the coarse cell, so the nprobe cell
+  * selection prunes both scans as a dynamic partition-pruning filter
+  * (plan-pinned): the search reads O(corpus/K · nprobe) code bytes +
+  * a few KB of broadcast index metadata, and the other (K-nprobe)/K
+  * of the index is never listed into the scan at all.
   *
   * Staging = [[Staging.stagedDir]] (fingerprint-idempotent across
   * JVMs); results are bit-identical to the inline rebuild because the
@@ -36,9 +38,18 @@ import org.apache.spark.sql.functions._
 object StoredIndex {
 
   // ------------------------------------------------------------- #40ac
-  /** Stage the four index tables once per (fingerprint, sf dir). */
+  /** Stage the four index tables once per (fingerprint, sf dir).
+    * `lists` and `codes` are written PARTITIONED BY the coarse cell
+    * (`bucket=<cent_id>/`) — the physical layout the scaladoc of
+    * `ann_ivfpq_topk` promises ("at warehouse scale the code table is
+    * PARTITIONED BY cell and the pruning is partition pruning"), made
+    * real: the query's nprobe cell selection reaches both scans as a
+    * DYNAMIC partition-pruning filter (plan-pinned in
+    * StoredIndexSpec), so the ~(K-nprobe)/K of the index outside the
+    * probes' cells is never read — not filtered after the read,
+    * never listed into the scan. */
   private[graft] def stageIvfPq(spark: SparkSession, dir: String): String =
-    Staging.stagedDir("graft_ivfpq_store", dir, "v1:ivf16:pq8x16", "embeddings") { root =>
+    Staging.stagedDir("graft_ivfpq_store", dir, "v2:ivf16:pq8x16:cell-partitioned", "embeddings") { root =>
       graft.functions.L2Distance.register(spark)
       val e = Embeddings.vecs(spark, dir)
       val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
@@ -47,12 +58,20 @@ object StoredIndex {
       val subs = Embeddings.pqSubs(spark, dir)
       val codebook = Embeddings.pqCodebook(subs)
       codebook.write.parquet(s"$root/codebook")
-      Embeddings.pqCodes(subs, codebook).write.parquet(s"$root/codes")
       // ingest-side full-corpus cell assignment: the map-side min_by
-      // collapse (keep = 1), paid once here, never at query time
+      // collapse (keep = 1), paid once here, never at query time.
+      // One writer task per cell dir (the HiveStore.write fanout rule).
       Embeddings.ivfAssign(e, centroids, 1)
         .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
-        .write.parquet(s"$root/lists")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$root/lists")
+      // codes inherit their vector's cell from the persisted lists so
+      // the ADC scan prunes by cell too (read back, not recomputed)
+      val lists = spark.read.parquet(s"$root/lists")
+      Embeddings.pqCodes(subs, codebook)
+        .join(lists, "neighbor_id")
+        .repartition(col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$root/codes")
     }
 
   /** IVFADC top-5 from the STAGED index: same output contract as
@@ -70,18 +89,24 @@ object StoredIndex {
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     val codes = spark.read.parquet(s"$root/codes")
     val lists = spark.read.parquet(s"$root/lists")
-    // the ONLY raw-corpus touch: probe rows (vec_id < 5, pushed down)
+    // the ONLY raw-corpus touch: probe rows (vec_id < 5, pushed down).
+    // probeCells' bucket is cast to the partition column's inferred
+    // INT so the equi-join key is the BARE partition column on the
+    // index side — the shape dynamic partition pruning matches.
     val probeVecs = Embeddings.vecs(spark, dir).where(col("vec_id") < 5)
     val probeCells = Embeddings.ivfAssign(probeVecs, centroids, 4)
-      .select(col("vec_id").as("probe_id"), col("cent_id").as("bucket"))
+      .select(col("vec_id").as("probe_id"), col("cent_id").cast("int").as("bucket"))
     val probes = Embeddings.pqSubsOf(probeVecs)
       .select(col("vec_id").as("probe_id"), col("sub"), col("xs"))
+    // bucket rides into the candidate set so the codes scan prunes by
+    // cell too (its partition column joins against cand's bucket)
     val cand = broadcast(probeCells).join(lists, Seq("bucket"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select("probe_id", "neighbor_id")
+      .select("probe_id", "neighbor_id", "bucket")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adist2"), col("neighbor_id"))
-    broadcast(cand).join(codes, Seq("neighbor_id"))
+    broadcast(cand).join(codes, Seq("bucket", "neighbor_id"))
+      .drop("bucket")
       .join(broadcast(codebook.withColumnRenamed("cent_id", "code")), Seq("sub", "code"))
       .join(broadcast(probes), Seq("sub", "probe_id"))
       .withColumn("part", r6(expr("graft_l2sq(xs, cs)"))

@@ -33,6 +33,25 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](History.resolveRange(None, None, None, now))
   }
 
+  test("auto resolution bounds the aligned frame to <= 1000 buckets for any range") {
+    // History.values' EMA pass runs on a single partition BECAUSE the
+    // aligned frame is bounded: the API picks resolution = range/500,
+    // so bucket count never exceeds 1000 whatever the time range
+    // (floor(range/500) >= range/1000 once range >= 500; below that
+    // the 1 ms resolution floor caps buckets at the range itself). A
+    // caller that bypasses autoResolutionMs with a tiny resolution owns
+    // an unbounded frame and must use operators.Smoothing instead.
+    val ranges = Seq(1L, 499L, 999L, 250001L, 3600000L,
+      86400000L * 365, Long.MaxValue / 4)
+    for (r <- ranges) {
+      val res = History.autoResolutionMs(0L, r)
+      assert(res >= 1L)
+      assert(r / res <= 1000L, s"range $r → ${r / res} buckets")
+    }
+    // and at realistic API ranges (minutes and up) it is ~500
+    assert(3600000L / History.autoResolutionMs(0L, 3600000L) <= 501L)
+  }
+
   test("tier auto-selection follows resolution with fallback") {
     val all = Set("1h", "60s", "5s")
     assert(History.selectTier(3600000L, all).contains("1h"))

@@ -67,6 +67,22 @@ class StoredIndexSpec extends SparkSpec {
     }
   }
 
+  test("stored IVFADC index scans prune by cell — dynamic partition pruning on lists AND codes") {
+    val p = planStr(graft.similarity.StoredIndex.annIvfPqStored(spark, sfDir))
+    // lists/ and codes/ are partitioned by bucket=<cell>; the probes'
+    // nprobe cell selection must reach BOTH scans as a dynamicpruning
+    // partition filter — the "pruning is partition pruning" claim of
+    // the IVFADC design, physically
+    val idxScans = p.split("FileScan").toSeq.drop(1)
+      .filter(s => s.contains("graft_ivfpq_store") &&
+        (s.contains("/lists") || s.contains("/codes")))
+    assert(idxScans.size >= 2, "expected both index scans:\n" + p.take(3000))
+    idxScans.foreach { s =>
+      assert(s.contains("dynamicpruning"),
+        "index scan not partition-pruned by the probe cells:\n" + s.take(1500))
+    }
+  }
+
   test("staging is idempotent: second call reuses the store (marker fingerprint)") {
     val r1 = graft.dedup.LshStore.stageBandStore(spark, sfDir)
     val marker = new java.io.File(r1, "_STAGED")
