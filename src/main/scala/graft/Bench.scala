@@ -30,7 +30,12 @@ object Bench {
     // sketch algebra, exact-k holdout, live sketch maintenance
     "text_winnow", "dedup_winnow", "bpe_fit", "bpe_apply",
     "dedup_paragraph", "sample_holdout_k", "sketch_hll_setops",
-    "stream_hll_distinct")
+    "stream_hll_distinct",
+    // round-13 additions: persisted index stores, live paced replay,
+    // partial-compaction federation, band threshold, object paths
+    "dedup_incremental_lsh_stored", "ann_ivfpq_stored",
+    "stream_replay_live", "sk_buffer_union", "sk_threshold_band",
+    "sk_object_path")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
