@@ -67,6 +67,7 @@ object Modules {
     ("BpeFit", text.BpeFit.queries, text.BpeFit.oracles),
     ("LshStore", dedup.LshStore.queries, dedup.LshStore.oracles),
     ("BufferUnion", sources.BufferUnion.queries, sources.BufferUnion.oracles),
+    ("ZOrderStore", spatial.ZOrderStore.queries, spatial.ZOrderStore.oracles),
     ("StoredIndex", similarity.StoredIndex.queries, similarity.StoredIndex.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)

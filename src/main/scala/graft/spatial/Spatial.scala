@@ -2,7 +2,7 @@ package graft.spatial
 
 import graft.Tables
 import graft.funcs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -27,7 +27,7 @@ object Spatial {
       .select(col("event_id"), col("user_id"), col("ts_ms"),
         synthLat(col("value")).as("lat"), synthLon(col("value")).as("lon"))
 
-  private val posSql =
+  private[spatial] val posSql =
     """SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
       |    40.0 + value * 0.001 AS lat, -74.0 + value * 0.002 AS lon
       |  FROM events WHERE event_type = 'view'""".stripMargin
@@ -643,15 +643,21 @@ object Spatial {
     * arithmetic — codegen'd in Spark, bit-identical in the oracle. The
     * demo emits the key plus a coarse z-range histogram column so the
     * locality property itself is hash-checked. */
-  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
-    val ql = floor((col("lat") - lit(39.0)) * lit(1000.0)).cast("long").bitwiseAND(lit(1023L))
-    val qn = floor((col("lon") + lit(75.0)) * lit(500.0)).cast("long").bitwiseAND(lit(1023L))
-    val z = (0 until 10).map { i =>
+  /** The 20-bit interleaved z key over the 1023-capped lat/lon grid —
+    * shared by [[zorderKeys]] and [[ZOrderStore]] so the staged
+    * clustering and the reported key are the same arithmetic. */
+  private[spatial] def zkeyOf(lat: Column, lon: Column): Column = {
+    val ql = floor((lat - lit(39.0)) * lit(1000.0)).cast("long").bitwiseAND(lit(1023L))
+    val qn = floor((lon + lit(75.0)) * lit(500.0)).cast("long").bitwiseAND(lit(1023L))
+    (0 until 10).map { i =>
       shiftleft(shiftright(ql, i).bitwiseAND(lit(1L)), 2 * i + 1)
         .bitwiseOR(shiftleft(shiftright(qn, i).bitwiseAND(lit(1L)), 2 * i))
     }.reduce(_ bitwiseOR _)
+  }
+
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
     positions(spark, dir)
-      .withColumn("zkey", z)
+      .withColumn("zkey", zkeyOf(col("lat"), col("lon")))
       .withColumn("z_bucket", expr("zkey div 65536"))
       .select("event_id", "user_id", "lat", "lon", "zkey", "z_bucket")
       .orderBy("event_id")
