@@ -69,7 +69,8 @@ object Modules {
     ("BufferUnion", sources.BufferUnion.queries, sources.BufferUnion.oracles),
     ("ZOrderStore", spatial.ZOrderStore.queries, spatial.ZOrderStore.oracles),
     ("StoredIndex", similarity.StoredIndex.queries, similarity.StoredIndex.oracles),
-    ("Mmr", similarity.Mmr.queries, similarity.Mmr.oracles))
+    ("Mmr", similarity.Mmr.queries, similarity.Mmr.oracles),
+    ("Funnel", operators.Funnel.queries, operators.Funnel.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

@@ -87,6 +87,25 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("funnel stages are monotone and genuinely partial") {
+    val r = operators.Funnel.funnel(spark, sfDir).head()
+    val (v, c, p) = (r.getAs[Long]("n_view"),
+      r.getAs[Long]("n_click_after_view"), r.getAs[Long]("n_purchase_after_click"))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    assert(v > 0 && p < v, "thresholds must keep the funnel partial")
+    assert(r.getAs[Double]("conv_click") <= 1.0 &&
+      r.getAs[Double]("conv_purchase") < 1.0)
+  }
+
+  test("cohort retention: multiple cohorts, each r_k bounded by its cohort size") {
+    val rows = operators.Funnel.cohortRetention(spark, sfDir).collect()
+    assert(rows.length >= 2, "first-purchase weeks must spread cohorts")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_users")
+      Seq("r1", "r2", "r3", "r4").foreach(k => assert(r.getAs[Long](k) <= n))
+    }
+  }
+
   test("tier re-aggregation equals direct aggregation on counts and min/max") {
     val direct = TimeSeries.tierRollup(Tables.events(spark, sfDir), 3600000L)
       .select(sum("sample_count"), min("value_min"), max("value_max")).head()
