@@ -103,6 +103,16 @@ class PlanAuditSpec extends SparkSpec {
     // the fast shape is preserved where it is actually safe.
     val p = planStr(df)
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // ...and the 100 TB degradation path is REAL, not a comment: with
+    // the broadcast threshold off (what "build side exceeds the
+    // threshold" means at corpus scale) the same code plans shuffle
+    // joins — no hint survives to force a corpus-sized broadcast.
+    Relational2.withConfs(spark, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pBig = planStr(graft.dedup.Dedup.minHashLsh(spark, sfDir))
+      assert(!pBig.contains("BroadcastHashJoin"), pBig.take(3000))
+      assert(pBig.contains("SortMergeJoin") || pBig.contains("ShuffledHashJoin"),
+        pBig.take(3000))
+    }
   }
 
   test("ann_topk broadcasts the probe side") {
