@@ -71,7 +71,8 @@ object Modules {
     ("StoredIndex", similarity.StoredIndex.queries, similarity.StoredIndex.oracles),
     ("Mmr", similarity.Mmr.queries, similarity.Mmr.oracles),
     ("Funnel", operators.Funnel.queries, operators.Funnel.oracles),
-    ("Geofence", spatial.Geofence.queries, spatial.Geofence.oracles))
+    ("Geofence", spatial.Geofence.queries, spatial.Geofence.oracles),
+    ("Quarantine", sources.Quarantine.queries, sources.Quarantine.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
