@@ -73,7 +73,8 @@ object Modules {
     ("Funnel", operators.Funnel.queries, operators.Funnel.oracles),
     ("Geofence", spatial.Geofence.queries, spatial.Geofence.oracles),
     ("Quarantine", sources.Quarantine.queries, sources.Quarantine.oracles),
-    ("Templates2", spatial.Templates2.queries, spatial.Templates2.oracles))
+    ("Templates2", spatial.Templates2.queries, spatial.Templates2.oracles),
+    ("Analytics2", operators.Analytics2.queries, operators.Analytics2.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
