@@ -74,7 +74,9 @@ object Modules {
     ("Geofence", spatial.Geofence.queries, spatial.Geofence.oracles),
     ("Quarantine", sources.Quarantine.queries, sources.Quarantine.oracles),
     ("Templates2", spatial.Templates2.queries, spatial.Templates2.oracles),
-    ("Analytics2", operators.Analytics2.queries, operators.Analytics2.oracles))
+    ("Analytics2", operators.Analytics2.queries, operators.Analytics2.oracles),
+    ("KnnGraph", similarity.KnnGraph.queries, similarity.KnnGraph.oracles),
+    ("Corpus", text.Corpus.queries, text.Corpus.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
