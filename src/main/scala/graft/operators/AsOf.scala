@@ -219,14 +219,101 @@ object AsOf {
       |  COUNT(*) FILTER (WHERE delta_ms > 3600000) AS n_gaps_1h
       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- nearest as-of
+  /** Nearest-sample as-of join: each `click` probe picks the `view`
+    * quote CLOSEST in time, either direction, ties to the earlier
+    * quote — the alignment rule a resampler uses when "last known"
+    * ([[asOfJoin]]) would pair a probe with a stale value while a
+    * fresher one sits just ahead (the reference's interpolating
+    * resampler's nearest-neighbor sibling, HistoryAPI getValues
+    * last-known fallback generalized).
+    *
+    * Same single-exchange shape as [[asOfJoin]]: quotes and probes
+    * union once, ONE ordered window pass per direction over the SAME
+    * (key, ts, kind) sort — backward = running last-non-null over the
+    * preceding frame, forward = first-non-null over the following
+    * frame — then a pure-arithmetic nearer-of pick. No range join, no
+    * per-probe subquery, and the second direction reuses the first's
+    * exchange AND sort (plan: one Exchange, one Sort). A quote at the
+    * probe's exact timestamp sorts before it (kind 0 < 1), lands in
+    * the backward frame, and wins with Δ = 0. */
+  def asOfNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val quotes = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts_ms"))
+      .agg(max_by(col("value"), col("event_id")).as("q_value"))
+      .select(col("user_id"), col("ts_ms"), lit(0).as("kind"),
+        lit(null).cast("long").as("probe_id"), lit(null).cast("double").as("probe_value"),
+        col("q_value"))
+    val probes = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms"), lit(1).as("kind"),
+        col("event_id").as("probe_id"), col("value").as("probe_value"),
+        lit(null).cast("double").as("q_value"))
+    val ord = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("kind"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val qTs = when(col("q_value").isNotNull, col("ts_ms"))
+    val picked = quotes.unionByName(probes)
+      .withColumn("b_value", last(col("q_value"), ignoreNulls = true).over(back))
+      .withColumn("b_ts", last(qTs, ignoreNulls = true).over(back))
+      .withColumn("f_value", first(col("q_value"), ignoreNulls = true).over(fwd))
+      .withColumn("f_ts", first(qTs, ignoreNulls = true).over(fwd))
+      .where(col("kind") === 1)
+    val useBack = col("f_ts").isNull ||
+      (col("b_ts").isNotNull && (col("ts_ms") - col("b_ts")) <= (col("f_ts") - col("ts_ms")))
+    picked.select(
+        col("probe_id").as("event_id"), col("user_id"), col("ts_ms"),
+        col("probe_value").as("value"),
+        when(useBack, col("b_value")).otherwise(col("f_value")).as("nearest_value"),
+        when(useBack, col("b_ts")).otherwise(col("f_ts")).as("nearest_ts_ms"),
+        when(col("b_ts").isNull && col("f_ts").isNull, lit(null).cast("string"))
+          .otherwise(when(useBack, lit("backward")).otherwise(lit("forward")))
+          .as("direction"))
+      .orderBy("event_id")
+  }
+
+  val asOfNearestOracle: String =
+    """WITH quotes AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, arg_max(value, event_id) AS q_value
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+      |), probes AS (
+      |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value
+      |  FROM events WHERE event_type = 'click'
+      |), b AS (
+      |  SELECT p.event_id, q.ts_ms AS b_ts, q.q_value AS b_value
+      |  FROM probes p ASOF LEFT JOIN quotes q
+      |    ON p.user_id = q.user_id AND p.ts_ms >= q.ts_ms
+      |), f AS (
+      |  SELECT p.event_id, q.ts_ms AS f_ts, q.q_value AS f_value
+      |  FROM probes p ASOF LEFT JOIN quotes q
+      |    ON p.user_id = q.user_id AND p.ts_ms <= q.ts_ms
+      |)
+      |SELECT p.event_id, p.user_id, p.ts_ms, p.value,
+      |  CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+      |         AND p.ts_ms - b.b_ts <= f.f_ts - p.ts_ms)
+      |       THEN b.b_value ELSE f.f_value END AS nearest_value,
+      |  CASE WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+      |         AND p.ts_ms - b.b_ts <= f.f_ts - p.ts_ms)
+      |       THEN b.b_ts ELSE f.f_ts END AS nearest_ts_ms,
+      |  CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+      |       WHEN f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+      |         AND p.ts_ms - b.b_ts <= f.f_ts - p.ts_ms)
+      |       THEN 'backward' ELSE 'forward' END AS direction
+      |FROM probes p
+      |JOIN b ON p.event_id = b.event_id
+      |JOIN f ON p.event_id = f.event_id
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_asof_join" -> (skAsOfJoin _),
+    "sk_asof_nearest" -> (asOfNearest _),
     "sk_gap_fill" -> (gapFill _),
     "sk_data_coverage" -> (dataCoverage _),
     "sk_resample_interp" -> (resampleInterp _))
 
   val oracles: Map[String, String] = Map(
     "sk_asof_join" -> asOfOracle,
+    "sk_asof_nearest" -> asOfNearestOracle,
     "sk_gap_fill" -> gapFillOracle,
     "sk_data_coverage" -> dataCoverageOracle,
     "sk_resample_interp" -> resampleInterpOracle)

@@ -704,6 +704,45 @@ object Streaming {
     * stream is never retained, the store is m rows per group, and
     * any historical slice question max-merges stored registers.
     */
+  // --------------------------------------------------------------- #56
+  private val sessionTable = new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** Streaming gap sessionization: the SAME native `session_window`
+    * expression as the batch [[graft.operators.Sessions.sessionWindows]]
+    * (12 h inactivity gap over per-user purchases), here running on the
+    * session-window STATE STORE — Spark merges an arriving event into
+    * its user's open session (or opens one) and merges sessions that an
+    * event bridges, which is exactly the semantics the batch sort
+    * computes; Complete mode emits the fully-merged table each trigger,
+    * so the drained result must equal the batch answer bit-for-bit
+    * (decimal partials make the merged means associative). With a live
+    * source this runs append-mode behind a watermark that closes
+    * sessions `gap` behind the max event time and evicts their state —
+    * the knob that bounds state at 100 TB is session count per
+    * watermark horizon, not corpus size. */
+  def streamSessionWindow(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
+    import org.apache.spark.sql.types.DecimalType
+    val q = eventStream(spark, dir)
+      .where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), session_window(col("event_time"), "12 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value").cast(DecimalType(18, 6))).cast("double") /
+          count(col("value"))).as("value_avg"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        unix_millis(col("sw.end")).as("session_end_ms"),
+        col("n_events"), col("value_avg"))
+      .writeStream
+      .format("memory")
+      .queryName({ val n = uniqueName("stream_session"); sessionTable.set(n); n })
+      .outputMode(OutputMode.Complete)
+      .option("checkpointLocation", tmpCheckpoint("session"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sessionTable.get()).orderBy("user_id", "session_start_ms")
+  }
+
   def streamHll(spark: SparkSession, dir: String): DataFrame = withNanos(spark) {
     import graft.operators.Hll
     val srcDir = java.nio.file.Files.createTempDirectory("graft_hll_src").toString
@@ -835,7 +874,8 @@ object Streaming {
     "stream_replay_live" -> (Replay.streamReplayLive _),
     "stream_late_data" -> (LateData.streamLateData _),
     "stream_hll_distinct" -> (streamHll _),
-    "stream_cms_topk" -> (streamCms _)
+    "stream_cms_topk" -> (streamCms _),
+    "stream_session_window" -> (streamSessionWindow _)
   ).map { case (name, fn) =>
     name -> ((s: SparkSession, d: String) => withStatePartitions(s, 8)(fn(s, d)))
   }
@@ -859,5 +899,8 @@ object Streaming {
     // incremental register maintenance ≡ one-shot sketch, so the
     // batch oracle carries over verbatim
     "stream_hll_distinct" -> graft.operators.Hll.hllDistinctOracle,
-    "stream_cms_topk" -> graft.operators.Cms.cmsTopKOracle)
+    "stream_cms_topk" -> graft.operators.Cms.cmsTopKOracle,
+    // the state-store merge ≡ the batch sort-merge, so the batch
+    // islands oracle carries over verbatim
+    "stream_session_window" -> graft.operators.Sessions.sessionWindowsOracle)
 }
