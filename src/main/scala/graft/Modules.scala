@@ -76,7 +76,9 @@ object Modules {
     ("Templates2", spatial.Templates2.queries, spatial.Templates2.oracles),
     ("Analytics2", operators.Analytics2.queries, operators.Analytics2.oracles),
     ("KnnGraph", similarity.KnnGraph.queries, similarity.KnnGraph.oracles),
-    ("Corpus", text.Corpus.queries, text.Corpus.oracles))
+    ("Corpus", text.Corpus.queries, text.Corpus.oracles),
+    ("Graph2", similarity.Graph2.queries, similarity.Graph2.oracles),
+    ("Markov", operators.Markov.queries, operators.Markov.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
