@@ -78,7 +78,9 @@ object Modules {
     ("KnnGraph", similarity.KnnGraph.queries, similarity.KnnGraph.oracles),
     ("Corpus", text.Corpus.queries, text.Corpus.oracles),
     ("Graph2", similarity.Graph2.queries, similarity.Graph2.oracles),
-    ("Markov", operators.Markov.queries, operators.Markov.oracles))
+    ("Markov", operators.Markov.queries, operators.Markov.oracles),
+    ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
+    ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
