@@ -80,7 +80,9 @@ object Modules {
     ("Graph2", similarity.Graph2.queries, similarity.Graph2.oracles),
     ("Markov", operators.Markov.queries, operators.Markov.oracles),
     ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
-    ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles))
+    ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles),
+    ("SkylineStream", streaming.SkylineStream.queries, streaming.SkylineStream.oracles),
+    ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

@@ -36,13 +36,23 @@ object Skyline {
     * built. The two price-bound literals are a driver-side
     * metadata-scale lookup (the z-order bucket-enumeration
     * precedent). */
-  def skyline(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
-      .select(col("p_partkey"), col("p_retailprice").as("price"),
-        col("p_size").as("size"))
+  def skyline(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          col("p_size").as("size")))
+      .select(col("p_partkey"), col("price").as("p_retailprice"),
+        col("size").as("p_size"))
+      .orderBy("p_partkey")
+
+  /** The skyline core over any (p_partkey, price, size) frame — shared
+    * with the incremental streaming twin
+    * ([[graft.streaming.SkylineStream]]), which exploits
+    * skyline(A ∪ B) = skyline(skyline(A) ∪ B). */
+  def skylineOf(p: DataFrame): DataFrame = {
     val prices = p.groupBy("price").agg(max("size").as("mx"))
       .localCheckpoint() // bounds lookup + stats build share one scan
     val bounds = prices.agg(min("price"), max("price")).head()
+    if (bounds.isNullAt(0)) return p.limit(0).select("p_partkey", "price", "size")
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val nb = 64
     val w = math.max((hi - lo) / nb, 1e-9)
@@ -63,9 +73,7 @@ object Skyline {
       .select("price", "mx", "m_lt")
     p.join(stats, "price")
       .where(col("size") === col("mx") && col("size") > col("m_lt"))
-      .select(col("p_partkey"), col("price").as("p_retailprice"),
-        col("size").as("p_size"))
-      .orderBy("p_partkey")
+      .select("p_partkey", "price", "size")
   }
 
   /** Oracle is the definitional quadratic dominance test — maximally

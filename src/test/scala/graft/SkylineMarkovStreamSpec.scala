@@ -39,6 +39,28 @@ class SkylineMarkovStreamSpec extends SparkSpec {
       s"unpartitioned window over non-bucket frame: $unpart\n$plan")
   }
 
+  test("streamSkyline's incremental frontier equals the batch skyline") {
+    val streamed = graft.streaming.SkylineStream.streamSkyline(spark, sfDir)
+    val batch = Skyline.skyline(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(batch.count() > 0)
+  }
+
+  test("topTerms plans a WindowGroupLimit and emits contiguous per-doc ranks") {
+    val q = graft.text.TopTerms.topTerms(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit:\n${plan.take(3000)}")
+    val out = q.cache()
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perDoc.where(col("k") > 3 || col("mx") =!= col("k") || col("mn") =!= 1)
+      .count() === 0)
+    // every document with at least one term is represented
+    assert(out.select("doc_id").distinct().count() ===
+      Tables.documents(spark, sfDir).where(length(col("text")) > 0).count())
+  }
+
   test("streamTransitionMatrix drains to the exact batch matrix") {
     val streamed = MarkovStream.streamTransitionMatrix(spark, sfDir)
     val batch = Markov.transitionMatrix(spark, sfDir)
