@@ -82,7 +82,9 @@ object Modules {
     ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
     ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles),
     ("SkylineStream", streaming.SkylineStream.queries, streaming.SkylineStream.oracles),
-    ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles))
+    ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles),
+    ("Novelty", text.Novelty.queries, text.Novelty.oracles),
+    ("Seasonal", operators.Seasonal.queries, operators.Seasonal.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
