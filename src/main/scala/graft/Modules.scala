@@ -84,7 +84,8 @@ object Modules {
     ("SkylineStream", streaming.SkylineStream.queries, streaming.SkylineStream.oracles),
     ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles),
     ("Novelty", text.Novelty.queries, text.Novelty.oracles),
-    ("Seasonal", operators.Seasonal.queries, operators.Seasonal.oracles))
+    ("Seasonal", operators.Seasonal.queries, operators.Seasonal.oracles),
+    ("FunnelStream", streaming.FunnelStream.queries, streaming.FunnelStream.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

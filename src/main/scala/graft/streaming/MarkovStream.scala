@@ -25,10 +25,10 @@ import org.apache.spark.sql.streaming.Trigger
   * carry-in store is user-count-sized and the count store stays
   * types², independent of throughput — the corpus is never rescanned.
   *
-  * Slices are consecutive archive-TIME ranges (one file per trigger,
-  * the [[Replay.stage]] mechanism inlined to keep event_id for the
-  * deterministic same-ms tiebreak), so each user's carry-in always
-  * sorts strictly before the batch's own rows.
+  * Slices are consecutive archive-TIME ranges (one file per trigger
+  * via [[Slices.stage]], keeping event_id for the deterministic
+  * same-ms tiebreak), so each user's carry-in always sorts strictly
+  * before the batch's own rows.
   */
 object MarkovStream {
 
@@ -40,24 +40,7 @@ object MarkovStream {
       .select("user_id", "ts_ms", "event_id", "event_type").schema
     val ev = graft.Tables.events(spark, dir)
       .select("user_id", "ts_ms", "event_id", "event_type")
-    val bounds = ev.agg(min("ts_ms"), max("ts_ms")).head()
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val nSlices = 3
-    val w = (hi - lo) / nSlices + 1
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_markov_src").toString
-    var i = 0
-    while (i < nSlices) {
-      val sliceDir = s"$srcDir/work_$i"
-      ev.where(col("ts_ms") >= lo + i * w && col("ts_ms") < lo + (i + 1) * w)
-        .repartition(1).write.mode("overwrite").parquet(sliceDir)
-      val part = new java.io.File(sliceDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(srcDir, f"slice_$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000000000L + i * 60000L)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(sliceDir))
-      i += 1
-    }
+    val srcDir = Slices.stage(ev, "markov", 3)
     val base = java.nio.file.Files.createTempDirectory("graft_markov_store").toString
     val lastStore = base + "/last"; val countStore = base + "/counts"
     ev.limit(0).write.parquet(lastStore)

@@ -61,6 +61,18 @@ class SkylineMarkovStreamSpec extends SparkSpec {
       Tables.documents(spark, sfDir).where(length(col("text")) > 0).count())
   }
 
+  test("streamFunnel drains to the exact batch funnel with partial conversions") {
+    val streamed = graft.streaming.FunnelStream.streamFunnel(spark, sfDir)
+    val batch = graft.operators.Funnel.funnel(spark, sfDir)
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+    val r = streamed.head()
+    assert(r.getAs[Long]("n_view") > 0)
+    // thresholds keep the funnel partial — a trivially-complete funnel
+    // would prove nothing about the stage chaining
+    assert(r.getAs[Long]("n_purchase_after_click") < r.getAs[Long]("n_view"))
+  }
+
   test("streamTransitionMatrix drains to the exact batch matrix") {
     val streamed = MarkovStream.streamTransitionMatrix(spark, sfDir)
     val batch = Markov.transitionMatrix(spark, sfDir)
