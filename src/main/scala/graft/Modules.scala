@@ -85,7 +85,9 @@ object Modules {
     ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles),
     ("Novelty", text.Novelty.queries, text.Novelty.oracles),
     ("Seasonal", operators.Seasonal.queries, operators.Seasonal.oracles),
-    ("FunnelStream", streaming.FunnelStream.queries, streaming.FunnelStream.oracles))
+    ("FunnelStream", streaming.FunnelStream.queries, streaming.FunnelStream.oracles),
+    ("Triplets", similarity.Triplets.queries, similarity.Triplets.oracles),
+    ("RollingCorr", operators.RollingCorr.queries, operators.RollingCorr.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

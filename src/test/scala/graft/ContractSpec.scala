@@ -53,7 +53,7 @@ class ContractSpec extends AnyFunSuite {
     // live replay joined) — every queries entry ships an oracle, so
     // both floors track together; a shrink in either means a module
     // (or its oracle) fell out of the merge
-    assert(SparkEntry.queries.size >= 217)
-    assert(SparkEntry.oracleSql.size >= 217)
+    assert(SparkEntry.queries.size >= 219)
+    assert(SparkEntry.oracleSql.size >= 219)
   }
 }
