@@ -77,7 +77,10 @@ object Graph2 {
 
   /** Oracle unrolls the same 8 iterations as chained CTEs — identical
     * decimal accumulation and 12-dp per-iteration rounding, so the
-    * comparison is bit-exact. */
+    * comparison is bit-exact. The mutual-kNN CTE is MATERIALIZED:
+    * `dir` references it twice, and letting DuckDB inline the
+    * quadratic candidate scan twice pushed the 10× run past the
+    * gate's 180 s budget (73 s materialized). */
   val pageRankOracle: String = {
     val base = s"${1.0 - Damping}/(SELECT n FROM nn)"
     val iterCtes = (1 to Iters).map { i =>
@@ -88,7 +91,7 @@ object Graph2 {
          |  GROUP BY e.dst
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS (
+    s"""WITH g AS MATERIALIZED (
        |  ${KnnGraph.knnGraphOracle.replace("ORDER BY id_a, id_b", "")}
        |),
        |dir AS (
