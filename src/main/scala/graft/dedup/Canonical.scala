@@ -25,7 +25,8 @@ object Canonical {
     * multi-doc clusters with the keeper and its source.
     *
     * The corpus is the base table UNION a deterministic mirror-site
-    * slice (doc_id % 13 = 5, re-keyed +1e6, source re-labeled
+    * slice (doc_id % 13 = 5, re-keyed +2^40 — a high bit outside any
+    * generated id range, see [[Dedup.exactDedup]], source re-labeled
     * 'src'||(doc_id%7)) — the cross-source replica scenario canonical
     * selection exists for, and one where the seeded copy often
     * OUTRANKS the original (src0..src6 beat most of src0..src19), so
@@ -38,7 +39,7 @@ object Canonical {
     val mirror = docs.where(col("doc_id") % 13 === 5)
       .withColumn("source",
         concat(lit("src"), (col("doc_id") % 7).cast("string")))
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + (1L << 40))
     canonicalOf(docs.unionByName(mirror))
   }
 
@@ -63,7 +64,7 @@ object Canonical {
     """WITH corpus AS (
       |  SELECT doc_id, text, source FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text,
+      |  SELECT doc_id + 1099511627776 AS doc_id, text,
       |    'src' || CAST(doc_id % 7 AS VARCHAR) AS source
       |  FROM documents WHERE doc_id % 13 = 5
       |), d AS (

@@ -35,7 +35,10 @@ object Dedup {
     * the canonical 100 TB dedup pattern (single shuffle on the hash).
     *
     * The corpus is the base documents table UNION a deterministically
-    * re-ingested slice (doc_id % 17 = 3, re-keyed +1e6) — the
+    * re-ingested slice (doc_id % 17 = 3, re-keyed +2^40 — a high bit
+    * no generated doc_id can reach, so mirrored ids can NEVER collide
+    * with real ones even on a billion-document corpus; a fixed +1e6
+    * offset would silently corrupt keeper selection past 1M docs) — the
     * re-crawl scenario exact dedup exists for. The seed is mirrored
     * verbatim in the oracle, so the gate proves NONZERO duplicate
     * detection at every SF (the generated corpus alone has no exact
@@ -44,7 +47,7 @@ object Dedup {
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val recrawl = docs.where(col("doc_id") % 17 === 3)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + (1L << 40))
     docs.unionByName(recrawl)
       .groupBy(md5(col("text")).as("content_md5"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_id"))
@@ -56,7 +59,7 @@ object Dedup {
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 3
+      |  SELECT doc_id + 1099511627776 AS doc_id, text FROM documents WHERE doc_id % 17 = 3
       |)
       |SELECT md5(text) AS content_md5, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
       |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin

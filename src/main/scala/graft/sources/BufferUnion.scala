@@ -42,10 +42,13 @@ object BufferUnion {
 
   private val Excluded = Set("processed", "quarantine", "failed", "repaired")
 
-  /** Recursive listing that skips excluded directories wholesale. */
+  /** Recursive listing that skips excluded directories wholesale. The
+    * filesystem is resolved FROM THE PATH (not hardcoded local), so
+    * the listing-time exclusion works unchanged on HDFS/S3 stores —
+    * the deployment this read path exists for. */
   private[graft] def eligibleFiles(spark: SparkSession, root: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) {

@@ -32,33 +32,54 @@ object Quarantine {
 
   /** Validate every parquet file under `root` (size ≥ 100 bytes AND
     * first record readable); move failures to `root/quarantine/<same
-    * subpath>` and log them. Returns the quarantined file count. */
+    * subpath>` and log them. Returns the quarantined file count.
+    *
+    * Runs over the Hadoop FileSystem RESOLVED FROM THE PATH (not
+    * hardcoded local), so the sweep works unchanged against HDFS/S3
+    * stores. The log is rewritten once per sweep (read-old + append
+    * lines + create-overwrite) because FS-level append is not
+    * portable to object stores. */
   private[graft] def validateAndQuarantine(spark: SparkSession, root: String): Int = {
-    def files(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) {
-        if (f.getName == "quarantine") Seq.empty
-        else Option(f.listFiles()).toSeq.flatten.flatMap(files)
+    import org.apache.hadoop.fs.Path
+    val rootP = new Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName == "quarantine") Seq.empty
+          else files(st.getPath)
+        } else if (st.getPath.getName.endsWith(".parquet")) Seq(st.getPath)
+        else Seq.empty
       }
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
-    val rootF = new java.io.File(root)
+    val rootUri = fs.makeQualified(rootP).toUri
+    val logLines = scala.collection.mutable.ArrayBuffer[String]()
     var moved = 0
-    for (f <- files(rootF)) {
-      val valid = f.length() >= 100 && (try {
+    for (f <- files(rootP)) {
+      val len = fs.getFileStatus(f).getLen
+      val valid = len >= 100 && (try {
         // "first record readable" — one footer + one record, per file
-        spark.read.parquet(f.getAbsolutePath).limit(1).count() == 1
+        spark.read.parquet(f.toString).limit(1).count() == 1
       } catch { case _: Throwable => false })
       if (!valid) {
-        val rel = rootF.toPath.relativize(f.toPath)
-        val dst = new java.io.File(new java.io.File(rootF, "quarantine"), rel.toString)
-        dst.getParentFile.mkdirs()
-        java.nio.file.Files.move(f.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        val log = new java.io.File(rootF, "quarantine/quarantine.log")
-        java.nio.file.Files.writeString(log.toPath,
-          s"""{"filepath":"${dst.getPath}","fileSize":${dst.length()},"operation":"ingest-validate","reason":"failed validation"}\n""",
-          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        val rel = rootUri.relativize(fs.makeQualified(f).toUri).getPath
+        val dst = new Path(new Path(rootP, "quarantine"), rel)
+        fs.mkdirs(dst.getParent)
+        fs.rename(f, dst)
+        logLines += s"""{"filepath":"${dst.toString}","fileSize":${fs.getFileStatus(dst).getLen},"operation":"ingest-validate","reason":"failed validation"}"""
         moved += 1
       }
+    }
+    if (logLines.nonEmpty) {
+      val log = new Path(rootP, "quarantine/quarantine.log")
+      val prior = if (fs.exists(log)) {
+        val in = fs.open(log)
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } else ""
+      val out = fs.create(log, true)
+      try out.write((prior + logLines.mkString("", "\n", "\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     moved
   }

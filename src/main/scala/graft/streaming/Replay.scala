@@ -181,6 +181,15 @@ object Replay {
       // must match what the sink actually holds
       val dataBatches = q.recentProgress.filter(_.numInputRows > 0).toSeq
       val n = dataBatches.size
+      // full-drain callers (the gated query) must never get a silent
+      // prefix: a deadline hit on a loaded host would otherwise fail
+      // the full-window oracle as an inscrutable row-count mismatch
+      // instead of a clear timeout (ADVICE r13)
+      if (target == staged.nSlices && n < target)
+        throw new IllegalStateException(
+          s"paced replay timed out: $n/${staged.nSlices} slices committed " +
+          s"within the 120 s deadline (rate ${rateMs} ms) — host too loaded " +
+          "for the live-paced gate, not a data mismatch")
       PacedRun(
         spark.table(name).orderBy("event_type", "bucket_ms").collect(),
         dataBatches.map(p => java.time.Instant.parse(p.timestamp).toEpochMilli),

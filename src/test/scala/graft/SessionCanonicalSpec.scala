@@ -71,7 +71,7 @@ class SessionCanonicalSpec extends SparkSpec {
       .count() === 0)
     // the mirror slice CAN win the keeper pick: at least one keeper is
     // a seeded doc (rank src0..src6 beats most base sources)
-    assert(out.where(col("keeper_id") >= 1000000L).count() > 0)
+    assert(out.where(col("keeper_id") >= (1L << 40)).count() > 0)
     out.unpersist()
   }
 }

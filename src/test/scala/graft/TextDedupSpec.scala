@@ -26,7 +26,7 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("n_docs") >= 2))
     // keepers are base-corpus ids; re-crawl copies never win min()
-    rows.foreach(r => assert(r.getAs[Long]("keeper_id") < 1000000L))
+    rows.foreach(r => assert(r.getAs[Long]("keeper_id") < (1L << 40)))
   }
 
   test("minhash signatures identical for identical token sets") {
