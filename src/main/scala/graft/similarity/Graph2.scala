@@ -57,6 +57,16 @@ object Graph2 {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    pageRankIterate(edgesDeg, deg)
+  }
+
+  /** The iteration core over a prepared (src, dst, deg) edge table and
+    * its (src, deg) degree table — shared with the persisted-graph twin
+    * ([[GraphStore.pageRankStored]]), which feeds it the SAME two
+    * tables read back from the staged store instead of rebuilt from
+    * raw vectors; BIGINT/deg round-trip parquet losslessly, so the two
+    * callers' trajectories are bit-identical. */
+  private[similarity] def pageRankIterate(edgesDeg: DataFrame, deg: DataFrame): DataFrame = {
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"), rN(lit(1.0) / col("n"), 12).as("rank"))

@@ -1,0 +1,92 @@
+package graft.similarity
+
+import graft.sources.Staging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The PERSISTED form of the mutual-kNN graph — the steady-state a
+  * production graph-analytics path serves from. [[KnnGraph.knnGraph]]
+  * proves the construction and [[Graph2.pageRank]] the iteration, but
+  * both rebuild the edge set from raw embedding vectors on every call:
+  * a full label-blocked candidate scoring pass (the dominant cost —
+  * 12.3 s of graph_pagerank's 12.6 s at sf0.1 is the inline kNN
+  * rebuild). At 100 TB that rebuild IS the corpus scan the graph
+  * exists to avoid; a warehouse stages the edge table once at ingest
+  * and every downstream consumer (PageRank, components, label prop,
+  * hub pruning) SCANS it.
+  *
+  * Staged tables ([[Staging.stagedDir]], fingerprint-idempotent across
+  * JVMs):
+  *   - `edges`      — one row per mutual unordered pair
+  *                    (label, id_a, id_b, cos, rank_ab, rank_ba): the
+  *                    [[KnnGraph.knnGraph]] output verbatim;
+  *   - `edges_dir`  — the DIRECTED expansion with each source's degree
+  *                    folded in (src, dst, deg): exactly the
+  *                    per-iteration join input of
+  *                    [[Graph2.pageRankIterate]], so the degree join is
+  *                    paid once at ingest, never per query;
+  *   - `degrees`    — (src, deg), the node table.
+  *
+  * At warehouse scale `edges_dir` is written BUCKETED on src (the
+  * [[graft.sources.HiveStore]] layout), so each PageRank iteration's
+  * join against the node-sized rank table exchanges ONLY the rank
+  * table; here the store is plain parquet (the bucketed-join shape is
+  * proven separately by q_bucketed_join) and the win measured is the
+  * removed rebuild. Results are bit-identical to the inline twins:
+  * the staged tables are deterministic functions of the corpus and
+  * BIGINT/DOUBLE round-trip parquet losslessly (spec-pinned, plus a
+  * plan pin that the query path never scans the embeddings parquet).
+  *
+  * Reference: signalk-parquet has no graph surface; this is the
+  * training-pipeline family's index-store pattern (29d, 40ae2) applied
+  * to the graph.
+  */
+object GraphStore {
+
+  // ------------------------------------------------------------- #70a
+  /** Stage the three graph tables once per (fingerprint, sf dir). */
+  private[graft] def stageKnnGraph(spark: SparkSession, dir: String): String =
+    Staging.stagedDir("graft_knn_graph_store", dir, "v1:mutual-knn-k5:edges+dir+deg", "embeddings") { root =>
+      val g = KnnGraph.knnGraph(spark, dir)
+      g.write.parquet(s"$root/edges")
+      // read BACK the staged edges for the derived tables: the kNN
+      // construction (the expensive part) runs exactly once
+      val e = spark.read.parquet(s"$root/edges").select("id_a", "id_b")
+      val edges = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      deg.write.parquet(s"$root/degrees")
+      edges.join(deg, "src").write.parquet(s"$root/edges_dir")
+    }
+
+  /** Mutual-kNN edges from the STAGED store: same output contract as
+    * `embed_knn_graph` (the construction cost moved to ingest). */
+  def knnGraphStored(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageKnnGraph(spark, dir)
+    spark.read.parquet(s"$root/edges")
+      .select("label", "id_a", "id_b", "cos", "rank_ab", "rank_ba")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** PageRank from the STAGED edge/degree tables: the iteration core
+    * of [[Graph2.pageRank]] fed by store scans — no raw embedding
+    * vector is touched on the query path (plan-pinned). */
+  def pageRankStored(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageKnnGraph(spark, dir)
+    val edgesDeg = spark.read.parquet(s"$root/edges_dir")
+      .select("src", "dst", "deg").localCheckpoint()
+    val deg = spark.read.parquet(s"$root/degrees")
+      .select("src", "deg").localCheckpoint()
+    Graph2.pageRankIterate(edgesDeg, deg)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_knn_graph_stored" -> (knnGraphStored _),
+    "graph_pagerank_stored" -> (pageRankStored _))
+
+  /** The store is result-invisible: both oracles are the full-recompute
+    * SQL of the inline twins. */
+  val oracles: Map[String, String] = Map(
+    "embed_knn_graph_stored" -> KnnGraph.knnGraphOracle,
+    "graph_pagerank_stored" -> Graph2.pageRankOracle)
+}
