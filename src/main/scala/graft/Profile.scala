@@ -28,9 +28,16 @@ object Profile {
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"),
         graft.dedup.Dedup.tokens.as("toks"))
-    val groups = docs.groupBy("lang", "size_bucket", "toks")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+    val wG = org.apache.spark.sql.expressions.Window.partitionBy("gkey")
+    val groups = docs
+      .withColumn("gkey",
+        struct(xxhash64(col("lang"), col("size_bucket"), col("toks")).as("h1"),
+          hash(col("lang"), col("size_bucket"), col("toks")).as("h2")))
+      .withColumn("rep", min("doc_id").over(wG))
+      .withColumn("grp_n", count(lit(1)).over(wG))
       .localCheckpoint()
+      .where(col("doc_id") === col("rep"))
+      .select("lang", "size_bucket", "toks", "rep", "grp_n")
     t("cc groups")(println("n=" + groups.count()))
     val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val a = groups.select(col("lang"), col("size_bucket"),

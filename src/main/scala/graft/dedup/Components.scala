@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Duplicate-cluster resolution: connected components over the
@@ -120,13 +121,39 @@ object Components {
     * ([[resolveClusters]]). */
   def clusterAssignments(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.JaccardSim.register(spark)
-    val docs = Tables.documents(spark, dir)
+    clusterAssignmentsOn(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / 50).cast("long").as("size_bucket"),
-        Dedup.tokens.as("toks"))
-    val groups = docs.groupBy("lang", "size_bucket", "toks")
-      .agg(min("doc_id").as("rep"), collect_list("doc_id").as("members"))
+        Dedup.tokens.as("toks")))
+  }
+
+  /** Core over any (doc_id, lang, size_bucket, toks) frame — split out
+    * so MegaClusterSpec can drive a seeded mega-cluster through the
+    * REAL grouping/labeling path. */
+  private[graft] def clusterAssignmentsOn(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    // Membership rows, not member LISTS (see Dedup.minHashLshPairs):
+    // a collect_list would hold a whole duplicate cluster as one
+    // unspillable array in a single aggregation buffer (O(cluster)
+    // memory, no spill path). Here the group label reaches every row
+    // through ONE window over a compact 96-bit digest of the exact
+    // (lang, size bucket, token set) group key (the md5-exact-dedup
+    // collision standard): one shuffle + sort on 12-byte keys, no
+    // join-back, and the window's per-partition row buffer SPILLS —
+    // a mega-cluster costs disk, never heap (MegaClusterSpec). The
+    // quotient-graph reps are the rows whose id IS the group min, so
+    // groups and membership are two projections of the same pass.
+    val w = Window.partitionBy("gkey")
+    val withG = docs
+      .withColumn("gkey",
+        struct(xxhash64(col("lang"), col("size_bucket"), col("toks")).as("h1"),
+          hash(col("lang"), col("size_bucket"), col("toks")).as("h2")))
+      .withColumn("rep", min("doc_id").over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
       .localCheckpoint()
+    val groups = withG.where(col("doc_id") === col("rep"))
+      .select("lang", "size_bucket", "toks", "rep", "grp_n")
+    val membership = withG.select("rep", "grp_n", "doc_id")
     // Explicitly-numbered repartition on the block key: the pair
     // volume downstream of this exchange is ~n²/blocks, far larger
     // than the exchange's own byte size — AQE, seeing only the latter,
@@ -150,16 +177,16 @@ object Components {
       .where(Dedup.jaccard(col("toks_a"), col("toks_b")) >= 0.8)
       .select("src", "dst")
     val repComp = connectedComponents(repEdges)
-    // Re-attach members: reps in the quotient graph take their
-    // propagated label; edge-less groups of size ≥ 2 are standalone
-    // clusters labeled by their own rep; true singletons drop out
-    // (matching the pair-graph node set).
-    val labeled = groups
-      .join(repComp, groups("rep") === repComp("id"), "left")
+    // Re-attach members through the membership table: reps in the
+    // quotient graph take their propagated label; edge-less groups of
+    // size ≥ 2 are standalone clusters labeled by their own rep; true
+    // singletons drop out (matching the pair-graph node set). The
+    // label fetch is an equi-join on rep — row-bounded, no explode.
+    val labeled = membership
+      .join(repComp, membership("rep") === repComp("id"), "left")
       .withColumn("component_id", coalesce(col("component_id"), col("rep")))
-      .where(col("component_id").isNotNull &&
-        (col("id").isNotNull || size(col("members")) > 1))
-      .select(col("component_id"), explode(col("members")).as("doc_id"))
+      .where(col("id").isNotNull || col("grp_n") > 1)
+      .select(col("component_id"), col("doc_id"))
     labeled
   }
 

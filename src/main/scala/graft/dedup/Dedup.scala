@@ -222,7 +222,11 @@ object Dedup {
     val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
     graft.functions.JaccardSim.register(spark)
-    val sigs = signatures(docs)
+    // localCheckpoint, not cache(): this runs per micro-batch inside
+    // stream_dedup_lsh's foreachBatch, and a CacheManager entry would
+    // outlive the batch (leaking one table per trigger). Checkpoint
+    // blocks pin the compute-once semantics but are reclaimed by the
+    // ContextCleaner when the batch's plans are released.
     // SIGNATURE COLLAPSE — the load-bearing step for a near-dup-
     // saturated corpus. Large duplicate clusters share the exact
     // 128-perm signature, so every band bucket they touch holds the
@@ -230,35 +234,60 @@ object Dedup {
     // pairs through the single task that owns that band key (measured
     // here: a 607-doc signature group, 3.8k-doc band buckets, 50M
     // join rows pre-distinct — and at 100 TB that one task never
-    // finishes). Grouping by the full signature first (exact array
-    // key, no hash collision) shrinks the band join to one
-    // representative per distinct signature; member pairs are
-    // reconstructed from the group lists afterwards, already unique —
-    // no 50M-row distinct.
-    // localCheckpoint, not cache(): this runs per micro-batch inside
-    // stream_dedup_lsh's foreachBatch, and a CacheManager entry would
-    // outlive the batch (leaking one table per trigger). Checkpoint
-    // blocks pin the compute-once semantics but are reclaimed by the
-    // ContextCleaner when the batch's plans are released.
-    val groups = sigs.groupBy("sigarr")
-      .agg(min("doc_id").as("gid"), collect_list("doc_id").as("members"))
+    // finishes). Grouping by the signature first shrinks the band join
+    // to one representative per distinct signature; member pairs are
+    // reconstructed through MEMBERSHIP SELF-JOINS afterwards, already
+    // unique — no 50M-row distinct.
+    // Membership rows, not member LISTS: the earlier
+    // collect_list-then-double-explode held every duplicate cluster as
+    // one array in a single aggregation buffer — a 10^5-doc
+    // mega-cluster is a 10^5-element array in ONE row, unspillable and
+    // O(cluster) memory on the groups table and every explode consumer.
+    // The (gid, doc_id) membership table keeps every operator state one
+    // row wide: the agg is a streaming min/count, the join-back is a
+    // spillable shuffle join, and the cluster's quadratic OUTPUT pairs
+    // (the answer itself) stream out of a join instead of an explode
+    // (MegaClusterSpec pins both the plan and a seeded mega-cluster).
+    // `gkey` is a COMPACT 96-bit signature digest (xxhash64 ⊕ murmur3
+    // over the exact 128-perm array): grouping and joining on the
+    // 1 KB array itself shuffles KB-wide keys and sort-merges on
+    // O(128) comparisons (measured +35% on the whole operator); the
+    // digest carries the same collision standard as exact dedup's
+    // md5(text) key, and every emitted pair is still verified by
+    // exact Jaccard below.
+    val sigs = signatures(docs)
+      .withColumn("gkey", struct(xxhash64(col("sigarr")).as("h1"),
+        hash(col("sigarr")).as("h2")))
+      .localCheckpoint()
+    val groups = sigs.groupBy("gkey")
+      .agg(min("doc_id").as("gid"), count(lit(1)).as("grp_n"),
+        max("sigarr").as("sigarr"))
+      .localCheckpoint()
+    // narrow (gkey, doc_id) ⋈ narrow (gkey, gid): neither side carries
+    // the signature array, so the membership fetch is a cheap
+    // co-partitioned shuffle join at any scale
+    val membership = sigs.select("gkey", "doc_id")
+      .join(groups.select("gkey", "gid", "grp_n"), "gkey")
+      .select("gid", "grp_n", "doc_id")
       .localCheckpoint()
     // Pairs within one signature group match in every band by
     // construction (quadratic in the group size — inherent: those
-    // pairs are all in the answer).
-    val within = groups
-      .select(col("members"), explode(col("members")).as("id_x"))
-      .select(col("id_x"), explode(col("members")).as("id_y"))
-      .where(col("id_x") < col("id_y"))
-      .select(col("id_x").as("id_a"), col("id_y").as("id_b"))
+    // pairs are all in the answer). Restricted to the non-singleton
+    // sliver BEFORE the self-join, so a mostly-unique corpus never
+    // shuffles itself on gid; AQE's skew split handles a mega-cluster's
+    // hot gid partition.
+    val multi = membership.where(col("grp_n") > 1).select("gid", "doc_id")
+    val within = multi.toDF("gid", "id_a").join(multi.toDF("gid", "id_b"), "gid")
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
     // Cross-group candidates: banded self-join over distinct-signature
     // representatives only, then expand each (group, group) hit to its
-    // member pairs. The member-list fetch joins are UN-HINTED: groups
-    // is one row per distinct signature, which in a mostly-unique
-    // corpus is corpus-sized — a forced broadcast() would ship it
-    // whole to every executor at 100 TB. Statistics (localCheckpoint
-    // preserves them) broadcast it while it fits; past the threshold
-    // the same plan shuffles on gid, bounded by |groupPairs| + |groups|.
+    // member pairs. The membership fetch joins are UN-HINTED: the
+    // membership table is corpus-sized — a forced broadcast() would
+    // ship it whole to every executor at 100 TB. Statistics
+    // (localCheckpoint preserves them) broadcast the SMALL side
+    // (groupPairs) while it fits; past the threshold the same plan
+    // shuffles on gid, bounded by |groupPairs| + |membership|.
     val repBands = groups
       .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
       .select(col("gid"), col("band.band_idx"), col("band.band_key"))
@@ -267,12 +296,10 @@ object Dedup {
       .where(col("gid_a") < col("gid_b"))
       .select("gid_a", "gid_b")
       .distinct()
-    val membersOf = groups.select(col("gid"), col("members"))
+    val memIds = membership.select("gid", "doc_id")
     val cross = groupPairs
-      .join(membersOf.toDF("gid_a", "mem_a"), "gid_a")
-      .join(membersOf.toDF("gid_b", "mem_b"), "gid_b")
-      .select(explode(col("mem_a")).as("id_x"), col("mem_b"))
-      .select(col("id_x"), explode(col("mem_b")).as("id_y"))
+      .join(memIds.toDF("gid_a", "id_x"), "gid_a")
+      .join(memIds.toDF("gid_b", "id_y"), "gid_b")
       .select(least(col("id_x"), col("id_y")).as("id_a"),
         greatest(col("id_x"), col("id_y")).as("id_b"))
     // Disjoint by construction: within-pairs share a signature, cross
