@@ -121,6 +121,111 @@ object ApiQueries {
       |LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
       |ORDER BY s.context""".stripMargin
 
+  // ----------------------------------------------- server-local time
+  /** Timezone round-trip through the facade (HistoryAPI.ts:403-419
+    * parseDateTime + 653-673 utcToLocalTimestamp): the request's BARE
+    * timestamps ("2024-01-05T00:00", no Z/offset) are parsed as
+    * SERVER-LOCAL time in the configured zone (America/New_York, so
+    * the UTC range actually starts at 05:00Z — the oracle re-derives
+    * that conversion independently with DuckDB's tz functions), and
+    * every response bucket is rendered back as a local ISO string
+    * with explicit offset next to the epoch. DST-gap/overlap parsing
+    * and cross-DST offset rendering are pinned in LocaltimeSpec (the
+    * January data window sits inside EST). */
+  def historyLocaltime(spark: SparkSession, dir: String): DataFrame = {
+    import History._
+    val zone = "America/New_York"
+    val fromMs = History.parseDateTimeMs("2024-01-05T00:00", zone)
+    val toMs = History.parseDateTimeMs("2024-01-25T12:30:00", zone)
+    val specs = Seq(PathSpec.parse("click:average"), PathSpec.parse("error:max"))
+    History.values(series(spark, dir), "vessels.urn-3", specs, fromMs, toMs,
+        resolutionMs = 21600000L)
+      .select(col("bucket_ms"),
+        History.localTimestamp(col("bucket_ms"), zone).as("bucket_local"),
+        col("`click:average`").as("click_avg"),
+        col("`error:max`").as("error_max"))
+      .orderBy("bucket_ms")
+  }
+
+  /** The oracle recomputes BOTH directions of the zone conversion from
+    * the IANA name itself (timezone(tz, naive) for the request parse,
+    * timezone(tz, tstz) for the response render) — the constants in
+    * the Spark query come from java.time, the oracle's from DuckDB's
+    * tzdb, so the gate fails if either disagrees. */
+  val historyLocaltimeOracle: String =
+    """WITH rng AS (
+      |  SELECT epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-05 00:00:00')) AS from_ms,
+      |         epoch_ms(timezone('America/New_York', TIMESTAMP '2024-01-25 12:30:00')) AS to_ms
+      |), s AS (
+      |  SELECT event_type AS path, epoch_ms(ts) AS ts_ms, value FROM events, rng
+      |  WHERE user_id = 3 AND epoch_ms(ts) >= from_ms AND epoch_ms(ts) < to_ms
+      |    AND event_type IN ('click', 'error')
+      |), b AS (
+      |  SELECT CAST(FLOOR(ts_ms / 21600000) * 21600000 AS BIGINT) AS bucket_ms,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (WHERE path = 'click') AS DOUBLE)
+      |      / COUNT(value) FILTER (WHERE path = 'click') AS click_avg,
+      |    MAX(value) FILTER (WHERE path = 'error') AS error_max
+      |  FROM s GROUP BY 1
+      |), loc AS (
+      |  SELECT *,
+      |    timezone('America/New_York', to_timestamp(bucket_ms / 1000.0)) AS lt,
+      |    (epoch_ms(timezone('America/New_York', to_timestamp(bucket_ms / 1000.0))) - bucket_ms)
+      |      // 60000 AS off_min
+      |  FROM b
+      |)
+      |SELECT bucket_ms,
+      |  strftime(lt, '%Y-%m-%dT%H:%M:%S') ||
+      |    printf('%s%02d:%02d', CASE WHEN off_min < 0 THEN '-' ELSE '+' END,
+      |      abs(off_min) // 60, abs(off_min) % 60) AS bucket_local,
+      |  click_avg, error_max
+      |FROM loc ORDER BY bucket_ms""".stripMargin
+
+  // ------------------------------------------------------- units meta
+  /** Units metadata in the facade response (HistoryAPI.ts:529-538: the
+    * wrapper's optional `units` map): one row per requested path with
+    * its unit resolved from a broadcast metadata registry — the
+    * sk_history_enriched dim-join pattern applied to path metadata —
+    * plus the window's per-path data summary; `error` is deliberately
+    * absent from the registry and takes the reference's
+    * "Not available" placeholder. */
+  def historyUnits(spark: SparkSession, dir: String): DataFrame = {
+    import History._
+    import spark.implicits._
+    val specs = Seq(PathSpec.parse("click:average"), PathSpec.parse("purchase:max"),
+      PathSpec.parse("view:first"), PathSpec.parse("error:mid"))
+    val registry = Seq(("click", "m/s"), ("purchase", "V"), ("view", "m"),
+      ("login", "rad")).toDF("path", "units")
+    val meta = History.unitsFor(registry, specs)
+    val stats = series(spark, dir)
+      .where(col("context") === "vessels.urn-3" &&
+        col("ts_ms") >= 1704412800000L && col("ts_ms") < 1706140800000L &&
+        col("path").isin(specs.map(_.path): _*))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_points"), davg(col("value")).as("value_avg"))
+    meta.join(stats, Seq("path"), "left")
+      .select("path", "method", "units", "n_points", "value_avg")
+      .orderBy("path")
+  }
+
+  val historyUnitsOracle: String =
+    """WITH req(path, method) AS (
+      |  VALUES ('click', 'average'), ('purchase', 'max'),
+      |         ('view', 'first'), ('error', 'mid')
+      |), reg(path, units) AS (
+      |  VALUES ('click', 'm/s'), ('purchase', 'V'), ('view', 'm'), ('login', 'rad')
+      |), stats AS (
+      |  SELECT event_type AS path, COUNT(*) AS n_points,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(value) AS value_avg
+      |  FROM events
+      |  WHERE user_id = 3 AND epoch_ms(ts) >= 1704412800000 AND epoch_ms(ts) < 1706140800000
+      |    AND event_type IN ('click', 'purchase', 'view', 'error')
+      |  GROUP BY 1
+      |)
+      |SELECT r.path, r.method, COALESCE(g.units, 'Not available') AS units,
+      |  s.n_points, s.value_avg
+      |FROM req r LEFT JOIN reg g USING (path) LEFT JOIN stats s USING (path)
+      |ORDER BY r.path""".stripMargin
+
   // ------------------------------------------------------ object paths
   /** Object-path expansion through the facade — one
     * `navigation.position` pathspec returning aligned latitude /
@@ -232,6 +337,8 @@ object ApiQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sk_history_values" -> (historyValues _),
     "sk_history_enriched" -> (historyEnriched _),
+    "sk_history_localtime" -> (historyLocaltime _),
+    "sk_history_units" -> (historyUnits _),
     "sk_object_path" -> (objectPath _),
     "sk_json_filter" -> (jsonFilter _),
     "sk_profile" -> (profile _))
@@ -239,6 +346,8 @@ object ApiQueries {
   val oracles: Map[String, String] = Map(
     "sk_history_values" -> historyValuesOracle,
     "sk_history_enriched" -> historyEnrichedOracle,
+    "sk_history_localtime" -> historyLocaltimeOracle,
+    "sk_history_units" -> historyUnitsOracle,
     "sk_object_path" -> objectPathOracle,
     "sk_json_filter" -> jsonFilterOracle,
     "sk_profile" -> profileOracle)

@@ -283,6 +283,76 @@ object History {
     base.groupBy("bucket_ms").agg(aggs.head, aggs.tail: _*).orderBy("bucket_ms")
   }
 
+  // ------------------------------------------------- server-local time
+  /** Does the ISO string carry explicit zone info? — HistoryAPI.ts
+    * hasTimezoneInfo (trailing Z, ±HH:MM, ±HHMM). */
+  def hasTimezoneInfo(s: String): Boolean =
+    s.endsWith("Z") ||
+      "[+-]\\d{2}:?\\d{2}$".r.findFirstIn(s).isDefined ||
+      "[+-]\\d{4}$".r.findFirstIn(s).isDefined
+
+  /** Parse a request timestamp per the reference's ISO-8601 dispatch
+    * (HistoryAPI.ts:403-419 parseDateTime): a BARE timestamp (no Z, no
+    * offset) is SERVER-LOCAL time in the configured zone and converts
+    * to UTC; explicit Z/offset strings parse as-is. `HH:MM`-only
+    * inputs gain `:00` seconds first (the reference's normalization).
+    * A nonexistent local time (spring-forward gap) resolves forward by
+    * the gap and an ambiguous one (fall-back overlap) takes the
+    * EARLIER offset — java.time's resolution, matching the reference's
+    * JS `Date` behavior on v8. Pure driver-side request parsing — no
+    * wall-clock, no executor work. */
+  def parseDateTimeMs(s: String, zone: String): Long = {
+    val normalized =
+      if (s.matches("^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}$")) s + ":00" else s
+    if (hasTimezoneInfo(normalized))
+      java.time.OffsetDateTime.parse(normalized).toInstant.toEpochMilli
+    else
+      java.time.LocalDateTime.parse(normalized)
+        .atZone(java.time.ZoneId.of(zone)).toInstant.toEpochMilli
+  }
+
+  /** Render a UTC epoch-ms column as the server-local ISO string with
+    * explicit offset — the response-side conversion the reference
+    * applies to `range` and every data row's leading timestamp
+    * (HistoryAPI.ts:653-673 utcToLocalTimestamp; seconds always
+    * rendered, fractional seconds normalized away — bucket timestamps
+    * are whole milliseconds on resolution marks). Engine-exact: the
+    * wall-clock shift and the offset are integer tzdb arithmetic, no
+    * floats. */
+  def localTimestamp(tsMs: Column, zone: String): Column = {
+    // from_utc_timestamp shifts to local WALL time; formatting the
+    // shifted value in the (UTC-pinned) session renders local time
+    val localNaive = from_utc_timestamp(timestamp_millis(tsMs), zone)
+    // integral minutes: Spark's `/` is fractional division, so cast
+    // back to BIGINT (offsets are exact minute multiples, and small
+    // integers divide exactly in double)
+    val offMin = ((unix_millis(localNaive) - tsMs) / lit(60000L)).cast("long")
+    concat(
+      date_format(localNaive, "yyyy-MM-dd'T'HH:mm:ss"),
+      when(offMin < 0, "-").otherwise("+"),
+      lpad((abs(offMin) / lit(60L)).cast("long").cast("string"), 2, "0"),
+      lit(":"),
+      lpad((abs(offMin) % 60).cast("string"), 2, "0"))
+  }
+
+  // ------------------------------------------------------ units meta
+  /** The response's per-path `units` map (HistoryAPI.ts:529-538: the
+    * wrapper carries `units` after `data`) as a broadcast-dim join:
+    * one row per REQUESTED path with its unit from the registry,
+    * "Not available" for unregistered paths (the reference's metadata
+    * placeholder). The registry is metadata-scale (one row per known
+    * path) and broadcasts; the request's path list is literal — no
+    * data-table scan is involved at any scale. */
+  def unitsFor(registry: DataFrame, specs: Seq[PathSpec]): DataFrame = {
+    val spark = registry.sparkSession
+    import spark.implicits._
+    val requested = specs.map(s => (s.path, s.method.toString.toLowerCase))
+      .toDF("path", "method")
+    requested.join(broadcast(registry), Seq("path"), "left")
+      .select(col("path"), col("method"),
+        coalesce(col("units"), lit("Not available")).as("units"))
+  }
+
   /** `/history/contexts` equivalent. */
   def contexts(series: DataFrame, fromMs: Long, toMs: Long): DataFrame =
     series.where(col("ts_ms") >= fromMs && col("ts_ms") < toMs)
