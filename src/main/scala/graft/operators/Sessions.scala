@@ -179,6 +179,190 @@ object Sessions {
       |FROM tr WHERE state <> prev_state
       |ORDER BY user_id, ts_ms""".stripMargin
 
+  // ---------------------------------------- automation lifecycle
+  /** Automation enable/disable lifecycle composed over the threshold
+    * band — the reference's command state machine (commands.ts:435-508,
+    * 1683-1708; README "Automation State Machine"): ENABLING automation
+    * (1) forces the command OFF, (2) immediately evaluates every
+    * threshold against the current value — so a below-`lo` last value
+    * re-activates at the enable instant, a band/above value leaves the
+    * forced OFF standing — then (3) the level-triggered watch runs
+    * continuously; DISABLING stops monitoring and leaves the command
+    * state untouched (value moves while disabled change nothing — but
+    * they DO update the "current value" the next enable evaluates).
+    *
+    * Derivation here: `signup` events are the automation toggles
+    * (enable when value ≥ 150), `error` is the watched path with the
+    * 16b Schmitt band (activate < 50, release > 150). An enable whose
+    * immediate evaluation re-activates nets NO visible transition when
+    * the command was already ON (the reference's OFF→ON happens inside
+    * one evaluation turn); the event-granularity state log is what the
+    * operator emits.
+    *
+    * Spark-first: the whole lifecycle is STILL a running
+    * last-non-null — the decisive stream just gains a third source:
+    * enable events are decisive with (last value < lo), watched values
+    * are decisive only while the last toggle is an enable, disables
+    * are never decisive. ONE shuffle on the key, four windows inside
+    * it, no iteration (the same seam as 16b). */
+  def automationLifecycle(spark: SparkSession, dir: String): DataFrame =
+    automationLifecycleOn(Tables.events(spark, dir))
+
+  /** Core over any (user_id, ts_ms, event_id, event_type, value) frame
+    * — split out so AutomationSpec can drive constructed lifecycle
+    * scenarios through the real window pass. */
+  private[graft] def automationLifecycleOn(events: DataFrame): DataFrame = {
+    val (lo, hi) = (50.0, 150.0)
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wb = w.rowsBetween(Window.unboundedPreceding, -1)
+    val isToggle = col("event_type") === "signup"
+    val isEnable = isToggle && col("value") >= 150.0
+    events
+      .where(col("event_type").isin("error", "signup"))
+      // enabled state as of THIS row (a toggle applies to itself)
+      .withColumn("enabled", coalesce(
+        last(when(isToggle, isEnable.cast("int")), ignoreNulls = true).over(wp),
+        lit(0)))
+      // the watched path's current value BEFORE this row — what an
+      // enable's immediate evaluation reads
+      .withColumn("last_val",
+        last(when(col("event_type") === "error", col("value")),
+          ignoreNulls = true).over(wb))
+      .withColumn("decisive",
+        when(isEnable, when(col("last_val") < lo, 1).otherwise(0))
+          .when(isToggle, lit(null))
+          .when(col("enabled") === 1 && col("value") < lo, 1)
+          .when(col("enabled") === 1 && col("value") > hi, 0))
+      .withColumn("state", coalesce(last("decisive", ignoreNulls = true).over(wp), lit(0)))
+      .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0)))
+      .where(col("state") =!= col("prev_state"))
+      .select(col("user_id"), col("ts_ms"),
+        when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
+        when(isToggle, "enable_eval").otherwise("watch").as("trigger"),
+        col("value"))
+      .orderBy("user_id", "ts_ms")
+  }
+
+  val automationLifecycleOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type, value,
+      |    (event_type = 'signup') AS is_toggle,
+      |    (event_type = 'signup' AND value >= 150.0) AS is_enable
+      |  FROM events WHERE event_type IN ('error', 'signup')
+      |), en AS (
+      |  SELECT *,
+      |    COALESCE(LAST_VALUE(CASE WHEN is_toggle THEN CAST(is_enable AS INT) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS enabled,
+      |    LAST_VALUE(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_val
+      |  FROM s
+      |), d AS (
+      |  SELECT *, CASE
+      |      WHEN is_enable THEN (CASE WHEN last_val < 50.0 THEN 1 ELSE 0 END)
+      |      WHEN is_toggle THEN NULL
+      |      WHEN enabled = 1 AND value < 50.0 THEN 1
+      |      WHEN enabled = 1 AND value > 150.0 THEN 0 END AS decisive
+      |  FROM en
+      |), st AS (
+      |  SELECT *, COALESCE(LAST_VALUE(decisive IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+      |  FROM d
+      |), tr AS (
+      |  SELECT *, COALESCE(LAG(state) OVER (
+      |    PARTITION BY user_id ORDER BY ts_ms, event_id), 0) AS prev_state
+      |  FROM st
+      |)
+      |SELECT user_id, ts_ms,
+      |  CASE WHEN state = 1 THEN 'activated' ELSE 'deactivated' END AS transition,
+      |  CASE WHEN is_toggle THEN 'enable_eval' ELSE 'watch' END AS trigger,
+      |  value
+      |FROM tr WHERE state <> prev_state
+      |ORDER BY user_id, ts_ms""".stripMargin
+
+  // ---------------------------------------- multi-threshold watch
+  /** k independent threshold watchers over ONE path in ONE scan —
+    * README "Multiple Thresholds Per Path" (a command registers many
+    * ThresholdConfigs on the same watchPath; each holds its own
+    * level-triggered state). The watcher registry — (watcher_id,
+    * direction, activate level, release level) — is a metadata-scale
+    * dim that BROADCASTS onto the value stream (the sk_geofence
+    * registry shape applied to thresholds): the events table is
+    * scanned once, fans out to k state machines per row in place, and
+    * the per-(key, watcher) Schmitt carry runs in the same single
+    * shuffle a one-watcher band pays — adding watchers adds zero scans
+    * and zero exchanges (plan-pinned in MultiThresholdSpec).
+    * Directions per types.ts ThresholdConfig operators: `lt` activates
+    * below its level and releases above the paired release level;
+    * `gt` activates above and releases below. */
+  def multiThreshold(spark: SparkSession, dir: String): DataFrame =
+    multiThresholdOn(Tables.events(spark, dir))
+
+  private[graft] def multiThresholdOn(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val registry = Seq(
+      ("low_alarm", "lt", 50.0, 150.0),
+      ("mid_watch", "lt", 100.0, 200.0),
+      ("overload", "gt", 250.0, 120.0))
+      .toDF("watcher_id", "direction", "act_level", "rel_level")
+    val w = Window.partitionBy("user_id", "watcher_id").orderBy("ts_ms", "event_id")
+    val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .where(col("event_type") === "click")
+      .join(broadcast(registry))
+      .withColumn("decisive",
+        when(col("direction") === "lt",
+          when(col("value") < col("act_level"), 1)
+            .when(col("value") > col("rel_level"), 0))
+          .otherwise(
+            when(col("value") > col("act_level"), 1)
+              .when(col("value") < col("rel_level"), 0)))
+      .withColumn("state", coalesce(last("decisive", ignoreNulls = true).over(wp), lit(0)))
+      .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0)))
+      .where(col("state") =!= col("prev_state"))
+      .select(col("user_id"), col("watcher_id"), col("ts_ms"),
+        when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
+        col("value"))
+      .orderBy("user_id", "watcher_id", "ts_ms")
+  }
+
+  val multiThresholdOracle: String =
+    """WITH reg(watcher_id, direction, act_level, rel_level) AS (
+      |  VALUES ('low_alarm', 'lt', 50.0, 150.0),
+      |         ('mid_watch', 'lt', 100.0, 200.0),
+      |         ('overload', 'gt', 250.0, 120.0)
+      |), s AS (
+      |  SELECT e.user_id, epoch_ms(e.ts) AS ts_ms, e.event_id, e.value,
+      |    r.watcher_id, r.direction, r.act_level, r.rel_level
+      |  FROM events e CROSS JOIN reg r
+      |  WHERE e.event_type = 'click'
+      |), d AS (
+      |  SELECT *, CASE WHEN direction = 'lt' THEN
+      |      (CASE WHEN value < act_level THEN 1 WHEN value > rel_level THEN 0 END)
+      |    ELSE
+      |      (CASE WHEN value > act_level THEN 1 WHEN value < rel_level THEN 0 END)
+      |    END AS decisive
+      |  FROM s
+      |), st AS (
+      |  SELECT *, COALESCE(LAST_VALUE(decisive IGNORE NULLS) OVER (
+      |      PARTITION BY user_id, watcher_id ORDER BY ts_ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS state
+      |  FROM d
+      |), tr AS (
+      |  SELECT *, COALESCE(LAG(state) OVER (
+      |    PARTITION BY user_id, watcher_id ORDER BY ts_ms, event_id), 0) AS prev_state
+      |  FROM st
+      |)
+      |SELECT user_id, watcher_id, ts_ms,
+      |  CASE WHEN state = 1 THEN 'activated' ELSE 'deactivated' END AS transition,
+      |  value
+      |FROM tr WHERE state <> prev_state
+      |ORDER BY user_id, watcher_id, ts_ms""".stripMargin
+
   // ----------------------------------------------- session_window
   /** Gap-based sessionization via Spark's NATIVE `session_window`
     * (3.2+): per-user sessions of `purchase` events with a 12 h
@@ -235,11 +419,15 @@ object Sessions {
     "sk_episodes" -> (episodes _),
     "sk_threshold_hysteresis" -> (thresholdHysteresis _),
     "sk_threshold_band" -> (thresholdBand _),
+    "sk_automation_lifecycle" -> (automationLifecycle _),
+    "sk_multi_threshold" -> (multiThreshold _),
     "sk_session_window" -> (sessionWindows _))
 
   val oracles: Map[String, String] = Map(
     "sk_episodes" -> episodesOracle,
     "sk_threshold_hysteresis" -> thresholdHysteresisOracle,
     "sk_threshold_band" -> thresholdBandOracle,
+    "sk_automation_lifecycle" -> automationLifecycleOracle,
+    "sk_multi_threshold" -> multiThresholdOracle,
     "sk_session_window" -> sessionWindowsOracle)
 }
