@@ -82,6 +82,7 @@ object Modules {
     ("Markov", operators.Markov.queries, operators.Markov.oracles),
     ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
     ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles),
+    ("BandStream", streaming.BandStream.queries, streaming.BandStream.oracles),
     ("SkylineStream", streaming.SkylineStream.queries, streaming.SkylineStream.oracles),
     ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles),
     ("Novelty", text.Novelty.queries, text.Novelty.oracles),
