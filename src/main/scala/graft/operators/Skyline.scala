@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -89,9 +89,113 @@ object Skyline {
       |    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size))
       |ORDER BY q.p_partkey""".stripMargin
 
+  // --------------------------------------------------------------- #79
+  /** 3-objective skyline of `part`: minimize p_retailprice, maximize
+    * p_size, maximize length(p_name) — the dimension step where the
+    * 2-D prefix-max characterization alone stops working (a third
+    * objective has no single total order to prefix over) and the
+    * block-nested-loop-with-prefiltering family this file documented
+    * as "not built" becomes the plan.
+    *
+    * Scale shape, three stages, all on the DISTINCT-TRIPLE frame
+    * (corpus collapses first via one partial-aggregable groupBy):
+    *
+    *  1. CERTIFICATION by the 2-D operator — the prefix-max prefilter:
+    *     a triple on the (price, size) 2-D skyline that also carries
+    *     the max quality of its exact (price, size) class is PROVABLY
+    *     3-D skyline (a dominator would need price ≤ and size ≥; on
+    *     the 2-D frontier that forces price =, size =, then qual =
+    *     max — no strict coordinate left). [[skylineOf]] runs verbatim
+    *     as the certifier; certified points skip stage 2 entirely.
+    *  2. PER-BUCKET dominance (the distributed BNL): a dominator has
+    *     price ≤ the point's, but within a price-range bucket the
+    *     pair work is bounded by the bucket population (the blocked-
+    *     Jaccard discipline) — one equi-join on the bucket id with the
+    *     dominance residual, anti-joining away locally dominated
+    *     points. A true-skyline point is dominated by nobody, so every
+    *     true-skyline point survives its bucket.
+    *  3. GLOBAL MERGE over the RESULT-SIZED pool: if a point is
+    *     dominated at all, it is dominated by a true-skyline point
+    *     (dominance is transitive and antisymmetric on distinct
+    *     triples), and every true-skyline point is in
+    *     cert ∪ local-survivors — so the final anti-join's dominator
+    *     side is frontier-sized and broadcasts; the corpus never
+    *     self-joins globally.
+    *
+    * ≡ the definitional quadratic NOT EXISTS oracle (independent
+    * formulation); Skyline3Spec pins bit-equality with the in-engine
+    * brute force and the certification soundness invariant. */
+  def skyline3(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size"), length(col("p_name")).as("qual"))
+    val t = p.groupBy("price", "size", "qual").agg(count(lit(1)).as("n"))
+      .select("price", "size", "qual")
+      .localCheckpoint() // shared by certifier, bucket join and merge
+    // ---- stage 1: 2-D certification (prefix-max prefilter, reused)
+    val sky2 = skylineOf(t.select(col("qual").as("p_partkey"), col("price"), col("size")))
+      .select(col("p_partkey").as("qual"), col("price"), col("size"))
+    val qmax = t.groupBy("price", "size").agg(max("qual").as("qmax"))
+    val cert = sky2.join(qmax, Seq("price", "size"))
+      .where(col("qual") === col("qmax"))
+      .select("price", "size", "qual")
+      .localCheckpoint()
+    // ---- stage 2: per-bucket dominance over the uncertain rest
+    val bounds = t.agg(min("price"), max("price")).head()
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val nb = 128
+    val bw = math.max((hi - lo) / nb, 1e-9)
+    def bucketed(df: DataFrame) = df.withColumn("b",
+      least(floor((col("price") - lit(lo)) / lit(bw)), lit(nb - 1)).cast("int"))
+    def dominates(dp: Column, ds: Column, dq: Column,
+        pp: Column, ps: Column, pq: Column): Column =
+      dp <= pp && ds >= ps && dq >= pq && (dp < pp || ds > ps || dq > pq)
+    val uncertain = bucketed(t.join(cert, Seq("price", "size", "qual"), "left_anti"))
+    val dom = bucketed(t).select(col("b"),
+      col("price").as("dp"), col("size").as("ds"), col("qual").as("dq"))
+    val localSky = uncertain.join(dom,
+        uncertain("b") === dom("b") &&
+          dominates(col("dp"), col("ds"), col("dq"),
+            uncertain("price"), uncertain("size"), uncertain("qual")),
+        "left_anti")
+      .select("price", "size", "qual")
+      .localCheckpoint()
+    // ---- stage 3: global merge against the frontier-sized pool
+    val pool = cert.unionByName(localSky)
+      .select(col("price").as("dp"), col("size").as("ds"), col("qual").as("dq"))
+    val merged = localSky.join(broadcast(pool),
+        dominates(col("dp"), col("ds"), col("dq"),
+          col("price"), col("size"), col("qual")),
+        "left_anti")
+    val sky3 = cert.unionByName(merged)
+    p.join(sky3, Seq("price", "size", "qual"))
+      .select(col("p_partkey"), col("price").as("p_retailprice"),
+        col("size").as("p_size"), col("qual").as("name_len"))
+      .orderBy("p_partkey")
+  }
+
+  /** Independent formulation: the definitional quadratic dominance
+    * test over the three objectives. */
+  val skyline3Oracle: String =
+    """WITH t AS (
+      |  SELECT p_partkey, p_retailprice, p_size, length(p_name) AS name_len
+      |  FROM part
+      |)
+      |SELECT q.p_partkey, q.p_retailprice, q.p_size, q.name_len
+      |FROM t q
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM t p
+      |  WHERE p.p_retailprice <= q.p_retailprice AND p.p_size >= q.p_size
+      |    AND p.name_len >= q.name_len
+      |    AND (p.p_retailprice < q.p_retailprice OR p.p_size > q.p_size
+      |         OR p.name_len > q.name_len))
+      |ORDER BY q.p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skyline" -> (skyline _))
+    "q_skyline" -> (skyline _),
+    "q_skyline3" -> (skyline3 _))
 
   val oracles: Map[String, String] = Map(
-    "q_skyline" -> skylineOracle)
+    "q_skyline" -> skylineOracle,
+    "q_skyline3" -> skyline3Oracle)
 }
