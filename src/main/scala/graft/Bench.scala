@@ -35,7 +35,12 @@ object Bench {
     // partial-compaction federation, band threshold, object paths
     "dedup_incremental_lsh_stored", "ann_ivfpq_stored",
     "stream_replay_live", "sk_buffer_union", "sk_threshold_band",
-    "sk_object_path")
+    "sk_object_path",
+    // round-14 additions: stored graph twins (median-of-3 so the
+    // one-time staging cost lands on sample 1, not the median),
+    // streaming Schmitt band, 3-objective skyline
+    "graph_pagerank_stored", "embed_knn_graph_stored",
+    "stream_threshold_band", "q_skyline3")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:
