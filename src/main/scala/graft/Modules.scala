@@ -83,6 +83,7 @@ object Modules {
     ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
     ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles),
     ("BandStream", streaming.BandStream.queries, streaming.BandStream.oracles),
+    ("LifecycleStream", streaming.LifecycleStream.queries, streaming.LifecycleStream.oracles),
     ("SkylineStream", streaming.SkylineStream.queries, streaming.SkylineStream.oracles),
     ("TopTerms", text.TopTerms.queries, text.TopTerms.oracles),
     ("Novelty", text.Novelty.queries, text.Novelty.oracles),

@@ -211,7 +211,28 @@ object Sessions {
   /** Core over any (user_id, ts_ms, event_id, event_type, value) frame
     * — split out so AutomationSpec can drive constructed lifecycle
     * scenarios through the real window pass. */
-  private[graft] def automationLifecycleOn(events: DataFrame): DataFrame = {
+  private[graft] def automationLifecycleOn(events: DataFrame): DataFrame =
+    lifecycleTransitions(
+      lifecycleAnnotated(events, emptyLifecycleCarry(events.sparkSession)))
+      .orderBy("user_id", "ts_ms")
+
+  /** Empty lifecycle carry — the batch operator's "no history" seam
+    * (the streaming twin feeds the real per-user store instead). */
+  private[graft] def emptyLifecycleCarry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Int, Option[Double], Int)]
+      .toDF("user_id", "enabled0", "last_val0", "state0")
+  }
+
+  /** The lifecycle window pass with an explicit CARRY seam: the three
+    * per-user quantities a time-sliced prefix leaves behind — enabled
+    * (last toggle), last_val (watched path's current value) and state
+    * (last decisive) — arrive as join columns and replace the window
+    * defaults, so running this batch-at-a-time over time slices with
+    * the carried quantities reproduces the one-shot pass exactly
+    * (every window here is a running last-non-null, and the carry IS
+    * its prefix value). */
+  private[graft] def lifecycleAnnotated(events: DataFrame, carry: DataFrame): DataFrame = {
     val (lo, hi) = (50.0, 150.0)
     val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
     val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -220,29 +241,34 @@ object Sessions {
     val isEnable = isToggle && col("value") >= 150.0
     events
       .where(col("event_type").isin("error", "signup"))
+      .join(carry, Seq("user_id"), "left")
       // enabled state as of THIS row (a toggle applies to itself)
       .withColumn("enabled", coalesce(
         last(when(isToggle, isEnable.cast("int")), ignoreNulls = true).over(wp),
-        lit(0)))
+        col("enabled0"), lit(0)))
       // the watched path's current value BEFORE this row — what an
       // enable's immediate evaluation reads
-      .withColumn("last_val",
+      .withColumn("last_val", coalesce(
         last(when(col("event_type") === "error", col("value")),
-          ignoreNulls = true).over(wb))
+          ignoreNulls = true).over(wb),
+        col("last_val0")))
       .withColumn("decisive",
         when(isEnable, when(col("last_val") < lo, 1).otherwise(0))
           .when(isToggle, lit(null))
           .when(col("enabled") === 1 && col("value") < lo, 1)
           .when(col("enabled") === 1 && col("value") > hi, 0))
-      .withColumn("state", coalesce(last("decisive", ignoreNulls = true).over(wp), lit(0)))
-      .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0)))
-      .where(col("state") =!= col("prev_state"))
+      .withColumn("state", coalesce(
+        last("decisive", ignoreNulls = true).over(wp), col("state0"), lit(0)))
+      .withColumn("prev_state", coalesce(
+        lag("state", 1).over(w), col("state0"), lit(0)))
+  }
+
+  private[graft] def lifecycleTransitions(ann: DataFrame): DataFrame =
+    ann.where(col("state") =!= col("prev_state"))
       .select(col("user_id"), col("ts_ms"),
         when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
-        when(isToggle, "enable_eval").otherwise("watch").as("trigger"),
+        when(col("event_type") === "signup", "enable_eval").otherwise("watch").as("trigger"),
         col("value"))
-      .orderBy("user_id", "ts_ms")
-  }
 
   val automationLifecycleOracle: String =
     """WITH s AS (
@@ -301,19 +327,42 @@ object Sessions {
   def multiThreshold(spark: SparkSession, dir: String): DataFrame =
     multiThresholdOn(Tables.events(spark, dir))
 
-  private[graft] def multiThresholdOn(events: DataFrame): DataFrame = {
-    val spark = events.sparkSession
+  private[graft] def multiThresholdOn(events: DataFrame): DataFrame =
+    multiThresholdAnnotated(events, emptyWatcherCarry(events.sparkSession))
+      .where(col("state") =!= col("prev_state"))
+      .select(col("user_id"), col("watcher_id"), col("ts_ms"),
+        when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
+        col("value"))
+      .orderBy("user_id", "watcher_id", "ts_ms")
+
+  /** The demo watcher registry (one row per ThresholdConfig on the
+    * watched path) — shared with the streaming twin. */
+  private[graft] def watcherRegistry(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val registry = Seq(
+    Seq(
       ("low_alarm", "lt", 50.0, 150.0),
       ("mid_watch", "lt", 100.0, 200.0),
       ("overload", "gt", 250.0, 120.0))
       .toDF("watcher_id", "direction", "act_level", "rel_level")
+  }
+
+  private[graft] def emptyWatcherCarry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, String, Int)].toDF("user_id", "watcher_id", "state0")
+  }
+
+  /** The k-watcher window pass with an explicit per-(user, watcher)
+    * CARRY seam (see [[lifecycleAnnotated]]): `state0` replaces the
+    * initial-OFF default, so slice-at-a-time evaluation with carried
+    * states reproduces the one-shot pass exactly. */
+  private[graft] def multiThresholdAnnotated(events: DataFrame, carry: DataFrame): DataFrame = {
+    val spark = events.sparkSession
     val w = Window.partitionBy("user_id", "watcher_id").orderBy("ts_ms", "event_id")
     val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .where(col("event_type") === "click")
-      .join(broadcast(registry))
+      .join(broadcast(watcherRegistry(spark)))
+      .join(carry, Seq("user_id", "watcher_id"), "left")
       .withColumn("decisive",
         when(col("direction") === "lt",
           when(col("value") < col("act_level"), 1)
@@ -321,13 +370,10 @@ object Sessions {
           .otherwise(
             when(col("value") > col("act_level"), 1)
               .when(col("value") < col("rel_level"), 0)))
-      .withColumn("state", coalesce(last("decisive", ignoreNulls = true).over(wp), lit(0)))
-      .withColumn("prev_state", coalesce(lag("state", 1).over(w), lit(0)))
-      .where(col("state") =!= col("prev_state"))
-      .select(col("user_id"), col("watcher_id"), col("ts_ms"),
-        when(col("state") === 1, "activated").otherwise("deactivated").as("transition"),
-        col("value"))
-      .orderBy("user_id", "watcher_id", "ts_ms")
+      .withColumn("state", coalesce(
+        last("decisive", ignoreNulls = true).over(wp), col("state0"), lit(0)))
+      .withColumn("prev_state", coalesce(
+        lag("state", 1).over(w), col("state0"), lit(0)))
   }
 
   val multiThresholdOracle: String =
