@@ -79,6 +79,7 @@ object Modules {
     ("Corpus", text.Corpus.queries, text.Corpus.oracles),
     ("Graph2", similarity.Graph2.queries, similarity.Graph2.oracles),
     ("GraphStore", similarity.GraphStore.queries, similarity.GraphStore.oracles),
+    ("Hybrid", similarity.Hybrid.queries, similarity.Hybrid.oracles),
     ("Markov", operators.Markov.queries, operators.Markov.oracles),
     ("Skyline", operators.Skyline.queries, operators.Skyline.oracles),
     ("MarkovStream", streaming.MarkovStream.queries, streaming.MarkovStream.oracles),

@@ -1,0 +1,129 @@
+package graft.similarity
+
+import graft.Tables
+import graft.funcs.r6
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack et al.
+  * SIGIR 2009) — the standard way a curation/RAG pipeline combines
+  * keyword and semantic relevance without calibrating their scores
+  * against each other: each modality contributes 1/(k₀ + rank) for
+  * documents in ITS top-K list, and candidates sort by the sum. The
+  * composition closes the retrieval story: term overlap (the native
+  * merge-walk [[graft.functions.OverlapCount]]) supplies the lexical
+  * leg, 6-dp cosine over the embedding corpus the semantic leg.
+  *
+  * Scale shape — the ann_topk discipline end to end: the probe set
+  * BROADCASTS onto both corpora (documents and embeddings never
+  * shuffle), each modality's top-K is the native bounded-heap
+  * `graft_topk` partial aggregate (shuffle carries O(K·probes·maps),
+  * never scored rows), and the fusion is a full-outer join of two
+  * K-sized rank lists per probe — result-scale work. At 100 TB the
+  * semantic leg composes with IVF pruning (40aa) and the lexical leg
+  * with an inverted postings table; the fusion stage is unchanged.
+  *
+  * Cross-engine determinism: keyword scores are integers, cosines are
+  * 6-dp rounded with lower-id ties (the graft_topk total order ≡ the
+  * oracle's ROW_NUMBER(score DESC, id)), and the RRF sum is two IEEE
+  * divides of identical small integers added in a fixed order — the
+  * oracle mirrors it with explicit DOUBLE casts (a bare 1.0 literal is
+  * DECIMAL in both engines' SQL dialects, §5a #28's class).
+  */
+object Hybrid {
+
+  private val K = 50 // per-modality candidate depth
+  private val Rrf = 60 // the standard RRF constant
+  private val TopN = 10
+  private val probeIds = Seq(0L, 1L, 2L)
+
+  // --------------------------------------------------------------- #82
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    graft.functions.OverlapCount.register(spark)
+    // ---- lexical leg: docs sharing at least one term, ranked by
+    // exact term-set overlap (merge walk over sorted-distinct tokens)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
+    val probesT = docs.where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("toks").as("q_toks"))
+    val kwRanks = docs
+      .crossJoin(broadcast(probesT))
+      .where(col("doc_id") =!= col("probe_id"))
+      .withColumn("kw", call_function("graft_overlap", col("toks"), col("q_toks")))
+      .where(col("kw") > 0)
+      .groupBy("probe_id")
+      .agg(expr(s"graft_topk(CAST(kw AS DOUBLE), doc_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("kw_rank"))
+    // ---- semantic leg: 6-dp cosine over the embedding corpus
+    val e = Embeddings.vecs(spark, dir)
+    val probesV = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"),
+        col("norm2").as("norm2_a"))
+    val cosRanks = e
+      .select(col("vec_id"), col("v").as("v_b"), col("norm2").as("norm2_b"))
+      .crossJoin(broadcast(probesV))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Embeddings.cosine)
+      .groupBy("probe_id")
+      .agg(expr(s"graft_topk(cos, vec_id, $K)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col.id").as("doc_id"),
+        (col("pos") + 1).cast("int").as("cos_rank"))
+    // ---- fusion: 1/(60 + rank) per contributing list, absent → 0
+    val contrib = (rank: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(Rrf).cast("double") + rank), lit(0.0))
+    val w = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id"))
+    kwRanks.join(cosRanks, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf", contrib(col("kw_rank")) + contrib(col("cos_rank")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopN)
+      .select("probe_id", "rank", "doc_id", "kw_rank", "cos_rank", "rrf")
+      .orderBy("probe_id", "rank")
+  }
+
+  val hybridRrfOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+       |), p AS (
+       |  SELECT doc_id AS probe_id, toks AS q_toks FROM d WHERE doc_id IN (0, 1, 2)
+       |), kw AS (
+       |  SELECT p.probe_id, d.doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |      ORDER BY len(list_intersect(d.toks, p.q_toks)) DESC, d.doc_id) AS INT) AS kw_rank
+       |  FROM d JOIN p ON d.doc_id <> p.probe_id
+       |  WHERE len(list_intersect(d.toks, p.q_toks)) > 0
+       |  QUALIFY kw_rank <= $K
+       |), e AS (${Embeddings.vecsSql}
+       |), a AS (
+       |  SELECT vec_id AS probe_id, v, norm2 FROM e WHERE vec_id IN (0, 1, 2)
+       |), cs AS (
+       |  SELECT a.probe_id, b.vec_id AS doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY a.probe_id
+       |      ORDER BY ${Embeddings.cosSql} DESC, b.vec_id) AS INT) AS cos_rank
+       |  FROM a JOIN e b ON b.vec_id <> a.probe_id
+       |  QUALIFY cos_rank <= $K
+       |), f AS (
+       |  SELECT COALESCE(kw.probe_id, cs.probe_id) AS probe_id,
+       |    COALESCE(kw.doc_id, cs.doc_id) AS doc_id, kw.kw_rank, cs.cos_rank,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST($Rrf AS DOUBLE) + kw.kw_rank), 0.0) +
+       |      COALESCE(CAST(1.0 AS DOUBLE) / (CAST($Rrf AS DOUBLE) + cs.cos_rank), 0.0) AS rrf
+       |  FROM kw FULL OUTER JOIN cs
+       |    ON kw.probe_id = cs.probe_id AND kw.doc_id = cs.doc_id
+       |)
+       |SELECT probe_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       |  doc_id, kw_rank, cos_rank, rrf
+       |FROM f
+       |QUALIFY rank <= $TopN
+       |ORDER BY probe_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "retrieve_hybrid_rrf" -> (hybridRrf _))
+
+  val oracles: Map[String, String] = Map(
+    "retrieve_hybrid_rrf" -> hybridRrfOracle)
+}
