@@ -80,13 +80,63 @@ object GraphStore {
     Graph2.pageRankIterate(edgesDeg, deg)
   }
 
+  // ------------------------------------------------------------- #70b
+  /** Semantic clusters: connected components over the STAGED
+    * mutual-kNN graph — the graph analytics trio completed (edges,
+    * centrality, clusters) on the same persisted store. Mutual-kNN
+    * components are the standard "semantic island" clustering a
+    * curation pipeline samples across (each component = one tight
+    * semantic neighborhood; the mutual filter keeps hub vectors from
+    * gluing everything together). Reuses the dedup family's
+    * path-halving label propagation ([[graft.dedup.Components
+    * .connectedComponents]]) verbatim — the store supplies the edge
+    * list, no raw vector is touched (the 33e plan pin covers the
+    * shared staged read). Output is the per-component summary
+    * (component id = min vec id, size, id sum, max id — the
+    * dedup_components contract). */
+  def knnComponentsStored(spark: SparkSession, dir: String): DataFrame = {
+    val root = stageKnnGraph(spark, dir)
+    val edges = spark.read.parquet(s"$root/edges")
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    graft.dedup.Components.connectedComponents(edges)
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum("id").as("id_sum"),
+        max("id").as("max_id"))
+      .orderBy("component_id")
+  }
+
+  /** Same reach-CTE oracle shape as dedup_components, over the
+    * MATERIALIZED kNN edge set (the pagerank oracle's 10×-budget
+    * move). */
+  val knnComponentsOracle: String =
+    s"""WITH RECURSIVE g AS MATERIALIZED (
+       |  ${KnnGraph.knnGraphOracle.replace("ORDER BY id_a, id_b", "")}
+       |),
+       |e AS (
+       |  SELECT id_a AS src, id_b AS dst FROM g
+       |  UNION ALL SELECT id_b, id_a FROM g
+       |),
+       |n AS (SELECT DISTINCT src AS id FROM e),
+       |reach AS (
+       |  SELECT id, id AS lbl FROM n
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl FROM reach r JOIN e ON e.src = r.id WHERE r.lbl < e.dst
+       |),
+       |comp AS (SELECT id, MIN(lbl) AS component_id FROM reach GROUP BY 1)
+       |SELECT component_id, COUNT(*) AS n_members,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum, MAX(id) AS max_id
+       |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn_graph_stored" -> (knnGraphStored _),
-    "graph_pagerank_stored" -> (pageRankStored _))
+    "graph_pagerank_stored" -> (pageRankStored _),
+    "graph_components_stored" -> (knnComponentsStored _))
 
   /** The store is result-invisible: both oracles are the full-recompute
     * SQL of the inline twins. */
   val oracles: Map[String, String] = Map(
     "embed_knn_graph_stored" -> KnnGraph.knnGraphOracle,
-    "graph_pagerank_stored" -> Graph2.pageRankOracle)
+    "graph_pagerank_stored" -> Graph2.pageRankOracle,
+    "graph_components_stored" -> knnComponentsOracle)
 }

@@ -42,6 +42,23 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("stored kNN components partition the edge node set") {
+    val comp = graft.similarity.GraphStore.knnComponentsStored(spark, sfDir).collect()
+    assert(comp.nonEmpty)
+    // components partition the node set of the mutual graph: member
+    // counts sum to the number of distinct endpoint ids, and every
+    // component id is its own minimum (id_sum/max bounds check)
+    val edges = graft.similarity.GraphStore.knnGraphStored(spark, sfDir)
+      .select("id_a", "id_b").collect()
+    val nodes = edges.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(comp.map(_.getLong(1)).sum == nodes.size)
+    comp.foreach { r =>
+      val (cid, n, sum, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cid <= mx && n >= 2, r.toString) // every edge node has a neighbor
+      assert(sum >= cid + (n - 1) * cid, r.toString)
+    }
+  }
+
   test("staleness: a changed layout token re-stages the store") {
     // same source fingerprint, different layout → different tmp root;
     // a fresh layout string must produce a directory with a marker
