@@ -91,7 +91,8 @@ object Modules {
     ("Seasonal", operators.Seasonal.queries, operators.Seasonal.oracles),
     ("FunnelStream", streaming.FunnelStream.queries, streaming.FunnelStream.oracles),
     ("Triplets", similarity.Triplets.queries, similarity.Triplets.oracles),
-    ("RollingCorr", operators.RollingCorr.queries, operators.RollingCorr.oracles))
+    ("RollingCorr", operators.RollingCorr.queries, operators.RollingCorr.oracles),
+    ("Dsir", text.Dsir.queries, text.Dsir.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
