@@ -92,7 +92,8 @@ object Modules {
     ("FunnelStream", streaming.FunnelStream.queries, streaming.FunnelStream.oracles),
     ("Triplets", similarity.Triplets.queries, similarity.Triplets.oracles),
     ("RollingCorr", operators.RollingCorr.queries, operators.RollingCorr.oracles),
-    ("Dsir", text.Dsir.queries, text.Dsir.oracles))
+    ("Dsir", text.Dsir.queries, text.Dsir.oracles),
+    ("WeightedSample", text.WeightedSample.queries, text.WeightedSample.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)
