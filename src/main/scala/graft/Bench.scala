@@ -40,7 +40,11 @@ object Bench {
     // one-time staging cost lands on sample 1, not the median),
     // streaming Schmitt band, 3-objective skyline
     "graph_pagerank_stored", "embed_knn_graph_stored",
-    "graph_components_stored", "stream_threshold_band", "q_skyline3")
+    "graph_components_stored", "stream_threshold_band", "q_skyline3",
+    // late-r14 families: single-pass PCA, KMV overlap sketches (batch
+    // + live store), ANN recall eval
+    "embed_pca", "sketch_kmv_overlap", "stream_kmv_overlap",
+    "ann_recall_eval")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

@@ -93,7 +93,13 @@ object Modules {
     ("Triplets", similarity.Triplets.queries, similarity.Triplets.oracles),
     ("RollingCorr", operators.RollingCorr.queries, operators.RollingCorr.oracles),
     ("Dsir", text.Dsir.queries, text.Dsir.oracles),
-    ("WeightedSample", text.WeightedSample.queries, text.WeightedSample.oracles))
+    ("WeightedSample", text.WeightedSample.queries, text.WeightedSample.oracles),
+    ("Pca", similarity.Pca.queries, similarity.Pca.oracles),
+    ("KmvOverlap", dedup.KmvOverlap.queries, dedup.KmvOverlap.oracles),
+    ("AnnEval", similarity.AnnEval.queries, similarity.AnnEval.oracles),
+    ("KmvStream", streaming.KmvStream.queries, streaming.KmvStream.oracles),
+    ("KlMix", text.KlMix.queries, text.KlMix.oracles),
+    ("PcaStream", streaming.PcaStream.queries, streaming.PcaStream.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

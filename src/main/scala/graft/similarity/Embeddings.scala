@@ -30,6 +30,13 @@ object Embeddings {
   // zero vectors upstream (`where(norm2 > 0)`) before these operators.
   private[similarity] def vecs(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
+    vecsOf(Tables.embeddings(spark, dir))
+  }
+
+  /** The same vector preparation over an already-loaded embeddings
+    * frame (streaming micro-batches — [[graft.streaming.PcaStream]]).
+    * Caller must have registered graft_dot/graft_dense. */
+  private[graft] def vecsOf(emb: DataFrame): DataFrame = {
     // repartition: the single-file table otherwise pins the remaining
     // interpreted per-row transform to ONE core at test scale; at
     // warehouse scale the input splits provide the fan-out for free
@@ -38,7 +45,7 @@ object Embeddings {
     // graft_dot loop downstream — assert the elements non-null once
     // here (the driver writes dense embeddings; zero-norm precondition
     // above already excludes degenerate vectors)
-    Tables.embeddings(spark, dir)
+    emb
       .repartition(32)
       .withColumn("v", expr("graft_dense(transform(embedding, x -> CAST(x AS DOUBLE)))"))
       .withColumn("norm2", dot("v", "v"))

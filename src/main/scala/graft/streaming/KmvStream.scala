@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.dedup.KmvOverlap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Live corpus-overlap maintenance — the streaming twin of
+  * [[KmvOverlap.kmvOverlap]]: per-source KMV bottom-k sketches kept
+  * current as document batches arrive, so the "how much does the
+  * incoming crawl overlap what we hold" answer is always one
+  * metadata-sized estimator pass away (ingest gating at 100 TB/day
+  * can't afford a corpus rescan per decision).
+  *
+  * Shape: the [[Streaming.streamHll]] sketch-store discipline — each
+  * micro-batch reduces to its OWN per-source bottom-k delta (the
+  * [[graft.functions.KmvSketch graft_kmv]] partial aggregate, ≤ k
+  * longs per source per map task), which merges into the persisted
+  * sketch store by union-and-resketch: bottom-k is a MERGEABLE
+  * synopsis — k-smallest-distinct(K(A) ∪ K(B)) = K(A ∪ B) — so
+  * trigger-at-a-time maintenance is bit-equal to the one-shot batch
+  * sketch over the concatenated slices, and the BATCH oracle carries
+  * over verbatim. The store is S rows × ≤ k longs, independent of
+  * throughput; the raw stream is never retained. Store swaps are
+  * atomic per trigger (the tier-maintenance discipline).
+  */
+object KmvStream {
+
+  // -------------------------------------------------------------- #101
+  def streamKmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGrams.register(spark)
+    graft.functions.PolyHash.register(spark)
+    graft.functions.KmvSketch.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    // three doc_id-range slices, one file per trigger (the
+    // streamDedupLsh staging; slice order is immaterial here — the
+    // sketch union is fully order-free)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_kmv_src").toString
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_kmv_store").toString
+    val store = base + "/sketches"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def swap(tmp: String, dst: String): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
+    }
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        graft.functions.NGrams.register(sp)
+        graft.functions.PolyHash.register(sp)
+        graft.functions.KmvSketch.register(sp)
+        val delta = KmvOverlap.sketches(batch)
+        val merged =
+          if (fs.exists(new org.apache.hadoop.fs.Path(store)))
+            // union-and-resketch: explode both ≤k-long arrays and fold
+            // them back through graft_kmv — the bounded sketch union
+            sp.read.parquet(store).unionByName(delta)
+              .select(col("source"), explode(col("sk")).as("h"))
+              .groupBy("source")
+              .agg(expr(s"graft_kmv(h, ${KmvOverlap.K})").as("sk"))
+          else delta
+        val tmp = store + "_next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        swap(tmp, store)
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_kmv").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    KmvOverlap.estimator(spark.read.parquet(store))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_kmv_overlap" -> (streamKmvOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    // bottom-k union-merge is associative over any slicing of the
+    // corpus, so the batch oracle carries verbatim
+    "stream_kmv_overlap" -> KmvOverlap.kmvOverlapOracle)
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.similarity.{AnnEval, Embeddings}
+import org.apache.spark.sql.functions._
+
+/** ANN recall@k evaluation (similarity/AnnEval.scala). */
+class AnnEvalSpec extends SparkSpec {
+
+  private lazy val out = AnnEval.annRecall(spark, sfDir).cache()
+
+  test("one row per probe; recall in [0,1] with n_hits <= k") {
+    val probes = Embeddings.annTopK(spark, sfDir)
+      .select("probe_id").distinct().count()
+    assert(out.count() === probes)
+    assert(out.where(col("recall_at_k") < 0 || col("recall_at_k") > 1).count() === 0)
+    assert(out.where(col("n_hits") > col("k")).count() === 0)
+  }
+
+  test("recall matches a direct set intersection of the two rank lists") {
+    val exact = Embeddings.annTopK(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Embeddings.annIvfTopK(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.collect().foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val expK = exact.count(_._1 == p)
+      val expHits = exact.count(t => t._1 == p && approx.contains(t))
+      assert(r.getAs[Long]("k") === expK)
+      assert(r.getAs[Long]("n_hits") === expHits)
+      assert(r.getAs[Double]("recall_at_k") === expHits.toDouble / expK)
+    }
+  }
+
+  test("IVF with nprobe=4 recalls a nontrivial share of the exact top-10") {
+    // the index is useful, not vacuous: average recall strictly positive
+    val mean = out.agg(avg("recall_at_k")).head().getDouble(0)
+    assert(mean > 0.2, s"avg recall $mean")
+  }
+}
