@@ -425,4 +425,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashEx == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
     assert(p.contains("Generate"), p.take(3000))
   }
+
+  test("pca moment fold partial-aggregates map-side: the exchange carries buffers, not rows") {
+    graft.functions.GramMatrix.register(spark)
+    graft.functions.DotProduct.register(spark)
+    import org.apache.spark.sql.functions._
+    val agg = Tables.embeddings(spark, sfDir)
+      .withColumn("v", expr("graft_dense(transform(embedding, x -> CAST(x AS DOUBLE)))"))
+      .agg(expr("graft_gram(v)"))
+    val p = agg.queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial_ phase before the single-partition exchange — the map
+    // side reduces every slice to ONE 16 KB buffer
+    assert(p.contains("partial_graft_gram"), p.take(3000))
+  }
+
+  test("kmv sketches partial-aggregate map-side; no (source,hash) pre-distinct exchange") {
+    graft.functions.NGrams.register(spark)
+    graft.functions.PolyHash.register(spark)
+    graft.functions.KmvSketch.register(spark)
+    // audit the corpus-touching stage (the estimator's final plan
+    // starts from the localCheckpointed sketch table)
+    val p = graft.dedup.KmvOverlap.sketches(Tables.documents(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_graft_kmv"), p.take(3000))
+    // the ONLY exchange is the source-keyed buffer shuffle — no
+    // pre-distinct of (source, hash) rows anywhere
+    val hashEx = p.sliding("hashpartitioning".length).count(_ == "hashpartitioning")
+    assert(hashEx == 1, s"expected 1 hash exchange, plan:\n${p.take(3000)}")
+  }
+
+  test("pca projection adds NO exchange over the corpus scan") {
+    val df = graft.similarity.Pca.embedPca(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // broadcast-literal mu/pc arrays: the projection is scan →
+    // project → presentation sort; the only allowed exchanges are the
+    // deliberate fan-out repartition and the final orderBy range
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    assert(p.contains("graft_dot"), p.take(3000))
+  }
 }
