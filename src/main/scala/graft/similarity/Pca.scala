@@ -85,6 +85,9 @@ object Pca {
     * (exact scaled-long sums are associative over any slicing). */
   private[graft] def projectWith(
       vecs: org.apache.spark.sql.DataFrame, m: Array[Long], nRows: Long): DataFrame = {
+    // an empty corpus folds to an EMPTY buffer (graft_gram never saw a
+    // row) — fail loudly instead of indexing into it
+    require(m.nonEmpty && nRows > 0, "embed_pca: empty embedding corpus")
     val n = nRows.toDouble
     val d = m(0).toInt
     require(d == D, s"embed_pca expects $D-dim embeddings, got $d")

@@ -145,4 +145,21 @@ class DegenerateInputSpec extends SparkSpec {
     assert(graft.spatial.Spatial.proximityJoin(spark, dir).count() == 0) // no 'view' fixes
     assert(TimeSeries.sma(spark, dir).count() == seriesRows.size)
   }
+
+  test("pca: an empty embedding corpus fails loudly, not with an index error") {
+    val empty = java.nio.file.Files.createTempDirectory("graft_degen_pca").toString
+    Tables.embeddings(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(empty + "/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.Pca.embedPca(spark, empty)
+    }
+    assert(e.getMessage.contains("empty embedding corpus"))
+  }
+
+  test("kmv overlap: a single-source corpus yields zero pair rows, not an error") {
+    val one = java.nio.file.Files.createTempDirectory("graft_degen_kmv").toString
+    Tables.documents(spark, sfDir).where(col("source") === "src0")
+      .write.mode("overwrite").parquet(one + "/documents.parquet")
+    assert(graft.dedup.KmvOverlap.kmvOverlap(spark, one).count() === 0)
+  }
 }
