@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.Tables
+import graft.funcs.r6
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -138,9 +139,73 @@ object KmvOverlap {
        |  ON b.src_a = c.src_a AND b.src_b = c.src_b
        |ORDER BY b.src_a, b.src_b""".stripMargin
 
+  // exact in both engines: 255 · 1 000 000 007 (written as the digit
+  // string so neither engine re-derives it from a float product)
+  private val EstNum = (K - 1).toLong * 1000000007L
+
+  // -------------------------------------------------------------- #104
+  /** Per-source distinct-shingle cardinality from the SAME sketch —
+    * the KMV point estimate DV̂ = (k−1)·M/h₍k₎ (Beyer et al.
+    * SIGMOD'07; M = the hash range, h₍k₎ = the k-th smallest distinct
+    * hash): with the k smallest of a uniform hash occupying the
+    * prefix [0, h₍k₎], the distinct count extrapolates from the
+    * prefix density. An unfull sketch IS the exact distinct set.
+    * Together with n_grams (total shingle instances from the same
+    * single pass) this yields each source's internal duplication
+    * rate — corpus-profiling at 100 TB for the cost of one sketch
+    * fold, no DISTINCT shuffle anywhere.
+    *
+    * Determinism: h₍k₎ ≥ k−1 ≥ 1 (k distinct non-negative longs
+    * ascending), so the division never degenerates; the estimate is
+    * one exact-integer-derived double division, 6-dp rounded. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NGrams.register(spark)
+    graft.functions.PolyHash.register(spark)
+    graft.functions.KmvSketch.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(expr(s"graft_ngrams(split(text, ' '), $N)")).as("g"))
+      .select(col("source"), expr("graft_polyhash(g, 31)").as("h"))
+      .groupBy("source")
+      .agg(expr(s"graft_kmv(h, $K)").as("sk"), count(lit(1)).as("n_grams"))
+      .select(col("source"), col("n_grams"),
+        size(col("sk")).cast("long").as("sketch_size"),
+        r6(when(size(col("sk")) < K, size(col("sk")).cast("double"))
+          .otherwise(lit(EstNum).cast("double") /
+            element_at(col("sk"), K).cast("double"))).as("distinct_est"))
+      .orderBy("source")
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH tok AS (
+       |  SELECT source, string_split(text, ' ') AS ws FROM documents
+       |), ngall AS MATERIALIZED (
+       |  SELECT source,
+       |    list_reduce(list_transform(
+       |      string_split(array_to_string(list_slice(ws, i, i + ${N - 1}), ' '), ''),
+       |      ch -> ascii(ch)::BIGINT), (a, b) -> (a * 31 + b) % 1000000007) AS h
+       |  FROM tok, unnest(generate_series(1, len(ws) - ${N - 1})) t(i)
+       |  WHERE len(ws) >= $N
+       |), totals AS (SELECT source, COUNT(*) AS n_grams FROM ngall GROUP BY source),
+       |sk AS (
+       |  SELECT source, h, r FROM (
+       |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS r
+       |    FROM (SELECT DISTINCT source, h FROM ngall)) WHERE r <= $K
+       |), agg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS sketch_size,
+       |    MAX(CASE WHEN r = $K THEN h END) AS hk
+       |  FROM sk GROUP BY source
+       |)
+       |SELECT a.source, t.n_grams, a.sketch_size,
+       |  ROUND(CASE WHEN a.sketch_size < $K THEN CAST(a.sketch_size AS DOUBLE)
+       |    ELSE CAST($EstNum AS DOUBLE) / CAST(a.hk AS DOUBLE) END, 6) AS distinct_est
+       |FROM agg a JOIN totals t ON a.source = t.source
+       |ORDER BY a.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sketch_kmv_overlap" -> (kmvOverlap _))
+    "sketch_kmv_overlap" -> (kmvOverlap _),
+    "sketch_kmv_distinct" -> (kmvDistinct _))
 
   val oracles: Map[String, String] = Map(
-    "sketch_kmv_overlap" -> kmvOverlapOracle)
+    "sketch_kmv_overlap" -> kmvOverlapOracle,
+    "sketch_kmv_distinct" -> kmvDistinctOracle)
 }

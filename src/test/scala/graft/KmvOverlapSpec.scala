@@ -36,6 +36,27 @@ class KmvOverlapSpec extends SparkSpec {
     assert(one === exp)
   }
 
+  test("kmv distinct estimate tracks the exact distinct shingle count per source") {
+    graft.functions.NGrams.register(spark)
+    graft.functions.PolyHash.register(spark)
+    val est = KmvOverlap.kmvDistinct(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("sketch_size"), r.getAs[Double]("distinct_est"))).toMap
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(expr("graft_ngrams(split(text, ' '), 5)")).as("g"))
+      .select(col("source"), expr("graft_polyhash(g, 31)").as("h")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (s, (nGrams, skSize, dv)) =>
+      val ex = exact(s)
+      assert(nGrams >= ex)                        // instances >= distinct
+      if (skSize < 256) assert(dv === ex.toDouble) // unfull sketch IS exact
+      else assert(math.abs(dv - ex) <= 0.35 * ex,  // se ~ 1/sqrt(255) ~ 6%; 5 se
+        s"$s: est $dv vs exact $ex")
+    }
+  }
+
   test("the estimate tracks the exact shingle jaccard on the seeded mirror overlap") {
     // exact distinct-5-gram jaccard per pair (quadratic — spec scale only)
     graft.functions.NGrams.register(spark)
