@@ -137,4 +137,47 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("kmv sketch: mergeability — sketch(A ∪ B) = k-smallest-distinct(sketch(A) ∪ sketch(B))") {
+    graft.functions.KmvSketch.register(spark)
+    val genVals = Gen.listOfN(400, Gen.choose(0L, 300L)) // dense → heavy duplication
+    def sketchOf(vs: Seq[Long]): Seq[Long] =
+      vs.toDF("h").agg(expr("graft_kmv(h, 16)")).head().getSeq[Long](0).toSeq
+    (1 to 10).foreach { i =>
+      val a = sample(genVals, 9000L + i)
+      val b = sample(genVals, 9500L + i)
+      val skUnion = sketchOf(a ++ b)
+      val merged = (sketchOf(a) ++ sketchOf(b)).distinct.sorted.take(16)
+      val definitional = (a ++ b).distinct.sorted.take(16)
+      assert(skUnion === merged)
+      assert(skUnion === definitional)
+    }
+  }
+
+  test("graft_gram matches a BigDecimal reference on random signed doubles (ties included)") {
+    graft.functions.GramMatrix.register(spark)
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // HALF_UP on the exact binary value == std::round(x*1e9) for
+    // |x·1e9| < 2^53 — the contract the long accumulator must meet
+    def q9(x: Double): Long =
+      new JBD(x).movePointRight(9).setScale(0, RoundingMode.HALF_UP).longValueExact()
+    val genVec = Gen.listOfN(3, Gen.choose(-5.0, 5.0))
+    (1 to 6).foreach { i =>
+      val vecs = (1 to 50).map(j => sample(genVec, 11000L + 100 * i + j).toArray)
+      val d = 3
+      val exp = new Array[Long](1 + d + d * (d + 1) / 2)
+      exp(0) = d.toLong
+      vecs.foreach { v =>
+        var idx = 1 + d
+        for (a <- 0 until d) {
+          exp(1 + a) += q9(v(a))
+          for (b <- a until d) { exp(idx) += q9(v(a) * v(b)); idx += 1 }
+        }
+      }
+      val got = vecs.map(v => Tuple1(v.toSeq)).toDF("v")
+        .repartition(7)
+        .agg(expr("graft_gram(v)")).head().getSeq[Long](0).toSeq
+      assert(got === exp.toSeq)
+    }
+  }
 }
