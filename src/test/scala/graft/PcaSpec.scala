@@ -56,6 +56,26 @@ class PcaSpec extends SparkSpec {
     assert(out.collect().toSeq === again)
   }
 
+  test("whitened coordinates have ~unit variance and ~zero cross-correlation") {
+    val out = Pca.embedWhiten(spark, sfDir).cache()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.count() === n)
+    val r = out.agg(
+      var_pop(col("w1")).as("v1"), var_pop(col("w2")).as("v2"),
+      corr(col("w1"), col("w2")).as("c")).head()
+    // variance along each component equals its eigenvalue, so the
+    // sqrt(lambda) division normalizes to 1 (8 iterations: small
+    // residual off-axis leakage allowed)
+    assert(math.abs(r.getDouble(0) - 1.0) < 0.05, s"var(w1) ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1.0) < 0.20, s"var(w2) ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2)) < 0.15, s"corr ${r.getDouble(2)}")
+    // w1 is the embed_pca projection rescaled: same ordering
+    val pc = Pca.embedPca(spark, sfDir).select("vec_id", "pc1")
+    val joined = out.select("vec_id", "w1").join(pc, "vec_id")
+      .select(corr(col("w1"), col("pc1"))).head().getDouble(0)
+    assert(math.abs(joined) > 0.999, s"w1-pc1 corr $joined")
+  }
+
   test("the dominant component captures more variance than any coordinate axis") {
     // power iteration found a direction whose projected variance beats
     // every single raw coordinate's variance — the defining property of
