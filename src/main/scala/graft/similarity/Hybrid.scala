@@ -1,7 +1,7 @@
 package graft.similarity
 
 import graft.Tables
-import graft.funcs.r6
+import graft.funcs.{dsum, r6, rN}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -121,9 +121,116 @@ object Hybrid {
        |QUALIFY rank <= $TopN
        |ORDER BY probe_id, rank""".stripMargin
 
+  private val BmK1 = "1.2"
+  private val BmB = "0.75"
+  private val BmTopN = 10
+
+  // -------------------------------------------------------------- #106
+  /** Okapi BM25 retrieval — the canonical lexical ranking the RRF
+    * fusion's raw-overlap leg approximates: per-term saturation
+    * (k₁ = 1.2) and length normalization (b = 0.75) with the
+    * Lucene-style always-positive idf
+    * ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape — the INVERTED-INDEX formulation, deliberately
+    * better than the RRF keyword leg's broadcast-probe scan: one
+    * corpus pass builds the postings table (term, doc, tf) with
+    * map-side partial counts; df/idf and doc lengths derive from the
+    * POSTINGS (vocabulary-/doc-sized, never the corpus again); query
+    * terms broadcast-join the postings ON TERM — at warehouse scale a
+    * term-partitioned postings store makes this the classic index
+    * probe, touching only the query terms' posting lists. Scoring
+    * aggregates candidates with decimal-exact partial sums, and the
+    * final top-10 per probe is the bounded-heap `graft_topk`.
+    *
+    * Determinism: tf/df/dl are integer-exact; avgdl and every ratio
+    * are divisions of identical operands; the single ln is 6-dp
+    * rounded; per-term contributions are 9-dp quantized and summed
+    * through DECIMAL(18,9); all constants are written as exact
+    * DOUBLE casts in both engines (§5a #28). */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val postings = toks.groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // three consumers: dl, df, the probe join
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nDocs = docs.count()
+    val totTok = dl.agg(sum("dl")).head().getLong(0)
+    val avgdl = totTok.toDouble / nDocs.toDouble
+    val nD = nDocs.toDouble
+    val idf = postings.groupBy("t").agg(count(lit(1)).as("df"))
+      .withColumn("idf", r6(log(
+        (lit(nD) - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))))
+      .select("t", "idf")
+    val probeTerms = docs.where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"),
+        explode(graft.dedup.Dedup.tokens).as("t"))
+    val denom = col("tf").cast("double") +
+      lit(BmK1.toDouble) * (lit(1.0 - BmB.toDouble) +
+        lit(BmB.toDouble) * (col("dl").cast("double") / lit(avgdl)))
+    val scored = postings
+      .join(broadcast(probeTerms), Seq("t"))
+      .where(col("doc_id") =!= col("probe_id"))
+      .join(broadcast(idf), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("s", rN(
+        // (k1+1) written as the literal 2.2 — the double ADD
+        // 1.2 + 1.0 rounds to a DIFFERENT double than parsing "2.2",
+        // and the oracle parses
+        (col("idf") * (col("tf").cast("double") * lit(2.2))) / denom, 9))
+      .groupBy("probe_id", "doc_id")
+      .agg(r6(dsum(col("s"), 9)).as("score"))
+    scored.groupBy("probe_id")
+      .agg(expr(s"graft_topk(score, doc_id, $BmTopN)").as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val bm25Oracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), post AS MATERIALIZED (
+       |  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t, doc_id
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id
+       |), nn AS (SELECT COUNT(*) AS n FROM documents),
+       |st AS (SELECT CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)/(SELECT n FROM nn) AS avgdl FROM dl),
+       |idf AS MATERIALIZED (
+       |  SELECT t, ROUND(ln(
+       |    (CAST((SELECT n FROM nn) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) + 0.5) /
+       |      (CAST(COUNT(*) AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+       |  FROM post GROUP BY t
+       |), q AS (
+       |  SELECT doc_id AS probe_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents WHERE doc_id IN (${probeIds.mkString(", ")})
+       |), terms AS (
+       |  SELECT q.probe_id, po.doc_id,
+       |    ROUND((i.idf * (CAST(po.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))) /
+       |      (CAST(po.tf AS DOUBLE) + CAST($BmK1 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST($BmB AS DOUBLE) *
+       |          (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM st)))), 9) AS s
+       |  FROM q JOIN post po ON po.t = q.t AND po.doc_id <> q.probe_id
+       |  JOIN idf i ON i.t = q.t
+       |  JOIN dl d ON d.doc_id = po.doc_id
+       |), scored AS (
+       |  SELECT probe_id, doc_id,
+       |    ROUND(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+       |  FROM terms GROUP BY probe_id, doc_id
+       |)
+       |SELECT probe_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS INT) AS rank,
+       |  doc_id, score
+       |FROM scored QUALIFY rank <= $BmTopN ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "retrieve_hybrid_rrf" -> (hybridRrf _))
+    "retrieve_hybrid_rrf" -> (hybridRrf _),
+    "retrieve_bm25" -> (bm25 _))
 
   val oracles: Map[String, String] = Map(
-    "retrieve_hybrid_rrf" -> hybridRrfOracle)
+    "retrieve_hybrid_rrf" -> hybridRrfOracle,
+    "retrieve_bm25" -> bm25Oracle)
 }
