@@ -157,16 +157,31 @@ object Hybrid {
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
     val nDocs = docs.count()
     val totTok = dl.agg(sum("dl")).head().getLong(0)
-    val avgdl = totTok.toDouble / nDocs.toDouble
-    val nD = nDocs.toDouble
-    val idf = postings.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = idfOf(postings, nDocs)
+    bm25Rank(probeTermsOf(spark, dir), postings, dl, idf, nDocs, totTok)
+  }
+
+  /** idf table from a postings frame — shared with the staged twin. */
+  private def idfOf(postings: DataFrame, nDocs: Long): DataFrame =
+    postings.groupBy("t").agg(count(lit(1)).as("df"))
       .withColumn("idf", r6(log(
-        (lit(nD) - col("df").cast("double") + lit(0.5)) /
+        (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0))))
       .select("t", "idf")
-    val probeTerms = docs.where(col("doc_id").isin(probeIds: _*))
+
+  private def probeTermsOf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).where(col("doc_id").isin(probeIds: _*))
       .select(col("doc_id").as("probe_id"),
         explode(graft.dedup.Dedup.tokens).as("t"))
+
+  /** The scoring stage over (already-built or read-back) index tables.
+    * avgdl is re-derived from the exact integer pair (totTok, nDocs)
+    * so the staged twin's trajectory is bit-identical to the inline
+    * build (a stored DOUBLE would also round-trip, but integers make
+    * the invariance self-evident). */
+  private def bm25Rank(probeTerms: DataFrame, postings: DataFrame, dl: DataFrame,
+      idf: DataFrame, nDocs: Long, totTok: Long): DataFrame = {
+    val avgdl = totTok.toDouble / nDocs.toDouble
     val denom = col("tf").cast("double") +
       lit(BmK1.toDouble) * (lit(1.0 - BmB.toDouble) +
         lit(BmB.toDouble) * (col("dl").cast("double") / lit(avgdl)))
@@ -188,6 +203,47 @@ object Hybrid {
       .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
         col("col.id").as("doc_id"), col("col.score").as("score"))
       .orderBy("probe_id", "rank")
+  }
+
+  // -------------------------------------------------------------- #107
+  /** The PERSISTED steady-state of [[bm25]] — the
+    * [[graft.dedup.LshStore]]/[[StoredIndex]] pattern applied to the
+    * lexical index: postings / doc-lengths / idf / corpus stats are
+    * staged to parquet ONCE at ingest (fingerprint-idempotent
+    * [[graft.sources.Staging]]), and the query path SCANS the store —
+    * no tokenization, no corpus statistics pass, no raw text touched
+    * except the probes' own rows (plan-pinned in Bm25Spec). Per query
+    * the cost is the probed posting lists + a candidate-sized
+    * aggregation — the operating shape of a 100 TB lexical index,
+    * where the postings store is term-partitioned and this equi-join
+    * prunes to the query's terms. tf/dl/df are BIGINT and idf a
+    * round-tripping DOUBLE, so the staged trajectory is bit-identical
+    * to the inline build (same oracle, same answer). */
+  def bm25Stored(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val root = graft.sources.Staging.stagedDir(
+      "graft_bm25", dir, s"k1=$BmK1|b=$BmB|v1", "documents") { tmp =>
+      val docs = Tables.documents(spark, dir)
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+        .write.parquet(s"$tmp/postings")
+      val postings = spark.read.parquet(s"$tmp/postings")
+      postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.parquet(s"$tmp/dl")
+      val nDocs = docs.count()
+      idfOf(postings, nDocs).write.parquet(s"$tmp/idf")
+      val totTok = spark.read.parquet(s"$tmp/dl")
+        .agg(sum("dl")).head().getLong(0)
+      import spark.implicits._
+      Seq((nDocs, totTok)).toDF("n_docs", "tot_tok")
+        .coalesce(1).write.parquet(s"$tmp/stats")
+    }
+    val stats = spark.read.parquet(s"$root/stats").head()
+    bm25Rank(probeTermsOf(spark, dir),
+      spark.read.parquet(s"$root/postings"),
+      spark.read.parquet(s"$root/dl"),
+      spark.read.parquet(s"$root/idf"),
+      stats.getAs[Long]("n_docs"), stats.getAs[Long]("tot_tok"))
   }
 
   val bm25Oracle: String =
@@ -228,9 +284,12 @@ object Hybrid {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieve_hybrid_rrf" -> (hybridRrf _),
-    "retrieve_bm25" -> (bm25 _))
+    "retrieve_bm25" -> (bm25 _),
+    "retrieve_bm25_stored" -> (bm25Stored _))
 
   val oracles: Map[String, String] = Map(
     "retrieve_hybrid_rrf" -> hybridRrfOracle,
-    "retrieve_bm25" -> bm25Oracle)
+    "retrieve_bm25" -> bm25Oracle,
+    // the staged read path answers the SAME query - oracle verbatim
+    "retrieve_bm25_stored" -> bm25Oracle)
 }

@@ -50,6 +50,22 @@ class Bm25Spec extends SparkSpec {
     assert(math.abs(score - expected) < 1e-8, s"got $score expected $expected")
   }
 
+  test("the staged postings store answers identically to the inline build, without touching text") {
+    val stored = Hybrid.bm25Stored(spark, sfDir)
+    assert(stored.collect().toSeq === out.collect().toSeq)
+    val p = stored.queryExecution.executedPlan.toString
+    // the staged store feeds the scans; the ONLY raw-text access is
+    // the probes' own rows (one documents scan, probe filter pushed) —
+    // no corpus tokenization pass anywhere in the query plan
+    assert(p.contains("graft_bm25"), p.take(3000))
+    val docScans = p.split("\n")
+      .filter(l => l.contains("Scan parquet") && l.contains("documents.parquet"))
+    assert(docScans.nonEmpty)
+    // EVERY raw-text access is probe-pruned at the scan (the corpus
+    // statistics/tokenization pass exists only in the staged store)
+    docScans.foreach(l => assert(l.contains("In(doc_id, [0,1,2])"), l.take(400)))
+  }
+
   test("term saturation: a repeated term contributes less than proportionally") {
     // BM25's defining property vs raw tf: the k1 denominator saturates
     import spark.implicits._
