@@ -41,10 +41,13 @@ object Bench {
     // streaming Schmitt band, 3-objective skyline
     "graph_pagerank_stored", "embed_knn_graph_stored",
     "graph_components_stored", "stream_threshold_band", "q_skyline3",
-    // late-r14 families: single-pass PCA, KMV overlap sketches (batch
-    // + live store), ANN recall eval
-    "embed_pca", "sketch_kmv_overlap", "stream_kmv_overlap",
-    "ann_recall_eval")
+    // late-r14 families: single-pass PCA (+ whitening + live moment
+    // store), KMV sketches (overlap/cardinality + live store), ANN
+    // recall eval, KL mixing, BM25 (inline + staged postings)
+    "embed_pca", "embed_whiten", "stream_pca_moments",
+    "sketch_kmv_overlap", "sketch_kmv_distinct", "stream_kmv_overlap",
+    "ann_recall_eval", "mix_kl_report",
+    "retrieve_bm25", "retrieve_bm25_stored")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:
