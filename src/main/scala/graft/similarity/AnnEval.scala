@@ -57,9 +57,49 @@ object AnnEval {
        |FROM base b LEFT JOIN hits h ON b.probe_id = h.probe_id
        |ORDER BY b.probe_id""".stripMargin
 
+  // -------------------------------------------------------------- #108
+  /** Reciprocal rank of the TRUE nearest neighbor inside the IVF
+    * list — the complementary index-quality number to [[annRecall]]:
+    * recall@10 says how much of the answer set survives; MRR says
+    * whether the single best answer surfaces, and at which position
+    * (the metric RAG retrieval actually optimizes). rr = 1/rank of
+    * the exact top-1 in the IVF ranking, 0 when the index misses it
+    * entirely. Same probe-sized comparison shape as recall. */
+  def annMrr(spark: SparkSession, dir: String): DataFrame = {
+    val exactTop1 = Embeddings.annTopK(spark, dir)
+      .where(col("rank") === 1)
+      .select(col("probe_id"), col("neighbor_id").as("true_top1"))
+    val approx = Embeddings.annIvfTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("ivf_rank"))
+    exactTop1
+      .join(approx,
+        approx("probe_id") === exactTop1("probe_id") &&
+          col("neighbor_id") === col("true_top1"), "left")
+      .select(exactTop1("probe_id"), col("true_top1"),
+        col("ivf_rank"),
+        coalesce(lit(1.0) / col("ivf_rank").cast("double"), lit(0.0)).as("rr"))
+      .orderBy(exactTop1("probe_id"))
+  }
+
+  val annMrrOracle: String =
+    s"""WITH exact AS MATERIALIZED (
+       |${Embeddings.annTopKOracle}
+       |), approx AS MATERIALIZED (
+       |${Embeddings.annIvfTopKOracle}
+       |), top1 AS (
+       |  SELECT probe_id, neighbor_id AS true_top1 FROM exact WHERE rank = 1
+       |)
+       |SELECT t.probe_id, t.true_top1, a.rank AS ivf_rank,
+       |  COALESCE(CAST(1.0 AS DOUBLE) / a.rank, 0.0) AS rr
+       |FROM top1 t LEFT JOIN approx a
+       |  ON a.probe_id = t.probe_id AND a.neighbor_id = t.true_top1
+       |ORDER BY t.probe_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_recall_eval" -> (annRecall _))
+    "ann_recall_eval" -> (annRecall _),
+    "ann_mrr_eval" -> (annMrr _))
 
   val oracles: Map[String, String] = Map(
-    "ann_recall_eval" -> annRecallOracle)
+    "ann_recall_eval" -> annRecallOracle,
+    "ann_mrr_eval" -> annMrrOracle)
 }

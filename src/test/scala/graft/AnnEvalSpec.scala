@@ -38,4 +38,22 @@ class AnnEvalSpec extends SparkSpec {
     val mean = out.agg(avg("recall_at_k")).head().getDouble(0)
     assert(mean > 0.2, s"avg recall $mean")
   }
+
+  test("mrr: reciprocal rank matches a direct lookup of the true top-1 in the ivf list") {
+    val mrr = AnnEval.annMrr(spark, sfDir).collect()
+    val exact1 = Embeddings.annTopK(spark, sfDir)
+      .where(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val ivf = Embeddings.annIvfTopK(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Int]("rank")).toMap
+    assert(mrr.length === exact1.size)
+    mrr.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(r.getAs[Long]("true_top1") === exact1(p))
+      ivf.get((p, exact1(p))) match {
+        case Some(k) => assert(r.getAs[Double]("rr") === 1.0 / k)
+        case None => assert(r.getAs[Double]("rr") === 0.0)
+      }
+    }
+  }
 }
