@@ -46,7 +46,7 @@ object Bench {
     // recall eval, KL mixing, BM25 (inline + staged postings)
     "embed_pca", "embed_whiten", "stream_pca_moments",
     "sketch_kmv_overlap", "sketch_kmv_distinct", "stream_kmv_overlap",
-    "ann_recall_eval", "mix_kl_report",
+    "ann_recall_eval", "ann_mrr_eval", "mix_kl_report",
     "retrieve_bm25", "retrieve_bm25_stored")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
