@@ -161,6 +161,13 @@ object Hybrid {
     bm25Rank(probeTermsOf(spark, dir), postings, dl, idf, nDocs, totTok)
   }
 
+  /** Score against an externally-maintained postings/dl index — the
+    * live-twin seam ([[graft.streaming.KmvStream.streamBm25Postings]]). */
+  private[graft] def bm25FromIndex(spark: SparkSession, dir: String,
+      postings: DataFrame, dl: DataFrame, nDocs: Long, totTok: Long): DataFrame =
+    bm25Rank(probeTermsOf(spark, dir), postings, dl, idfOf(postings, nDocs),
+      nDocs, totTok)
+
   /** idf table from a postings frame — shared with the staged twin. */
   private def idfOf(postings: DataFrame, nDocs: Long): DataFrame =
     postings.groupBy("t").agg(count(lit(1)).as("df"))

@@ -77,11 +77,61 @@ object KmvStream {
     KmvOverlap.estimator(spark.read.parquet(store))
   }
 
+  // -------------------------------------------------------------- #109
+  /** Live lexical-index maintenance — the streaming twin of
+    * [[graft.similarity.Hybrid.bm25Stored]]: the postings / doc-length
+    * stores kept current as document batches arrive. Documents are
+    * append-only, so each micro-batch's (term, doc, tf) delta and
+    * (doc, dl) delta UNION into the stores with no key collisions —
+    * the real ingest shape of a live inverted index (posting appends;
+    * compaction is the existing [[graft.sources.Compaction]] seam).
+    * idf and corpus stats are VOCABULARY-sized derivations recomputed
+    * from the store at query time, so the drained answer is
+    * bit-identical to the one-shot batch build and the 40w8 oracle
+    * carries verbatim (spec-pinned against [[Hybrid.bm25]]). Store
+    * growth is corpus-proportional (it IS the index), never
+    * throughput-bounded; the raw stream is not retained. */
+  def streamBm25Postings(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_src").toString
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_store").toString
+    val postStore = base + "/postings"
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // append-only postings: new docs cannot collide with stored
+        // (term, doc) keys, so the merge is a plain partitioned append
+        batch.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+          .write.mode("append").parquet(postStore)
+        ()
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_ckpt_bm25").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val postings = spark.read.parquet(postStore)
+    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val nDocs = dl.count()
+    val totTok = dl.agg(sum("dl")).head().getLong(0)
+    graft.similarity.Hybrid.bm25FromIndex(spark, dir, postings, dl, nDocs, totTok)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_kmv_overlap" -> (streamKmvOverlap _))
+    "stream_kmv_overlap" -> (streamKmvOverlap _),
+    "stream_bm25_postings" -> (streamBm25Postings _))
 
   val oracles: Map[String, String] = Map(
     // bottom-k union-merge is associative over any slicing of the
     // corpus, so the batch oracle carries verbatim
-    "stream_kmv_overlap" -> KmvOverlap.kmvOverlapOracle)
+    "stream_kmv_overlap" -> KmvOverlap.kmvOverlapOracle,
+    // append-only postings partition the corpus by batch, so the
+    // one-shot lexical-index oracle carries verbatim
+    "stream_bm25_postings" -> graft.similarity.Hybrid.bm25Oracle)
 }

@@ -14,4 +14,11 @@ class KmvStreamSpec extends SparkSpec {
     assert(live === batch)
     assert(live.nonEmpty)
   }
+
+  test("live postings appends answer bm25 identically to the one-shot batch build") {
+    val live = graft.streaming.KmvStream.streamBm25Postings(spark, sfDir).collect().toSeq
+    val batch = graft.similarity.Hybrid.bm25(spark, sfDir).collect().toSeq
+    assert(live === batch)
+    assert(live.nonEmpty)
+  }
 }
