@@ -47,8 +47,8 @@ object Compaction {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def localFs(spark: SparkSession): FileSystem =
-    FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    graft.util.Fs.of(spark, path)
 
   /** The durably-archived cutoff, read from the commit markers. The
     * marker file's NAME carries the value (`_commit_016`), so the commit
@@ -57,7 +57,7 @@ object Compaction {
     * (also the fresh-archive case). Underscore-prefixed, so Spark's
     * partition discovery ignores it. */
   def archivedCutoff(spark: SparkSession, archiveDir: String): String = {
-    val fs = localFs(spark)
+    val fs = fsOf(spark, archiveDir)
     val root = new Path(archiveDir)
     if (!fs.exists(root)) "000"
     else fs.listStatus(root).map(_.getPath.getName)
@@ -108,7 +108,10 @@ object Compaction {
     * re-runs cleanup only. */
   def compactDays(spark: SparkSession, liveDir: String, archiveDir: String,
       cutoffDay: String, maxRecordsPerFile: Long = 4000000L): Unit = {
-    val fs = localFs(spark)
+    // Archive and live store may live on DIFFERENT filesystems (hot
+    // local/HDFS live, cold S3 archive) — resolve each from its root.
+    val fs = fsOf(spark, archiveDir)
+    val liveFs = fsOf(spark, liveDir)
     val prev = archivedCutoff(spark, archiveDir)
     if (cutoffDay > prev) {
       val live = HiveStore.withConf(spark,
@@ -149,10 +152,10 @@ object Compaction {
     // Source cleanup — only for days the marker proves are archived.
     maybeCrash("cleanup")
     val committed = archivedCutoff(spark, archiveDir)
-    for (d <- fs.globStatus(new Path(
+    for (d <- liveFs.globStatus(new Path(
         liveDir, "tier=*/context=*/path=*/year=*/day=*"))
         if d.getPath.getName.stripPrefix("day=") < committed) {
-      fs.delete(d.getPath, true)
+      liveFs.delete(d.getPath, true)
     }
   }
 
@@ -168,7 +171,7 @@ object Compaction {
     * is added. An absent/empty archive reads as empty. */
   def compactedRead(spark: SparkSession, liveDir: String, archiveDir: String,
       cutoffDay: String): DataFrame = {
-    val fs = localFs(spark)
+    val fs = fsOf(spark, archiveDir)
     val hasArchiveData = fs.exists(new Path(archiveDir)) &&
       fs.listStatus(new Path(archiveDir)).exists(_.getPath.getName.startsWith("tier="))
     val committed = archivedCutoff(spark, archiveDir)

@@ -47,7 +47,7 @@ object HiveStore {
     * the rewrite is in place, and a crash inside the two-rename window
     * is repaired by the recovery step at the head of the next run. */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, dir)
     val (root, aside, tmp) = (new org.apache.hadoop.fs.Path(dir),
       new org.apache.hadoop.fs.Path(dir + "_precompact"),
       new org.apache.hadoop.fs.Path(dir + "_compacting"))
@@ -73,7 +73,7 @@ object HiveStore {
     * paths. */
   def retentionSweep(spark: SparkSession, dir: String,
       retentionDays: Map[String, Int], nowMs: Long): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, dir)
     val base = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(base)) return Seq.empty
     val midnight = nowMs - Math.floorMod(nowMs, 86400000L)
@@ -183,7 +183,7 @@ object HiveStore {
     * [[Migration.migrate]]). */
   def backupSync(spark: SparkSession, primary: String, archive: String): Long = {
     val keys = Seq("tier", "context", "path", "year", "day")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, archive)
     val archivePath = new org.apache.hadoop.fs.Path(archive)
     val archiveHasData = fs.exists(archivePath) &&
       fs.listStatus(archivePath).exists(_.getPath.getName.startsWith("tier="))

@@ -52,7 +52,7 @@ object Migration {
       .withColumn("year", year(col("ts2")).cast("string"))
       .withColumn("day", lpad(dayofyear(col("ts2")).cast("string"), 3, "0"))
       .drop("ts2")
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, targetDir)
     val targetPath = new org.apache.hadoop.fs.Path(targetDir)
     // "has data" = has at least one tier=… partition dir — an existing
     // but empty target (fresh scratch dir, first-ever run) is fresh

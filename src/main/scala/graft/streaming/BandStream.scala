@@ -50,7 +50,7 @@ object BandStream {
     ev.limit(0).select(col("user_id"), col("ts_ms"),
       lit("").as("transition"), col("value"))
       .write.parquet(transStore)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     def swap(tmp: String, dst: String): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(dst), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))

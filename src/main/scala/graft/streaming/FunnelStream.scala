@@ -36,7 +36,7 @@ object FunnelStream {
     val srcDir = Slices.stage(ev, "funnel", 3)
     val store = java.nio.file.Files.createTempDirectory("graft_funnel_store").toString + "/state"
     ev.limit(0).write.parquet(store)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, store)
     def staged(u: DataFrame): DataFrame = {
       val w = Window.partitionBy("user_id")
       u.withColumn("t1", min(when(col("event_type") === "view", col("ts_ms"))).over(w))

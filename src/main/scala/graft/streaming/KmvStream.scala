@@ -40,7 +40,7 @@ object KmvStream {
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_kmv_store").toString
     val store = base + "/sketches"
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     def swap(tmp: String, dst: String): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(dst), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))

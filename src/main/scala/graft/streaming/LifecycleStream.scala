@@ -28,8 +28,10 @@ object LifecycleStream {
   private val ckptRef = new java.util.concurrent.atomic.AtomicReference[String]()
 
   private def swapFn(spark: SparkSession): (String, String) => Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    // Resolve per swap FROM the destination path: a store rooted on
+    // s3a://… / hdfs://… swaps on its own filesystem, not the local one.
     (tmp: String, dst: String) => {
+      val fs = graft.util.Fs.of(spark, dst)
       fs.delete(new org.apache.hadoop.fs.Path(dst), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
       ()

@@ -47,7 +47,7 @@ object MarkovStream {
     ev.limit(0).select(col("event_type").as("from_type"),
       col("event_type").as("to_type"), col("event_id").as("n"))
       .write.parquet(countStore)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     def swap(tmp: String, dst: String): Unit = {
       fs.delete(new org.apache.hadoop.fs.Path(dst), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))

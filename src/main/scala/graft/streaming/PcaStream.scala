@@ -45,7 +45,7 @@ object PcaStream {
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_pca_store").toString
     val store = base + "/moments"
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     val q = spark.readStream.schema(emb.schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)

@@ -35,7 +35,7 @@ object SkylineStream {
       .write.mode("overwrite").parquet(srcDir)
     val store = java.nio.file.Files.createTempDirectory("graft_sky_store").toString + "/frontier"
     p.limit(0).write.parquet(store)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, store)
     val q = spark.readStream.schema(p.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)

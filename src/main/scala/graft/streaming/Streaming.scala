@@ -420,7 +420,7 @@ object Streaming {
     spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
       .parquet(dir).repartition(4)
       .write.mode("overwrite").parquet(srcDir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, store)
     val q = withTsMs(spark.readStream.schema(sch)
       .option("maxFilesPerTrigger", 1).parquet(srcDir))
       .writeStream
@@ -537,7 +537,7 @@ object Streaming {
     all.where(isLate).drop("ts_ms")
       .repartition(3, pmod(col("event_id"), lit(3)))
       .write.mode("overwrite").parquet(srcDir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, store)
     def avgCols(df: DataFrame, avg: String, n: String): DataFrame =
       df.select(col("user_id"), col("event_type"), col("bucket_ms"),
         (col("value_sum").cast("double") / col("sample_count")).as(avg),
@@ -623,7 +623,7 @@ object Streaming {
     spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir)
       .repartitionByRange(3, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     val q = spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
       .writeStream
@@ -753,7 +753,7 @@ object Streaming {
     spark.read.option("pathGlobFilter", "events.parquet").schema(sch)
       .parquet(dir).repartition(4)
       .write.mode("overwrite").parquet(srcDir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     def swapIn(df: DataFrame, path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       val tmp = new org.apache.hadoop.fs.Path(path + "_next")
@@ -816,7 +816,7 @@ object Streaming {
     val docs = spark.read.option("pathGlobFilter", "documents.parquet").parquet(dir)
     val sch = docs.schema
     docs.repartition(4).write.mode("overwrite").parquet(srcDir)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.util.Fs.of(spark, base)
     def swapIn(df: DataFrame, path: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(path)
       val tmp = new org.apache.hadoop.fs.Path(path + "_next")
