@@ -314,11 +314,17 @@ object History {
   /** Render a UTC epoch-ms column as the server-local ISO string with
     * explicit offset — the response-side conversion the reference
     * applies to `range` and every data row's leading timestamp
-    * (HistoryAPI.ts:653-673 utcToLocalTimestamp; seconds always
-    * rendered, fractional seconds normalized away — bucket timestamps
-    * are whole milliseconds on resolution marks). Engine-exact: the
-    * wall-clock shift and the offset are integer tzdb arithmetic, no
-    * floats. */
+    * (HistoryAPI.ts:653-673 utcToLocalTimestamp). DELIBERATE
+    * NORMALIZATION: this renderer always emits seconds
+    * (`…THH:mm:ss±OO:OO`), while the reference's js-joda
+    * `ZonedDateTime.toString` ELIDES `:00` seconds on whole-minute
+    * values — so a bucket timestamp the reference prints as
+    * `…T01:00-05:00` prints here as `…T01:00:00-05:00`. A fixed-width
+    * format keeps the column lexicographically sortable and
+    * machine-parseable with one pattern; fractional seconds are
+    * normalized away either way (bucket timestamps are whole
+    * milliseconds on resolution marks). Engine-exact: the wall-clock
+    * shift and the offset are integer tzdb arithmetic, no floats. */
   def localTimestamp(tsMs: Column, zone: String): Column = {
     // from_utc_timestamp shifts to local WALL time; formatting the
     // shifted value in the (UTC-pinned) session renders local time

@@ -99,6 +99,7 @@ object KmvStream {
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_bm25_store").toString
     val postStore = base + "/postings"
+    val statStore = base + "/stats"
     val q = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
@@ -109,6 +110,12 @@ object KmvStream {
         batch.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
           .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
           .write.mode("append").parquet(postStore)
+        // corpus doc count accumulated per batch FROM THE BATCH, not
+        // re-derived from postings at drain: a NULL/empty-text document
+        // (dropped by the explode) still counts toward N in idf/avgdl,
+        // exactly as the batch twin's docs.count() does
+        batch.agg(count(lit(1)).as("n_docs"))
+          .write.mode("append").parquet(statStore)
         ()
       }
       .option("checkpointLocation",
@@ -118,7 +125,8 @@ object KmvStream {
     q.awaitTermination()
     val postings = spark.read.parquet(postStore)
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val nDocs = dl.count()
+    val nDocs = spark.read.parquet(statStore)
+      .agg(sum("n_docs")).head().getLong(0)
     val totTok = dl.agg(sum("dl")).head().getLong(0)
     graft.similarity.Hybrid.bm25FromIndex(spark, dir, postings, dl, nDocs, totTok)
   }
