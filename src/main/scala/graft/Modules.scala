@@ -99,7 +99,8 @@ object Modules {
     ("AnnEval", similarity.AnnEval.queries, similarity.AnnEval.oracles),
     ("KmvStream", streaming.KmvStream.queries, streaming.KmvStream.oracles),
     ("KlMix", text.KlMix.queries, text.KlMix.oracles),
-    ("PcaStream", streaming.PcaStream.queries, streaming.PcaStream.oracles))
+    ("PcaStream", streaming.PcaStream.queries, streaming.PcaStream.oracles),
+    ("AnnStream", streaming.AnnStream.queries, streaming.AnnStream.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

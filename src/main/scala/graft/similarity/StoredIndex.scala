@@ -74,21 +74,42 @@ object StoredIndex {
         .write.partitionBy("bucket").parquet(s"$root/codes")
     }
 
-  /** IVFADC top-5 from the STAGED index: same output contract as
-    * `ann_ivfpq_topk` (probe_id, neighbor_id, adist2, rank). */
-  def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+  /** The frozen index metadata, trained once at index creation: coarse
+    * centroids (vectors 100-115) and the per-subspace PQ codebook from
+    * the same training slice. Production IVF maintenance NEVER retrains
+    * these per append — they are the fixed quantizers every ingest
+    * batch is assigned against ([[graft.streaming.AnnStream]]). */
+  private[graft] def trainIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.functions.L2Distance.register(spark)
+    val e = Embeddings.vecs(spark, dir)
+      .where(col("vec_id") >= 100 && col("vec_id") < 116)
+    val centroids = e.select(col("vec_id").as("cent_id"), col("v").as("v_c"))
+    val codebook = Embeddings.pqCodebook(Embeddings.pqSubsOf(e))
+    (centroids, codebook)
+  }
+
+  /** One ingest batch's index delta against the FROZEN quantizers:
+    * (lists rows, codes rows), both carrying the coarse `bucket` the
+    * store partitions by. Per-vector argmins — independent of how the
+    * corpus is sliced into batches, which is exactly why the streamed
+    * store is bit-identical to the one-shot build. */
+  private[graft] def indexDelta(batchVecs: DataFrame, centroids: DataFrame,
+      codebook: DataFrame): (DataFrame, DataFrame) = {
+    val lists = Embeddings.ivfAssign(batchVecs, centroids, 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
+    val codes = Embeddings.pqCodes(Embeddings.pqSubsOf(batchVecs), codebook)
+      .join(lists, "neighbor_id")
+    (lists, codes)
+  }
+
+  /** The ADC scoring stage over (staged or streamed) index tables:
+    * same output contract as `ann_ivfpq_topk`
+    * (probe_id, neighbor_id, adist2, rank). */
+  private[graft] def searchIndex(spark: SparkSession, dir: String,
+      centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, lists: DataFrame): DataFrame = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    val root = stageIvfPq(spark, dir)
-    // graft_dense on every parquet-loaded vector column: the file
-    // source forces containsNull=true, which would put a per-element
-    // null branch inside the graft_l2sq loops (see Embeddings.vecs)
-    val centroids = spark.read.parquet(s"$root/centroids")
-      .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
-    val codebook = spark.read.parquet(s"$root/codebook")
-      .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-    val codes = spark.read.parquet(s"$root/codes")
-    val lists = spark.read.parquet(s"$root/lists")
     // the ONLY raw-corpus touch: probe rows (vec_id < 5, pushed down).
     // probeCells' bucket is cast to the partition column's inferred
     // INT so the equi-join key is the BARE partition column on the
@@ -117,6 +138,22 @@ object StoredIndex {
       .where(col("rank") <= 5)
       .select("probe_id", "neighbor_id", "adist2", "rank")
       .orderBy("probe_id", "rank")
+  }
+
+  /** IVFADC top-5 from the STAGED index. */
+  def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    graft.functions.KnownNonNullElements.register(spark)
+    val root = stageIvfPq(spark, dir)
+    // graft_dense on every parquet-loaded vector column: the file
+    // source forces containsNull=true, which would put a per-element
+    // null branch inside the graft_l2sq loops (see Embeddings.vecs)
+    val centroids = spark.read.parquet(s"$root/centroids")
+      .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
+    val codebook = spark.read.parquet(s"$root/codebook")
+      .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
+    searchIndex(spark, dir, centroids, codebook,
+      spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/lists"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
