@@ -48,8 +48,8 @@ object Bench {
     "sketch_kmv_overlap", "sketch_kmv_distinct", "stream_kmv_overlap",
     "ann_recall_eval", "ann_mrr_eval", "mix_kl_report",
     "retrieve_bm25", "retrieve_bm25_stored", "stream_bm25_postings",
-    // round-15 additions: live vector-index maintenance
-    "stream_ann_ivfpq")
+    // round-15 additions: live vector-index + kNN-graph maintenance
+    "stream_ann_ivfpq", "stream_knn_graph")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

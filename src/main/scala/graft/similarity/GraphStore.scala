@@ -128,6 +128,38 @@ object GraphStore {
        |  CAST(SUM(id) AS BIGINT) AS id_sum, MAX(id) AS max_id
        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------------- #70c
+  /** One ingest batch's EXACT repair of the directed top-5 lists — the
+    * state [[graft.streaming.GraphStream]] maintains. Three candidate
+    * sources, unioned into ONE bounded-heap collapse:
+    *   - new nodes: batch × (store ∪ batch), label-blocked — the only
+    *     corpus-touching work, O(|batch| · block) per trigger, never
+    *     corpus × corpus;
+    *   - affected old nodes: store × batch scores (a new vector can
+    *     enter an old node's top-5 and evict its 5th — the "repaired
+    *     mutual ranks" case);
+    *   - carried state: each old node's stored top-5 rows re-entered
+    *     as candidates — exact because scores are static, so
+    *     top5(S ∪ B) = top5(top5(S) ∪ scores(·,B)) (the bounded heap
+    *     is a mergeable synopsis; KnnGraph.directedTopk).
+    * The three sources are (src, dst)-disjoint (batch ids are
+    * append-only), so no candidate is double-counted. */
+  private[graft] def repairedTopk(storedTopk: DataFrame, storedVecs: DataFrame,
+      batchVecs: DataFrame): DataFrame = {
+    val newCand = KnnGraph.scoredPairs(KnnGraph.srcSide(batchVecs),
+      KnnGraph.dstSide(storedVecs.unionByName(batchVecs)))
+    val repairCand = KnnGraph.scoredPairs(
+      KnnGraph.srcSide(storedVecs), KnnGraph.dstSide(batchVecs))
+    val carried = storedTopk.select("label", "src_id", "dst_id", "cos")
+    KnnGraph.directedTopk(
+      newCand.unionByName(repairCand).unionByName(carried))
+  }
+
+  /** The mutual filter over a maintained directed store — node-scale
+    * (the query-time cost of serving from the live graph). */
+  private[graft] def mutualFromTopk(topk: DataFrame): DataFrame =
+    KnnGraph.mutualEdges(topk)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_knn_graph_stored" -> (knnGraphStored _),
     "graph_pagerank_stored" -> (pageRankStored _),

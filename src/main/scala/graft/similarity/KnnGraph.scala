@@ -24,30 +24,52 @@ import org.apache.spark.sql.functions._
   */
 object KnnGraph {
 
-  /** Mutual-kNN edges (k = 5) within label blocks: one row per
-    * unordered pair where BOTH endpoints rank each other top-5, with
-    * the rounded cosine and both directed ranks. */
-  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.BoundedTopK.register(spark)
-    val e = Embeddings.vecs(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("src_id"),
+  /** The src side of the blocked candidate join. */
+  private[graft] def srcSide(e: DataFrame): DataFrame =
+    e.select(col("label"), col("vec_id").as("src_id"),
       col("v").as("v_a"), col("norm2").as("norm2_a"))
-    val b = e.select(col("label"), col("vec_id").as("dst_id"),
+
+  /** The dst side of the blocked candidate join. */
+  private[graft] def dstSide(e: DataFrame): DataFrame =
+    e.select(col("label"), col("vec_id").as("dst_id"),
       col("v").as("v_b"), col("norm2").as("norm2_b"))
-    val edges = a.join(b, Seq("label"))
+
+  /** Label-blocked candidate scoring: (label, src_id, dst_id, cos). */
+  private[graft] def scoredPairs(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("label"))
       .where(col("src_id") =!= col("dst_id"))
       .withColumn("cos", Embeddings.cosine)
-      .groupBy("label", "src_id")
+      .select("label", "src_id", "dst_id", "cos")
+
+  /** Per-node directed top-5 over a scored candidate frame — the
+    * bounded-heap collapse. Because scores are static, this is a
+    * MERGEABLE synopsis: top5(S ∪ B) = top5(top5(S) ∪ scores(·,B)),
+    * which is what makes the incremental maintenance of
+    * [[graft.streaming.GraphStream]] exact. */
+  private[graft] def directedTopk(cand: DataFrame): DataFrame =
+    cand.groupBy("label", "src_id")
       .agg(expr("graft_topk(cos, dst_id, 5)").as("top"))
       .select(col("label"), col("src_id"), posexplode(col("top")))
       .select(col("label"), col("src_id"), col("col.id").as("dst_id"),
         col("col.score").as("cos"), (col("pos") + 1).cast("int").as("rank"))
+
+  /** The mutual filter over a directed top-k table — node-scale,
+    * vanishing next to candidate scoring. */
+  private[graft] def mutualEdges(edges: DataFrame): DataFrame =
     edges.as("x").join(edges.as("y"),
         col("x.src_id") === col("y.dst_id") && col("x.dst_id") === col("y.src_id"))
       .where(col("x.src_id") < col("x.dst_id"))
       .select(col("x.label").as("label"), col("x.src_id").as("id_a"),
         col("x.dst_id").as("id_b"), col("x.cos").as("cos"),
         col("x.rank").as("rank_ab"), col("y.rank").as("rank_ba"))
+
+  /** Mutual-kNN edges (k = 5) within label blocks: one row per
+    * unordered pair where BOTH endpoints rank each other top-5, with
+    * the rounded cosine and both directed ranks. */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val e = Embeddings.vecs(spark, dir)
+    mutualEdges(directedTopk(scoredPairs(srcSide(e), dstSide(e))))
       .orderBy("id_a", "id_b")
   }
 
