@@ -230,6 +230,36 @@ object Compaction {
       .orderBy("context")
   }
 
+  /** Small-file compaction for a FLAT append store — the seam the
+    * streaming index stores name (SURVEY 42s: per-trigger appends →
+    * many small parquet files; e.g. the BM25 postings store grows one
+    * file pair per trigger). Rewrite into `nFiles` files sorted by
+    * `sortCols`, published with the [[HiveStore.compact]] rename-aside
+    * protocol: dir → dir_precompact, tmp → dir, drop aside — the
+    * source stays on disk until the rewrite is in place, a crash
+    * inside the two-rename window is repaired by the recovery step at
+    * the head of the next run, and a crash before the first rename
+    * leaves the store untouched (readers never see a partial state).
+    * Result-invisible by contract: same rows, fewer files (spec-gated
+    * via the bm25 oracle on the compacted index). */
+  def compactStore(spark: SparkSession, dir: String,
+      sortCols: Seq[String], nFiles: Int = 2): Unit = {
+    val fs = fsOf(spark, dir)
+    val (root, aside, tmp) = (new Path(dir),
+      new Path(dir + "_precompact"), new Path(dir + "_compacting"))
+    // Recovery: a previous run crashed between its two renames.
+    if (!fs.exists(root) && fs.exists(aside)) fs.rename(aside, root)
+    fs.delete(aside, true)
+    fs.delete(tmp, true)
+    spark.read.parquet(dir)
+      .repartition(nFiles, col(sortCols.head))
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(root, aside)
+    fs.rename(tmp, root)
+    fs.delete(aside, true)
+  }
+
   val compactionOracle: String =
     """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,
       |  event_type AS path, CAST(year(ts) AS INT) AS year,

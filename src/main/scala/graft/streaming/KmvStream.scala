@@ -91,7 +91,29 @@ object KmvStream {
     * carries verbatim (spec-pinned against [[Hybrid.bm25]]). Store
     * growth is corpus-proportional (it IS the index), never
     * throughput-bounded; the raw stream is not retained. */
-  def streamBm25Postings(spark: SparkSession, dir: String): DataFrame = {
+  def streamBm25Postings(spark: SparkSession, dir: String): DataFrame =
+    scoreBm25Store(spark, dir, buildBm25Store(spark, dir))
+
+  /** The 42s append store run through its named compaction seam
+    * before serving: per-trigger appends leave one small parquet file
+    * pair per trigger; [[graft.sources.Compaction.compactStore]]
+    * rewrites the postings into few term-sorted files under the 28d
+    * rename-aside crash-safe publish, and the compacted index must
+    * answer IDENTICALLY (same 40w8 oracle — compaction is
+    * result-invisible by contract). */
+  def streamBm25Compacted(spark: SparkSession, dir: String): DataFrame = {
+    val base = buildBm25Store(spark, dir)
+    graft.sources.Compaction.compactStore(spark, s"$base/postings",
+      Seq("t", "doc_id"), nFiles = 2)
+    graft.sources.Compaction.compactStore(spark, s"$base/stats",
+      Seq("n_docs"), nFiles = 1)
+    scoreBm25Store(spark, dir, base)
+  }
+
+  /** Drain the corpus into a fresh postings/stats store; returns its
+    * base dir (separated from scoring so the compacted twin and the
+    * spec can operate on the store between build and serve). */
+  private[graft] def buildBm25Store(spark: SparkSession, dir: String): String = {
     graft.functions.BoundedTopK.register(spark)
     val docs = graft.Tables.documents(spark, dir)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_src").toString
@@ -123,9 +145,17 @@ object KmvStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val postings = spark.read.parquet(postStore)
+    base
+  }
+
+  /** Serve the 40w8 ranking from a (streamed, possibly compacted)
+    * postings/stats store. */
+  private[graft] def scoreBm25Store(spark: SparkSession, dir: String,
+      base: String): DataFrame = {
+    graft.functions.BoundedTopK.register(spark)
+    val postings = spark.read.parquet(s"$base/postings")
     val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val nDocs = spark.read.parquet(statStore)
+    val nDocs = spark.read.parquet(s"$base/stats")
       .agg(sum("n_docs")).head().getLong(0)
     val totTok = dl.agg(sum("dl")).head().getLong(0)
     graft.similarity.Hybrid.bm25FromIndex(spark, dir, postings, dl, nDocs, totTok)
@@ -133,7 +163,8 @@ object KmvStream {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_kmv_overlap" -> (streamKmvOverlap _),
-    "stream_bm25_postings" -> (streamBm25Postings _))
+    "stream_bm25_postings" -> (streamBm25Postings _),
+    "stream_bm25_compacted" -> (streamBm25Compacted _))
 
   val oracles: Map[String, String] = Map(
     // bottom-k union-merge is associative over any slicing of the
@@ -141,5 +172,7 @@ object KmvStream {
     "stream_kmv_overlap" -> KmvOverlap.kmvOverlapOracle,
     // append-only postings partition the corpus by batch, so the
     // one-shot lexical-index oracle carries verbatim
-    "stream_bm25_postings" -> graft.similarity.Hybrid.bm25Oracle)
+    "stream_bm25_postings" -> graft.similarity.Hybrid.bm25Oracle,
+    // compaction is result-invisible: same rows, fewer files
+    "stream_bm25_compacted" -> graft.similarity.Hybrid.bm25Oracle)
 }

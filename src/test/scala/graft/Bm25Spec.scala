@@ -75,4 +75,33 @@ class Bm25Spec extends SparkSpec {
     assert(w(4, 50, 50) < 2 * w(2, 50, 50))
     assert(w(2, 50, 50) < 2 * w(1, 50, 50))
   }
+
+  test("postings compaction is result-invisible and crash-safe (the 28d seam, exercised)") {
+    val base = graft.streaming.KmvStream.buildBm25Store(spark, sfDir)
+    val fs = graft.util.Fs.of(spark, base)
+    def files(d: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(_.getPath.getName.endsWith(".parquet")).length
+    val before = spark.read.parquet(s"$base/postings")
+      .orderBy("t", "doc_id").collect()
+    assert(files(s"$base/postings") >= 3, "expected one appended file set per trigger")
+    graft.sources.Compaction.compactStore(spark, s"$base/postings", Seq("t", "doc_id"), nFiles = 2)
+    // fewer files, identical rows
+    assert(files(s"$base/postings") <= 2)
+    val after = spark.read.parquet(s"$base/postings")
+      .orderBy("t", "doc_id").collect()
+    assert(after.map(_.toString).toSeq == before.map(_.toString).toSeq)
+    // crash-safe precedence: simulate a crash BETWEEN the two renames
+    // (root moved aside, tmp not yet in place) — the recovery step at
+    // the head of the next run must restore the store unchanged
+    val root = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val aside = new org.apache.hadoop.fs.Path(s"$base/postings_precompact")
+    fs.rename(root, aside)
+    assert(!fs.exists(root))
+    graft.sources.Compaction.compactStore(spark, s"$base/postings", Seq("t", "doc_id"), nFiles = 2)
+    val recovered = spark.read.parquet(s"$base/postings")
+      .orderBy("t", "doc_id").collect()
+    assert(recovered.map(_.toString).toSeq == before.map(_.toString).toSeq)
+    assert(!fs.exists(aside))
+  }
 }
