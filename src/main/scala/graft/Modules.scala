@@ -101,7 +101,8 @@ object Modules {
     ("KlMix", text.KlMix.queries, text.KlMix.oracles),
     ("PcaStream", streaming.PcaStream.queries, streaming.PcaStream.oracles),
     ("AnnStream", streaming.AnnStream.queries, streaming.AnnStream.oracles),
-    ("GraphStream", streaming.GraphStream.queries, streaming.GraphStream.oracles))
+    ("GraphStream", streaming.GraphStream.queries, streaming.GraphStream.oracles),
+    ("DriftMonitor", similarity.DriftMonitor.queries, similarity.DriftMonitor.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

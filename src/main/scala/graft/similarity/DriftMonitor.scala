@@ -1,0 +1,168 @@
+package graft.similarity
+
+import graft.funcs.{dsum, r6, rN}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-drift monitor — the alarm a production embedding pipeline
+  * actually pages on: KL divergence between the REFERENCE corpus's
+  * PC1-projection histogram and an arriving batch's, on the SAME frozen
+  * axis. Composes the proven primitives: the [[Pca]] moment
+  * buffer + eigensolve (40w6 — in production the reference moments are
+  * the [[graft.streaming.PcaStream]] live store, 42r) and the
+  * [[graft.text.KlMix]] KL arithmetic (40l4) over a 16-bucket
+  * histogram.
+  *
+  * Demo wiring (deterministic, oracle-checkable): reference =
+  * `vec_id % 4 ≠ 3`; the "arriving batch" is the remaining quarter with
+  * a SEEDED mean shift (+0.25 on dimension 0 — exact binary, mirrored
+  * in the oracle) so the alarm actually fires with a solidly nonzero
+  * KL. In production the batch is the day's embedding feed and the
+  * shift is whatever the upstream encoder drifted by.
+  *
+  * Scale shape: ONE reference pass folds into the fixed 16 KB
+  * `graft_gram` buffer (map-side partials); the eigensolve is the
+  * documented O(d²) driver round; BOTH projections are zero-shuffle
+  * broadcast-literal folds; the histograms are 16-key partial-agg
+  * groupBys; everything after is metadata-sized. Per monitoring run on
+  * a live store: the reference side costs NOTHING (moments + histogram
+  * read from the store), only the batch is scanned.
+  *
+  * Determinism: pc1 is the gated 40w6 arithmetic; bucket edges are the
+  * reference min/max (6-dp doubles) with the bucket index one mirrored
+  * floor-multiply-divide chain (IEEE *, /, floor are exactly rounded —
+  * engine-identical on identical inputs, unlike libm); the KL terms
+  * are the gated 40l4 discipline (q·round₆(ln q/p) quantized to 12 dp,
+  * exact decimal sum, 6-dp final). The reference histogram is
+  * LAPLACE-SMOOTHED (p = (n+1)/(N+16)) so a drifted batch occupying a
+  * reference-empty bucket never hits the ln singularity — smoothing on
+  * the reference only, the batch keeps the q·ln q convention (zero
+  * batch buckets contribute exactly 0).
+  *
+  * Reference: signalk-parquet has no embedding surface; this is the
+  * LLM-pipeline extension's operational monitoring leg (the r14
+  * verdict's "next round #6").
+  */
+object DriftMonitor {
+
+  private val B = 16
+
+  // -------------------------------------------------------------- #115
+  /** (bucket, n_ref, n_batch, kl_term, kl) — one row per histogram
+    * bucket, `kl` the total alarm value repeated on each row. */
+  def driftReport(spark: SparkSession, dir: String): DataFrame =
+    reportWithShift(spark, dir, 0.5)
+
+  /** The monitor with the seeded shift as a parameter — shift 0 is the
+    * spec's no-drift control (the alarm must stay near zero on an
+    * in-distribution batch and fire on the shifted one). */
+  private[graft] def reportWithShift(spark: SparkSession, dir: String,
+      shift: Double): DataFrame = {
+    graft.functions.GramMatrix.register(spark)
+    val vecs = Embeddings.vecs(spark, dir).select("vec_id", "label", "v")
+    val ref = vecs.where(pmod(col("vec_id"), lit(4L)) =!= 3L)
+    // the seeded drifted batch: +shift (exact binary) on EVERY
+    // dimension — a mean shift along the all-ones direction, which
+    // projects solidly onto any dominant axis of a non-degenerate
+    // corpus (a single-dimension nudge scales by pc[0] alone and can
+    // vanish; measured: all-dims 0.5 → KL 5.28, dim-0 0.25 → 0.17,
+    // indistinguishable from the 0.18 sampling-noise control)
+    val batch = vecs.where(pmod(col("vec_id"), lit(4L)) === 3L)
+      .withColumn("v", expr(
+        s"graft_dense(transform(v, x -> x + CAST($shift AS DOUBLE)))"))
+    // reference moments: in production this row IS the 42r live store
+    val row = ref.agg(expr("graft_gram(v)").as("m"), count(lit(1)).as("n")).head()
+    val m = row.getSeq[Long](0).toArray
+    val n = row.getLong(1)
+    val refP = Pca.projectWith(ref, m, n).select("pc1")
+    val batchP = Pca.projectWith(batch, m, n).select("pc1")
+    // bucket edges from the reference spread (two scalars, broadcast)
+    val rng = refP.agg(min("pc1").as("mn"), max("pc1").as("mx"))
+    def bucketed(p: DataFrame): DataFrame =
+      p.crossJoin(broadcast(rng))
+        .withColumn("bucket", when(col("mx") > col("mn"),
+            least(lit(B - 1), greatest(lit(0),
+              floor((col("pc1") - col("mn")) * lit(B.toDouble) /
+                (col("mx") - col("mn"))).cast("int"))))
+          .otherwise(lit(0)))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+    val href = bucketed(refP).withColumnRenamed("c", "n_ref")
+    val hbatch = bucketed(batchP).withColumnRenamed("c", "n_batch")
+    val nBatch = batch.count()
+    val report = spark.range(B).select(col("id").cast("int").as("bucket"))
+      .join(broadcast(href), Seq("bucket"), "left")
+      .join(broadcast(hbatch), Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_ref", "n_batch"))
+      .withColumn("q", col("n_batch").cast("double") / lit(nBatch.toDouble))
+      .withColumn("p",
+        (col("n_ref") + lit(1L)).cast("double") / lit((n + B).toDouble))
+      .withColumn("kl_term", when(col("n_batch") > 0,
+          rN(col("q") * r6(log(col("q") / col("p"))), 12))
+        .otherwise(lit(0.0)))
+    val total = report.agg(r6(dsum(col("kl_term"), 12)).as("kl"))
+    report.crossJoin(broadcast(total))
+      .select("bucket", "n_ref", "n_batch", "kl_term", "kl")
+      .orderBy("bucket")
+  }
+
+  /** The oracle replays the whole chain: reference moments/eigensolve
+    * via the gated 40w6 CTEs restricted to the reference slice, the
+    * same frozen-axis projection of the seeded batch, the same
+    * floor-chain bucketing and the 40l4 KL arithmetic. */
+  val driftReportOracle: String = {
+    val D = Pca.D
+    val It = Pca.Iters
+    s"""WITH ${Pca.basePrefixWhere("WHERE vec_id % 4 <> 3")},
+       |${Pca.iterChain("", "cov")},
+       |muarr AS (SELECT list(m ORDER BY i) AS mu FROM mu),
+       |pcarr AS (SELECT list(v ORDER BY i) AS pc FROM v$It),
+       |refp AS MATERIALIZED (
+       |  SELECT ROUND(list_reduce(list_transform(range(1, ${D + 1}), i ->
+       |    ROUND(a.v[i] - m.mu[i], 9) * p.pc[i]), (x, y) -> x + y), 6) AS pc1
+       |  FROM vecs a CROSS JOIN muarr m CROSS JOIN pcarr p
+       |), bvecs AS MATERIALIZED (
+       |  SELECT list_transform(range(1, ${D + 1}), i ->
+       |    embedding[i]::DOUBLE + 0.5) AS v
+       |  FROM embeddings WHERE vec_id % 4 = 3
+       |), batchp AS MATERIALIZED (
+       |  SELECT ROUND(list_reduce(list_transform(range(1, ${D + 1}), i ->
+       |    ROUND(a.v[i] - m.mu[i], 9) * p.pc[i]), (x, y) -> x + y), 6) AS pc1
+       |  FROM bvecs a CROSS JOIN muarr m CROSS JOIN pcarr p
+       |), rng AS (SELECT MIN(pc1) AS mn, MAX(pc1) AS mx FROM refp),
+       |nb AS (SELECT COUNT(*) AS n FROM bvecs),
+       |href AS (
+       |  SELECT CASE WHEN r.mx > r.mn THEN LEAST($B - 1, GREATEST(0,
+       |      CAST(FLOOR((pc1 - r.mn) * ${B.toDouble} / (r.mx - r.mn)) AS INT)))
+       |    ELSE 0 END AS bucket, COUNT(*) AS c
+       |  FROM refp CROSS JOIN rng r GROUP BY 1
+       |), hbatch AS (
+       |  SELECT CASE WHEN r.mx > r.mn THEN LEAST($B - 1, GREATEST(0,
+       |      CAST(FLOOR((pc1 - r.mn) * ${B.toDouble} / (r.mx - r.mn)) AS INT)))
+       |    ELSE 0 END AS bucket, COUNT(*) AS c
+       |  FROM batchp CROSS JOIN rng r GROUP BY 1
+       |), report AS (
+       |  SELECT b.bucket,
+       |    COALESCE(hr.c, 0) AS n_ref, COALESCE(hb.c, 0) AS n_batch,
+       |    CASE WHEN COALESCE(hb.c, 0) > 0 THEN
+       |      ROUND((hb.c::DOUBLE / (SELECT n FROM nb)) *
+       |        ROUND(ln((hb.c::DOUBLE / (SELECT n FROM nb)) /
+       |          ((COALESCE(hr.c, 0) + 1)::DOUBLE / ((SELECT n FROM nn) + $B))), 6), 12)
+       |    ELSE 0.0 END AS kl_term
+       |  FROM (SELECT unnest(range(0, $B))::INT AS bucket) b
+       |  LEFT JOIN href hr ON b.bucket = hr.bucket
+       |  LEFT JOIN hbatch hb ON b.bucket = hb.bucket
+       |), tot AS (
+       |  SELECT ROUND(CAST(SUM(CAST(kl_term AS DECIMAL(18,12))) AS DOUBLE), 6) + 0.0 AS kl
+       |  FROM report
+       |)
+       |SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref,
+       |  CAST(n_batch AS BIGINT) AS n_batch, kl_term + 0.0 AS kl_term, kl
+       |FROM report CROSS JOIN tot ORDER BY bucket""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_drift_report" -> (driftReport _))
+
+  val oracles: Map[String, String] = Map(
+    "embed_drift_report" -> driftReportOracle)
+}

@@ -51,8 +51,8 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
-  private val D = 64
-  private val Iters = 8
+  private[similarity] val D = 64
+  private[similarity] val Iters = 8
 
   /** std::round(x·p)/p — the Scala mirror of DuckDB ROUND(x, log10 p)
     * and Spark round(x·p, 0)/p: exact truncate-and-compare half-up
@@ -205,7 +205,7 @@ object Pca {
     * [[Graph2.pageRankOracle]] lesson). */
   /** 8 unrolled power-iteration CTE triples over `covName`, with CTE
     * names prefixed by `p` (chain reuse for the deflated matrix). */
-  private def iterChain(p: String, covName: String): String =
+  private[similarity] def iterChain(p: String, covName: String): String =
     (1 to Iters).map { t =>
       s"""${p}w$t AS MATERIALIZED (
          |  SELECT c.i AS i,
@@ -231,10 +231,12 @@ object Pca {
        |)""".stripMargin
 
   /** Shared moment/covariance prefix: vecs → quantized BIGINT moment
-    * sums → μ → symmetric C. */
-  private val basePrefix: String =
+    * sums → μ → symmetric C. The `where` parameter restricts the
+    * corpus the moments are estimated on ([[DriftMonitor]]'s
+    * reference slice); empty = full table. */
+  private[similarity] def basePrefixWhere(where: String): String =
     s"""vecs AS MATERIALIZED (
-       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings $where
        |), dims AS (
        |  SELECT unnest(range(0, $D)) AS i
        |), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM vecs),
@@ -261,7 +263,7 @@ object Pca {
        |)""".stripMargin
 
   val embedPcaOracle: String =
-    s"""WITH $basePrefix, ${iterChain("", "cov")},
+    s"""WITH ${basePrefixWhere("")}, ${iterChain("", "cov")},
        |muarr AS (SELECT list(m ORDER BY i) AS mu FROM mu),
        |pcarr AS (SELECT list(v ORDER BY i) AS pc FROM v$Iters)
        |SELECT a.vec_id, a.label,
@@ -275,7 +277,7 @@ object Pca {
     * chain, λ₂ under the ORIGINAL C, and the two whitened projections
     * dividing by round₁₂(√λ). */
   val embedWhitenOracle: String =
-    s"""WITH $basePrefix, ${iterChain("", "cov")}, ${lamCtes("a", "cov", s"v$Iters")},
+    s"""WITH ${basePrefixWhere("")}, ${iterChain("", "cov")}, ${lamCtes("a", "cov", s"v$Iters")},
        |cov2 AS MATERIALIZED (
        |  SELECT c.i, c.j,
        |    ROUND(c.c - (SELECT lam FROM alam) * a.v * b.v, 9) AS c
