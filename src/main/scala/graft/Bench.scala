@@ -49,7 +49,8 @@ object Bench {
     "ann_recall_eval", "ann_mrr_eval", "mix_kl_report",
     "retrieve_bm25", "retrieve_bm25_stored", "stream_bm25_postings",
     // round-15 additions: live vector-index + kNN-graph maintenance
-    "stream_ann_ivfpq", "stream_knn_graph", "embed_drift_report")
+    "stream_ann_ivfpq", "stream_knn_graph", "embed_drift_report",
+    "dedup_minhash_lsh_stored")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

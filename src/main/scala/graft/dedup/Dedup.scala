@@ -219,9 +219,21 @@ object Dedup {
     * final read, so a per-trigger range exchange (plus its sampling
     * job) would be pure fixed cost. */
   private[graft] def minHashLshPairs(docs: DataFrame): DataFrame = {
+    val idx = lshIndex(docs)
+    pairsFromIndex(idx, docs.select(col("doc_id"), tokens.as("toks")))
+  }
+
+  /** The signature-derived index tables of the full-corpus near-dup
+    * report — membership (gid, grp_n, doc_id) and per-group
+    * representative bands (gid, band_idx, band_key). Split from
+    * [[pairsFromIndex]] so [[LshStore.minHashLshStored]] can stage
+    * them at ingest and serve the pair report with ZERO signature
+    * arithmetic on the query path. */
+  private[graft] case class LshIndex(membership: DataFrame, repBands: DataFrame)
+
+  private[graft] def lshIndex(docs: DataFrame): LshIndex = {
     val spark = docs.sparkSession
     graft.functions.PolyHash.register(spark)
-    graft.functions.JaccardSim.register(spark)
     // localCheckpoint, not cache(): this runs per micro-batch inside
     // stream_dedup_lsh's foreachBatch, and a CacheManager entry would
     // outlive the batch (leaking one table per trigger). Checkpoint
@@ -270,6 +282,17 @@ object Dedup {
       .join(groups.select("gkey", "gid", "grp_n"), "gkey")
       .select("gid", "grp_n", "doc_id")
       .localCheckpoint()
+    val repBands = groups
+      .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("gid"), col("band.band_idx"), col("band.band_key"))
+    LshIndex(membership, repBands)
+  }
+
+  /** Candidate generation + exact verify over (staged or inline) index
+    * tables and a (doc_id, toks) token table. */
+  private[graft] def pairsFromIndex(idx: LshIndex, toksById: DataFrame): DataFrame = {
+    graft.functions.JaccardSim.register(toksById.sparkSession)
+    val membership = idx.membership
     // Pairs within one signature group match in every band by
     // construction (quadratic in the group size — inherent: those
     // pairs are all in the answer). Restricted to the non-singleton
@@ -288,9 +311,7 @@ object Dedup {
     // (localCheckpoint preserves them) broadcast the SMALL side
     // (groupPairs) while it fits; past the threshold the same plan
     // shuffles on gid, bounded by |groupPairs| + |membership|.
-    val repBands = groups
-      .select(col("gid"), explode(array(bandStructs: _*)).as("band"))
-      .select(col("gid"), col("band.band_idx"), col("band.band_key"))
+    val repBands = idx.repBands
     val groupPairs = repBands.toDF("gid_a", "band_idx", "band_key")
       .join(repBands.toDF("gid_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
       .where(col("gid_a") < col("gid_b"))
@@ -313,7 +334,6 @@ object Dedup {
     // once — O(candidates + corpus), no 8 GB broadcast ceiling). A
     // forced broadcast() here would override the size check and ship
     // the whole corpus token table to every executor.
-    val toksById = docs.select(col("doc_id"), tokens.as("toks"))
     candidates
       .join(toksById.withColumnRenamed("doc_id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(toksById.withColumnRenamed("doc_id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")

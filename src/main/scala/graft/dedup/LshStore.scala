@@ -89,11 +89,47 @@ object LshStore {
       .orderBy("batch_id", "store_id")
   }
 
+  // --------------------------------------------------------------- #31c
+  /** Stage the FULL-corpus near-dup index once per (fingerprint, dir):
+    * the signature-derived membership/rep-band tables
+    * ([[Dedup.lshIndex]]) plus the tokenized corpus — everything the
+    * pair report consumes, so the report itself runs with ZERO
+    * token/signature arithmetic (SURVEY 29b's "signatures persisted at
+    * ingest in production", now the batch operator's own steady
+    * state). */
+  private[graft] def stageFullLsh(spark: SparkSession, dir: String): String =
+    Staging.stagedDir("graft_lsh_full", dir, "v1:minhash128:b16r8:membership+repbands+toks", "documents") { root =>
+      graft.functions.PolyHash.register(spark)
+      val docs = Tables.documents(spark, dir)
+      val idx = Dedup.lshIndex(docs)
+      idx.membership.write.parquet(s"$root/membership")
+      idx.repBands.write.parquet(s"$root/repbands")
+      docs.select(col("doc_id"), Dedup.tokens.as("toks"))
+        .write.parquet(s"$root/toks")
+    }
+
+  /** Full-corpus near-dup pair report from the STAGED index: same
+    * output contract and oracle as `dedup_minhash_lsh`; the query path
+    * scans membership/repbands/toks only (plan-pinned: no
+    * graft_polyhash, no documents.parquet anywhere in the plan). */
+  def minHashLshStored(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaccardSim.register(spark)
+    val root = stageFullLsh(spark, dir)
+    val idx = Dedup.LshIndex(
+      spark.read.parquet(s"$root/membership"),
+      spark.read.parquet(s"$root/repbands"))
+    Dedup.pairsFromIndex(idx, spark.read.parquet(s"$root/toks"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_incremental_lsh_stored" -> (incrementalLshStored _))
+    "dedup_incremental_lsh_stored" -> (incrementalLshStored _),
+    "dedup_minhash_lsh_stored" -> (minHashLshStored _))
 
   /** The store is result-invisible: same exact batch × store SQL as
     * dedup_incremental_lsh. */
   val oracles: Map[String, String] = Map(
-    "dedup_incremental_lsh_stored" -> Dedup.minHashLshIncrementalOracle)
+    "dedup_incremental_lsh_stored" -> Dedup.minHashLshIncrementalOracle,
+    // result-invisible store: the inline operator's exact O(n²) oracle
+    "dedup_minhash_lsh_stored" -> Dedup.minHashLshOracle)
 }

@@ -90,4 +90,21 @@ class StoredIndexSpec extends SparkSpec {
     val r2 = graft.dedup.LshStore.stageBandStore(spark, sfDir)
     assert(r1 == r2 && marker.lastModified == m1, "re-stage on unchanged fingerprint")
   }
+
+  test("stored full-corpus LSH report equals the inline answer") {
+    val stored = graft.dedup.LshStore.minHashLshStored(spark, sfDir).collect()
+    val inline = graft.dedup.Dedup.minHashLshOn(
+      Tables.documents(spark, sfDir)).collect()
+    assert(stored.nonEmpty)
+    assert(stored.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
+  test("stored full-corpus LSH plan carries no token/signature arithmetic at all") {
+    val p = planStr(graft.dedup.LshStore.minHashLshStored(spark, sfDir))
+    assert(p.contains("graft_lsh_full"), p.take(3000))
+    // everything signature- and token-derived is read from the store:
+    // zero 128-perm arithmetic AND zero raw-corpus scans in the plan
+    assert(count(p, "graft_polyhash") == 0, "signature arithmetic on the query path")
+    assert(!p.contains("documents.parquet"), "raw corpus scanned on the query path")
+  }
 }
