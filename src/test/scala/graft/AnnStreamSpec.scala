@@ -37,10 +37,18 @@ class AnnStreamSpec extends SparkSpec {
   test("appends land inside bucket partitions — the nprobe pruning shape survives maintenance") {
     val df = AnnStream.streamAnnIvfPq(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // codes/lists scans carry the cell partition column, so the
-    // candidate cells reach them as partition filters (the staged
-    // read path's dynamic-pruning shape, unchanged by live appends)
-    assert(plan.contains("bucket"), plan.take(3000))
+    // the SAME dynamic-partition-pruning pin as the staged twin
+    // (StoredIndexSpec): live appends land inside bucket=<cell>/ dirs,
+    // so the probes' nprobe cell selection must still reach BOTH index
+    // scans as a dynamicpruning partition filter
+    val idxScans = plan.split("FileScan").toSeq.drop(1)
+      .filter(s => s.contains("graft_ann_store") &&
+        (s.contains("/lists") || s.contains("/codes")))
+    assert(idxScans.size >= 2, "expected both index scans:\n" + plan.take(3000))
+    idxScans.foreach { s =>
+      assert(s.contains("dynamicpruning"),
+        "index scan not partition-pruned by the probe cells:\n" + s.take(1500))
+    }
     assert(df.collect().nonEmpty)
   }
 }

@@ -26,7 +26,7 @@ SLICE=/tmp/graft_sf1_slice
 VOUT=/tmp/v10x_full
 SOUT=/tmp/v10x_slice
 ART="${1:-target/TENX_GATE.txt}"
-QUAD=dedup_minhash_lsh,stream_dedup_lsh,dedup_components,dedup_resolve,dedup_edit_distance,dedup_containment
+QUAD=dedup_minhash_lsh,dedup_minhash_lsh_stored,stream_dedup_lsh,dedup_components,dedup_resolve,dedup_edit_distance,dedup_containment
 mkdir -p "$(dirname "$ART")"
 : > "$ART"
 fail=0
