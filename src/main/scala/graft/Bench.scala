@@ -50,7 +50,7 @@ object Bench {
     "retrieve_bm25", "retrieve_bm25_stored", "stream_bm25_postings",
     // round-15 additions: live vector-index + kNN-graph maintenance
     "stream_ann_ivfpq", "stream_knn_graph", "embed_drift_report",
-    "dedup_minhash_lsh_stored")
+    "dedup_minhash_lsh_stored", "stream_drift_report")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

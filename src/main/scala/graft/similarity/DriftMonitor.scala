@@ -59,6 +59,21 @@ object DriftMonitor {
   private[graft] def reportWithShift(spark: SparkSession, dir: String,
       shift: Double): DataFrame = {
     graft.functions.GramMatrix.register(spark)
+    val ref = Embeddings.vecs(spark, dir).select("vec_id", "label", "v")
+      .where(pmod(col("vec_id"), lit(4L)) =!= 3L)
+    // reference moments: in production this row IS the 42r live store
+    // ([[graft.streaming.PcaStream.streamDriftReport]] serves the same
+    // report from the maintained store row)
+    val row = ref.agg(expr("graft_gram(v)").as("m"), count(lit(1)).as("n")).head()
+    reportFromMoments(spark, dir, shift, row.getSeq[Long](0).toArray, row.getLong(1))
+  }
+
+  /** The report from an externally-supplied reference moment buffer —
+    * the live-store seam. Everything downstream of the moments is two
+    * zero-shuffle projection passes + 16-key histograms. */
+  private[graft] def reportFromMoments(spark: SparkSession, dir: String,
+      shift: Double, m: Array[Long], n: Long): DataFrame = {
+    graft.functions.GramMatrix.register(spark)
     val vecs = Embeddings.vecs(spark, dir).select("vec_id", "label", "v")
     val ref = vecs.where(pmod(col("vec_id"), lit(4L)) =!= 3L)
     // the seeded drifted batch: +shift (exact binary) on EVERY
@@ -70,10 +85,6 @@ object DriftMonitor {
     val batch = vecs.where(pmod(col("vec_id"), lit(4L)) === 3L)
       .withColumn("v", expr(
         s"graft_dense(transform(v, x -> x + CAST($shift AS DOUBLE)))"))
-    // reference moments: in production this row IS the 42r live store
-    val row = ref.agg(expr("graft_gram(v)").as("m"), count(lit(1)).as("n")).head()
-    val m = row.getSeq[Long](0).toArray
-    val n = row.getLong(1)
     val refP = Pca.projectWith(ref, m, n).select("pc1")
     val batchP = Pca.projectWith(batch, m, n).select("pc1")
     // bucket edges from the reference spread (two scalars, broadcast)

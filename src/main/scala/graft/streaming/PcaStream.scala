@@ -45,8 +45,20 @@ object PcaStream {
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_pca_store").toString
     val store = base + "/moments"
-    val fs = graft.util.Fs.of(spark, base)
-    val q = spark.readStream.schema(emb.schema)
+    maintainMoments(spark, srcDir, emb.schema, store)
+    val st = spark.read.parquet(store).head()
+    // projection over the accumulated corpus with the STORE's moments
+    val vecs = Embeddings.vecsOf(spark.read.parquet(srcDir))
+      .select("vec_id", "label", "v")
+    Pca.projectWith(vecs, st.getSeq[Long](0).toArray, st.getLong(1))
+  }
+
+  /** Drain `srcDir` into the one-row moment store at `store` — the
+    * maintenance loop, shared with [[streamDriftReport]]. */
+  private[graft] def maintainMoments(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, store: String): Unit = {
+    val fs = graft.util.Fs.of(spark, store)
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
       .writeStream
@@ -86,18 +98,42 @@ object PcaStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  // -------------------------------------------------------------- #116
+  /** The drift alarm served FROM THE LIVE MOMENT STORE — the
+    * production composition [[graft.similarity.DriftMonitor]]'s
+    * scaladoc names: the reference corpus streams into the maintained
+    * one-row moment store (this file's add-merge loop), and each
+    * arriving batch's drift check reads the STORE row — the reference
+    * side costs one 17 KB parquet read per check, never a corpus
+    * rescan. Exact scaled-long moment adds are associative over the
+    * slicing, so the maintained buffer is bit-identical to the
+    * one-shot reference moments and the whole downstream chain
+    * (eigensolve → frozen-axis projections → histograms → KL) carries
+    * the 40w10 batch oracle verbatim. */
+  def streamDriftReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GramMatrix.register(spark)
+    graft.functions.DotProduct.register(spark)
+    val ref = graft.Tables.embeddings(spark, dir)
+      .where(pmod(col("vec_id"), lit(4L)) =!= 3L)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_drift_src").toString
+    ref.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val store = java.nio.file.Files.createTempDirectory("graft_drift_store").toString + "/moments"
+    maintainMoments(spark, srcDir, ref.schema, store)
     val st = spark.read.parquet(store).head()
-    // projection over the accumulated corpus with the STORE's moments
-    val vecs = Embeddings.vecsOf(spark.read.parquet(srcDir))
-      .select("vec_id", "label", "v")
-    Pca.projectWith(vecs, st.getSeq[Long](0).toArray, st.getLong(1))
+    graft.similarity.DriftMonitor.reportFromMoments(
+      spark, dir, 0.5, st.getSeq[Long](0).toArray, st.getLong(1))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_pca_moments" -> (streamPcaMoments _))
+    "stream_pca_moments" -> (streamPcaMoments _),
+    "stream_drift_report" -> (streamDriftReport _))
 
   val oracles: Map[String, String] = Map(
     // exact scaled-long moment adds are associative over the slicing,
-    // so the batch oracle carries verbatim
-    "stream_pca_moments" -> Pca.embedPcaOracle)
+    // so the batch oracles carry verbatim
+    "stream_pca_moments" -> Pca.embedPcaOracle,
+    "stream_drift_report" -> graft.similarity.DriftMonitor.driftReportOracle)
 }

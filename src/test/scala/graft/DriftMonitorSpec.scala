@@ -30,4 +30,11 @@ class DriftMonitorSpec extends SparkSpec {
     assert(r.forall(_.getDouble(4) == kl))
     assert(math.abs(r.map(_.getDouble(3)).sum - kl) < 1e-5)
   }
+
+  test("live moment store serves the identical drift report (drain == batch, bit for bit)") {
+    val live = graft.streaming.PcaStream.streamDriftReport(spark, sfDir).collect()
+    val batch = DriftMonitor.reportWithShift(spark, sfDir, 0.5).collect()
+    assert(live.nonEmpty)
+    assert(live.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+  }
 }
