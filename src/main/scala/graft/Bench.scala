@@ -244,7 +244,14 @@ object Bench {
       val path = sys.env.get("SPARK_GRAFT_BENCH_PINS").orElse {
         val fs = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .filter(f => f.getName.matches("BENCH_FULL_r\\d+_pin\\d*\\.json"))
-        fs.sortBy(_.getName).lastOption.map(_.getPath)
+        // numeric (round, pin-revision) order — a lexicographic name
+        // sort would rank r9 above r15 and r15 above a future r100
+        def key(n: String): (Int, Int) = {
+          val m = "BENCH_FULL_r(\\d+)_pin(\\d*)\\.json".r.findFirstMatchIn(n).get
+          (m.group(1).toInt,
+            if (m.group(2).isEmpty) 0 else m.group(2).toInt)
+        }
+        fs.sortBy(f => key(f.getName)).lastOption.map(_.getPath)
       }
       path.map { p =>
         val s = java.nio.file.Files.readString(java.nio.file.Paths.get(p))

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Demo wiring (deterministic, oracle-checkable): reference =
   * `vec_id % 4 ≠ 3`; the "arriving batch" is the remaining quarter with
-  * a SEEDED mean shift (+0.25 on dimension 0 — exact binary, mirrored
-  * in the oracle) so the alarm actually fires with a solidly nonzero
-  * KL. In production the batch is the day's embedding feed and the
+  * a SEEDED mean shift (+0.5 on EVERY dimension — exact binary,
+  * mirrored in the oracle; a mean shift along the all-ones direction
+  * projects solidly onto the dominant axis, where a single-dimension
+  * nudge can vanish — see reportFromMoments) so the alarm actually
+  * fires with a solidly nonzero KL. In production the batch is the day's embedding feed and the
   * shift is whatever the upstream encoder drifted by.
   *
   * Scale shape: ONE reference pass folds into the fixed 16 KB

@@ -143,7 +143,13 @@ object GraphStore {
     *     top5(S ∪ B) = top5(top5(S) ∪ scores(·,B)) (the bounded heap
     *     is a mergeable synopsis; KnnGraph.directedTopk).
     * The three sources are (src, dst)-disjoint (batch ids are
-    * append-only), so no candidate is double-counted. */
+    * append-only), so no candidate is double-counted.
+    *
+    * Candidates never cross label blocks, so lists of labels absent
+    * from the batch are fixed points — [[graft.streaming.GraphStream]]
+    * exploits this by passing ONLY the touched label partitions of the
+    * stored vectors/lists here and leaving every other partition's
+    * files untouched on disk. */
   private[graft] def repairedTopk(storedTopk: DataFrame, storedVecs: DataFrame,
       batchVecs: DataFrame): DataFrame = {
     val newCand = KnnGraph.scoredPairs(KnnGraph.srcSide(batchVecs),

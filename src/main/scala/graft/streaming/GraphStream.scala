@@ -4,6 +4,8 @@ import graft.similarity.{Embeddings, GraphStore, KnnGraph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
 
 /** Incremental kNN-graph maintenance — the streaming twin of
   * [[GraphStore]]'s staged mutual-kNN graph: a new-vector batch inserts
@@ -21,19 +23,49 @@ import org.apache.spark.sql.streaming.Trigger
   * would be lossy; carrying directed lists makes the repair exact
   * (GraphStreamSpec exercises an eviction across triggers).
   *
+  * TOUCHED-PARTITION repair: candidates are generated strictly inside
+  * label blocks (the kNN blocking — the IVF cell at warehouse scale),
+  * so a trigger can only change lists of nodes whose label appears in
+  * the batch; every other label's lists are provably fixed points
+  * (top5(S ∪ ∅) = S). Both stores are therefore PARTITIONED BY label
+  * (`label=<block>/`, the [[AnnStream]] cell-dir discipline) and each
+  * trigger (a) reads ONLY the touched label partitions of the vector
+  * and list stores (static partition pruning on the batch's label
+  * set), (b) re-collapses only those nodes, and (c) swaps ONLY the
+  * touched `label=` dirs via per-partition rename-aside (recovery at
+  * the head of the next trigger restores any dir left aside by a
+  * crash inside the swap window — the [[graft.sources.Compaction
+  * .compactStore]] protocol at partition granularity). Untouched
+  * partitions are never listed, read, re-collapsed, or rewritten
+  * (GraphStreamSpec pins this with a file-listing assertion on a
+  * 1-label trigger).
+  *
   * Per-trigger cost: the batch scores against the label-blocked store
   * — O(|batch| · block), the [[graft.dedup.LshStore]] (29b/42h)
-  * batch-vs-store discipline — plus a node-scale heap re-collapse;
-  * corpus × corpus scoring never runs after ingest. State: ≤ 5 rows
-  * per node (the directed lists) + the vector store the warehouse
-  * holds anyway; both swapped/appended atomically per trigger. At
-  * warehouse scale the label block is the IVF cell and the vector
-  * store is cell-bucketed, so the batch join exchanges only the batch.
+  * batch-vs-store discipline — plus a TOUCHED-NODE heap re-collapse
+  * and a touched-partition rewrite; corpus × corpus scoring never runs
+  * after ingest and write amplification per trigger is O(touched
+  * blocks), not O(corpus). State: ≤ 5 rows per node (the directed
+  * lists) + the vector store the warehouse holds anyway; both
+  * label-partitioned, swapped/appended per trigger.
   *
   * Drain ≡ one-shot [[KnnGraph.knnGraph]] (bit-equal spec) and the
   * full-recompute mutual-kNN oracle carries verbatim.
   */
 object GraphStream {
+
+  /** Explicit store schemas: reads must work on an EMPTY partitioned
+    * store (bootstrap trigger — no footer, no partition dirs to infer
+    * from). `label` last = the partition column position. */
+  private val topkSchema = StructType(Seq(
+    StructField("src_id", LongType), StructField("dst_id", LongType),
+    StructField("cos", DoubleType), StructField("rank", IntegerType),
+    StructField("label", IntegerType)))
+  private val vecsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType)),
+    StructField("norm2", DoubleType),
+    StructField("label", IntegerType)))
 
   // -------------------------------------------------------------- #114
   def streamKnnGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -51,31 +83,49 @@ object GraphStream {
   }
 
   private[graft] def readTopk(spark: SparkSession, base: String): DataFrame =
-    spark.read.parquet(s"$base/topk")
+    spark.read.schema(topkSchema).parquet(s"$base/topk")
+      .select("label", "src_id", "dst_id", "cos", "rank")
+
+  private[graft] def readVecs(spark: SparkSession, base: String): DataFrame =
+    spark.read.schema(vecsSchema).parquet(s"$base/vecs")
+
+  /** Restore any `label=` dir a crashed swap left aside: the
+    * [[graft.sources.Compaction.compactStore]] recovery step at
+    * partition granularity (rename-aside happens strictly before
+    * rename-in, so a missing store dir with a surviving aside dir is
+    * the only crash state; aside dirs whose store dir exists are
+    * superseded leftovers and are dropped with the aside root). */
+  private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
+      store: String): Unit = {
+    val aside = new Path(store + "_aside")
+    if (fs.exists(aside)) {
+      for (st <- fs.listStatus(aside) if st.getPath.getName.startsWith("label=")) {
+        val dst = new Path(store, st.getPath.getName)
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+      }
+      fs.delete(aside, true)
+      ()
+    }
+  }
 
   /** Drain `srcDir` into a live-maintained graph store at `base`:
-    * per-trigger directed-list repair (atomic swap) + vector append. */
+    * per-trigger TOUCHED-LABEL directed-list repair (per-partition
+    * rename-aside swap) + label-partitioned vector append. All
+    * filesystem choreography resolves from the store path
+    * ([[graft.util.Fs]]) so `base`, `srcDir` and `checkpoint` may live
+    * on any Hadoop filesystem (FsPortabilitySpec runs the drain over a
+    * non-default `graftfs:` scheme). */
   private[graft] def buildStore(spark: SparkSession, dir: String,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
-      base: String): Unit = {
+      base: String, checkpoint: Option[String] = None): Unit = {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
     val vecStore = base + "/vecs"
     val topkStore = base + "/topk"
-    // empty initial stores (the MarkovStream bootstrap pattern)
-    val empty = Embeddings.vecsOf(spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
-    empty.write.parquet(vecStore)
-    KnnGraph.directedTopk(
-      KnnGraph.scoredPairs(KnnGraph.srcSide(empty), KnnGraph.dstSide(empty)))
-      .write.parquet(topkStore)
-    def swap(tmp: String, dst: String): Unit = {
-      val fs = graft.util.Fs.of(spark, dst)
-      fs.delete(new org.apache.hadoop.fs.Path(dst), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(dst))
-      ()
-    }
+    val baseFs = graft.util.Fs.of(spark, base)
+    baseFs.mkdirs(new Path(vecStore))
+    baseFs.mkdirs(new Path(topkStore))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
@@ -85,21 +135,46 @@ object GraphStream {
         graft.functions.BoundedTopK.register(sp)
         graft.functions.DotProduct.register(sp)
         graft.functions.KnownNonNullElements.register(sp)
+        val fs = graft.util.Fs.of(sp, topkStore)
+        recoverAside(fs, topkStore)
         val batchVecs = Embeddings.vecsOf(batch)
-        // graft_dense on the parquet-loaded vectors (file source forces
-        // containsNull=true; see Embeddings.vecs)
-        val storedVecs = sp.read.parquet(vecStore)
+        // the only lists a label-blocked candidate pass can change
+        val touched = batchVecs.select("label").distinct()
+          .collect().map(_.getInt(0)).sorted
+        val touchedOnly = col("label").isin(touched.map(l => l: Any): _*)
+        // static partition pruning: only touched label= dirs are listed
+        // (graft_dense on the parquet-loaded vectors — the file source
+        // forces containsNull=true; see Embeddings.vecs)
+        val storedVecs = readVecs(sp, base).where(touchedOnly)
           .select(col("vec_id"), col("label"),
             expr("graft_dense(v)").as("v"), col("norm2"))
-        val storedTopk = sp.read.parquet(topkStore)
+        val storedTopk = readTopk(sp, base).where(touchedOnly)
         val repaired = GraphStore.repairedTopk(storedTopk, storedVecs, batchVecs)
-        repaired.write.mode("overwrite").parquet(topkStore + "_next")
-        swap(topkStore + "_next", topkStore)
-        batchVecs.write.mode("append").parquet(vecStore)
+        val next = topkStore + "_next"
+        fs.delete(new Path(next), true)
+        repaired.repartition(col("label"))
+          .write.mode("overwrite").partitionBy("label").parquet(next)
+        // per-partition rename-aside swap: ONLY the touched label dirs
+        // move; every other partition's files are never rewritten
+        val asideRoot = new Path(topkStore + "_aside")
+        fs.mkdirs(asideRoot)
+        for (l <- touched) {
+          val cur = new Path(s"$topkStore/label=$l")
+          val upd = new Path(s"$next/label=$l")
+          if (fs.exists(upd)) {
+            if (fs.exists(cur)) fs.rename(cur, new Path(asideRoot, s"label=$l"))
+            fs.rename(upd, cur)
+          }
+        }
+        fs.delete(asideRoot, true)
+        fs.delete(new Path(next), true)
+        batchVecs.select("vec_id", "v", "norm2", "label")
+          .repartition(col("label"))
+          .write.mode("append").partitionBy("label").parquet(vecStore)
         ()
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_graph").toString)
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_graph").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -34,6 +34,53 @@ class GraphStreamSpec extends SparkSpec {
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("a 1-vector trigger rewrites ONLY its touched label partition (file-listing pin)") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val last = emb.orderBy(col("vec_id").desc).limit(1).collect().head
+    val lastId = last.getLong(last.fieldIndex("vec_id"))
+    val lastLabel = last.getInt(last.fieldIndex("label"))
+    // drain everything EXCEPT the last vector, snapshot the store files
+    val src1 = java.nio.file.Files.createTempDirectory("graft_graphspec_s1").toString
+    emb.where(col("vec_id") =!= lastId).coalesce(1)
+      .write.mode("overwrite").parquet(src1)
+    val base = java.nio.file.Files.createTempDirectory("graft_graphspec_touch").toString
+    GraphStream.buildStore(spark, sfDir, src1, emb.schema, base)
+    def listing(): Map[String, (Long, Long)] = {
+      val fs = graft.util.Fs.of(spark, base)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(base + "/topk"), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet"))
+          b += st.getPath.toString -> ((st.getLen, st.getModificationTime))
+      }
+      b.result()
+    }
+    val before = listing()
+    assert(before.keys.exists(_.contains(s"label=$lastLabel")), "touched label present pre-trigger")
+    assert(before.keys.exists(!_.contains(s"label=$lastLabel")), "untouched labels present pre-trigger")
+    // one more trigger: exactly the one held-out vector
+    val src2 = java.nio.file.Files.createTempDirectory("graft_graphspec_s2").toString
+    emb.where(col("vec_id") === lastId).coalesce(1)
+      .write.mode("overwrite").parquet(src2)
+    GraphStream.buildStore(spark, sfDir, src2, emb.schema, base)
+    val after = listing()
+    // untouched label partitions: byte-for-byte the same files on disk
+    val untouchedBefore = before.filter(!_._1.contains(s"label=$lastLabel"))
+    val untouchedAfter = after.filter(!_._1.contains(s"label=$lastLabel"))
+    assert(untouchedAfter == untouchedBefore,
+      "an untouched label partition was rewritten by a 1-label trigger")
+    // the touched partition WAS swapped (fresh files)
+    assert(after.filter(_._1.contains(s"label=$lastLabel")) !=
+      before.filter(_._1.contains(s"label=$lastLabel")),
+      "touched label partition was not rewritten")
+    // and the maintained store still equals the full rebuild, bit for bit
+    val live = graft.similarity.GraphStore.mutualFromTopk(
+      GraphStream.readTopk(spark, base)).orderBy("id_a", "id_b").collect()
+    val inline = KnnGraph.knnGraph(spark, sfDir).collect()
+    assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("the repair path is exercised: a later batch evicts an earlier node's top-5 entry") {
     // range-slicing by vec_id puts low ids in trigger 1 and high ids in
     // trigger 3; if no later vector ever entered an earlier node's
