@@ -50,7 +50,10 @@ object Bench {
     "retrieve_bm25", "retrieve_bm25_stored", "stream_bm25_postings",
     // round-15 additions: live vector-index + kNN-graph maintenance
     "stream_ann_ivfpq", "stream_knn_graph", "embed_drift_report",
-    "dedup_minhash_lsh_stored", "stream_drift_report")
+    "dedup_minhash_lsh_stored", "stream_drift_report",
+    // round-16 additions: live-index compaction, drift-triggered
+    // blue/green refresh, delete-with-index-repair
+    "stream_ann_ivfpq_compacted")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

@@ -243,7 +243,42 @@ object Compaction {
     * Result-invisible by contract: same rows, fewer files (spec-gated
     * via the bm25 oracle on the compacted index). */
   def compactStore(spark: SparkSession, dir: String,
-      sortCols: Seq[String], nFiles: Int = 2): Unit = {
+      sortCols: Seq[String], nFiles: Int = 2): Unit =
+    publishRewrite(spark, dir) { tmp =>
+      spark.read.parquet(dir)
+        .repartition(nFiles, col(sortCols.head))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+    }
+
+  /** [[compactStore]] for a HIVE-PARTITIONED append store — the
+    * live vector-index stores (the IVFADC `lists`/`codes` cell dirs of
+    * [[graft.streaming.AnnStream]], the label dirs of
+    * [[graft.streaming.GraphStream]]'s vector store) grow one file per
+    * trigger per partition. The rewrite KEEPS the partition layout
+    * (`partitionBy` on the same column), so the read path's dynamic
+    * partition pruning survives compaction unchanged (plan-pinned in
+    * AnnStreamSpec); `repartition(partCol)` gives each output dir one
+    * writing task. Publish = the same rename-aside protocol as
+    * [[compactStore]]: the source stays on disk until the rewritten
+    * tree is in place, and a crash inside the two-rename window is
+    * repaired by the recovery step at the head of the next run. */
+  def compactPartitionedStore(spark: SparkSession, dir: String,
+      partCol: String, sortCols: Seq[String]): Unit =
+    publishRewrite(spark, dir) { tmp =>
+      spark.read.parquet(dir)
+        .repartition(col(partCol))
+        .sortWithinPartitions(sortCols.map(col): _*)
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    }
+
+  /** The shared whole-root atomic-publish protocol: recover from a
+    * previous crash, run `job` into a tmp root, then
+    * dir → dir_precompact, tmp → dir, drop aside. Readers never see a
+    * partial state; the crash-window contract is spec-exercised via
+    * [[crashPoint]] ("swap" fires between the two renames). */
+  private def publishRewrite(spark: SparkSession, dir: String)
+      (job: String => Unit): Unit = {
     val fs = fsOf(spark, dir)
     val (root, aside, tmp) = (new Path(dir),
       new Path(dir + "_precompact"), new Path(dir + "_compacting"))
@@ -251,13 +286,12 @@ object Compaction {
     if (!fs.exists(root) && fs.exists(aside)) fs.rename(aside, root)
     fs.delete(aside, true)
     fs.delete(tmp, true)
-    spark.read.parquet(dir)
-      .repartition(nFiles, col(sortCols.head))
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+    job(tmp.toString)
     fs.rename(root, aside)
+    maybeCrash("swap")
     fs.rename(tmp, root)
     fs.delete(aside, true)
+    ()
   }
 
   val compactionOracle: String =

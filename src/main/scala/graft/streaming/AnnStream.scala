@@ -100,6 +100,42 @@ object AnnStream {
     q.awaitTermination()
   }
 
+  // ------------------------------------------------------------- #113b
+  /** The live store COMPACTED through the named maintenance seam and
+    * searched: per-trigger appends leave one file pair per (trigger,
+    * cell) — at a day of triggers that is the small-file pathology the
+    * reference schedules compaction against (compaction-service.ts) —
+    * so the scheduled sweep is [[graft.sources.Compaction
+    * .compactPartitionedStore]] over `lists` and `codes`, which
+    * rewrites each `bucket=<cell>/` dir to one sorted file while
+    * KEEPING the cell layout (the nprobe dynamic partition pruning
+    * survives — plan-pinned in AnnStreamSpec, file-count reduction and
+    * crash-window recovery spec-exercised). Result-invisible by
+    * contract: the same full-recompute IVFADC oracle gates the search
+    * over the compacted store. */
+  def streamAnnIvfPqCompacted(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    graft.functions.KnownNonNullElements.register(spark)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_annc_src").toString
+    emb.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_annc_store").toString
+    buildStore(spark, dir, srcDir, emb.schema, base)
+    compactIndexStore(spark, base)
+    searchStore(spark, dir, base)
+  }
+
+  /** The scheduled small-file sweep over a live index store: each cell
+    * dir collapses to one file sorted by neighbor id (tight row-group
+    * stats for the candidate equi-join). */
+  private[graft] def compactIndexStore(spark: SparkSession, base: String): Unit = {
+    graft.sources.Compaction.compactPartitionedStore(
+      spark, s"$base/lists", "bucket", Seq("neighbor_id"))
+    graft.sources.Compaction.compactPartitionedStore(
+      spark, s"$base/codes", "bucket", Seq("neighbor_id", "sub"))
+  }
+
   /** The unchanged staged-read search over a live-maintained store. */
   private[graft] def searchStore(spark: SparkSession, dir: String,
       base: String): DataFrame = {
@@ -113,11 +149,13 @@ object AnnStream {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_ann_ivfpq" -> (streamAnnIvfPq _))
+    "stream_ann_ivfpq" -> (streamAnnIvfPq _),
+    "stream_ann_ivfpq_compacted" -> (streamAnnIvfPqCompacted _))
 
   /** Append-only per-vector assignment against frozen quantizers is
-    * slicing-invariant, so the full-recompute IVFADC oracle carries
-    * over verbatim. */
+    * slicing-invariant, and compaction is result-invisible, so the
+    * full-recompute IVFADC oracle carries over verbatim to both. */
   val oracles: Map[String, String] = Map(
-    "stream_ann_ivfpq" -> Embeddings.annIvfPqTopKOracle)
+    "stream_ann_ivfpq" -> Embeddings.annIvfPqTopKOracle,
+    "stream_ann_ivfpq_compacted" -> Embeddings.annIvfPqTopKOracle)
 }

@@ -34,6 +34,54 @@ class AnnStreamSpec extends SparkSpec {
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("compaction collapses the trigger fan-out per cell, keeps DPP, and survives a crash window") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_anncspec_src").toString
+    emb.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_anncspec_store").toString
+    AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
+    def files(t: String): Seq[String] = {
+      val fs = graft.util.Fs.of(spark, base)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/$t"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += p
+      }
+      b.result()
+    }
+    def buckets(t: String): Set[String] =
+      files(t).flatMap("bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    val (filesBefore, bucketsBefore) = (files("lists").size, buckets("lists"))
+    assert(filesBefore > bucketsBefore.size,
+      "per-trigger appends produced no small-file fan-out — nothing to compact")
+    // crash INSIDE the swap window (store renamed aside, rewrite not yet
+    // in place), then the next scheduled run recovers and completes
+    graft.sources.Compaction.crashPoint = Some("swap")
+    intercept[IllegalStateException] { AnnStream.compactIndexStore(spark, base) }
+    graft.sources.Compaction.crashPoint = None
+    AnnStream.compactIndexStore(spark, base)
+    for (t <- Seq("lists", "codes")) {
+      assert(buckets(t) == bucketsBefore, s"$t lost cell partitions")
+      assert(files(t).size == buckets(t).size,
+        s"$t not compacted to one file per cell dir: ${files(t).size}")
+    }
+    // result-invisible AND the nprobe DPP shape survives the rewrite
+    val df = AnnStream.searchStore(spark, sfDir, base)
+    val plan = df.queryExecution.executedPlan.toString
+    val idxScans = plan.split("FileScan").toSeq.drop(1)
+      .filter(s => s.contains("graft_anncspec_store") &&
+        (s.contains("/lists") || s.contains("/codes")))
+    assert(idxScans.size >= 2, "expected both index scans:\n" + plan.take(3000))
+    idxScans.foreach { s =>
+      assert(s.contains("dynamicpruning"),
+        "compacted index scan not partition-pruned:\n" + s.take(1500))
+    }
+    val inline = Embeddings.annIvfPqTopK(spark, sfDir).collect()
+    assert(df.collect().map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("appends land inside bucket partitions — the nprobe pruning shape survives maintenance") {
     val df = AnnStream.streamAnnIvfPq(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -32,6 +32,32 @@ class GraphStreamSpec extends SparkSpec {
       GraphStream.readTopk(spark, base)).orderBy("id_a", "id_b").collect()
     val inline = KnnGraph.knnGraph(spark, sfDir).collect()
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+    // the live vector store compacts through the named seam: one file
+    // per label dir afterwards, layout kept, store result-invisible
+    def vecFiles(): Seq[String] = {
+      val fs = graft.util.Fs.of(spark, base)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(base + "/vecs"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet")) b += p
+      }
+      b.result()
+    }
+    def labels(fs: Seq[String]): Set[String] =
+      fs.flatMap("label=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    val before = vecFiles()
+    assert(before.size > labels(before).size, "no per-trigger vec fan-out to compact")
+    val rowsBefore = GraphStream.readVecs(spark, base)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    graft.sources.Compaction.compactPartitionedStore(
+      spark, base + "/vecs", "label", Seq("vec_id"))
+    val after = vecFiles()
+    assert(labels(after) == labels(before), "compaction lost label partitions")
+    assert(after.size == labels(after).size, s"vecs not 1 file/label: ${after.size}")
+    val rowsAfter = GraphStream.readVecs(spark, base)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(rowsAfter == rowsBefore, "vec store rows changed across compaction")
   }
 
   test("a 1-vector trigger rewrites ONLY its touched label partition (file-listing pin)") {
