@@ -53,7 +53,7 @@ object Bench {
     "dedup_minhash_lsh_stored", "stream_drift_report",
     // round-16 additions: live-index compaction, drift-triggered
     // blue/green refresh, delete-with-index-repair
-    "stream_ann_ivfpq_compacted")
+    "stream_ann_ivfpq_compacted", "ann_index_refresh")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

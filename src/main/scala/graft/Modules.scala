@@ -102,7 +102,8 @@ object Modules {
     ("PcaStream", streaming.PcaStream.queries, streaming.PcaStream.oracles),
     ("AnnStream", streaming.AnnStream.queries, streaming.AnnStream.oracles),
     ("GraphStream", streaming.GraphStream.queries, streaming.GraphStream.oracles),
-    ("DriftMonitor", similarity.DriftMonitor.queries, similarity.DriftMonitor.oracles))
+    ("DriftMonitor", similarity.DriftMonitor.queries, similarity.DriftMonitor.oracles),
+    ("IndexRefresh", similarity.IndexRefresh.queries, similarity.IndexRefresh.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

@@ -109,12 +109,23 @@ object StoredIndex {
       centroids: DataFrame, codebook: DataFrame,
       codes: DataFrame, lists: DataFrame): DataFrame = {
     graft.functions.L2Distance.register(spark)
+    // the ONLY raw-corpus touch: probe rows (vec_id < 5, pushed down)
+    searchIndexProbes(spark,
+      Embeddings.vecs(spark, dir).where(col("vec_id") < 5),
+      centroids, codebook, codes, lists)
+  }
+
+  /** The same ADC search with the probe frame supplied by the caller —
+    * the seam [[IndexRefresh]] uses to search a re-staged index with
+    * probes drawn from the NEW (drifted) window. */
+  private[graft] def searchIndexProbes(spark: SparkSession,
+      probeVecs: DataFrame, centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, lists: DataFrame): DataFrame = {
+    graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    // the ONLY raw-corpus touch: probe rows (vec_id < 5, pushed down).
     // probeCells' bucket is cast to the partition column's inferred
     // INT so the equi-join key is the BARE partition column on the
     // index side — the shape dynamic partition pruning matches.
-    val probeVecs = Embeddings.vecs(spark, dir).where(col("vec_id") < 5)
     val probeCells = Embeddings.ivfAssign(probeVecs, centroids, 4)
       .select(col("vec_id").as("probe_id"), col("cent_id").cast("int").as("bucket"))
     val probes = Embeddings.pqSubsOf(probeVecs)
