@@ -61,10 +61,14 @@ object AnnStream {
   /** Drain `srcDir` into a fresh index store at `base`: frozen
     * quantizers staged once, then per-trigger delta appends. Exposed
     * separately so the spec can compare the drained store against the
-    * one-shot build file-for-file. */
+    * one-shot build file-for-file. Every path (`base`, `srcDir`,
+    * `checkpoint`) is written through Spark's Hadoop filesystem layer,
+    * so the store may live on any registered scheme —
+    * FsPortabilitySpec drains this builder over a non-default
+    * `graftfs:` root. */
   private[graft] def buildStore(spark: SparkSession, dir: String,
       srcDir: String, schema: org.apache.spark.sql.types.StructType,
-      base: String): Unit = {
+      base: String, checkpoint: Option[String] = None): Unit = {
     val (centroids, codebook) = StoredIndex.trainIndex(spark, dir)
     // freeze the quantizers into the store (the trained index
     // metadata a real deployment ships before ingest starts)
@@ -93,8 +97,8 @@ object AnnStream {
           .write.mode("append").partitionBy("bucket").parquet(s"$base/codes")
         ()
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_ann").toString)
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_ann").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -93,6 +93,43 @@ class FsPortabilitySpec extends SparkSpec {
     assert(Compaction.compactedRead(spark, live, archive, "016").count() == before)
   }
 
+  test("AnnStream live IVFADC store drains, compacts and serves on a non-default scheme") {
+    val e = Tables.embeddings(spark, sfDir)
+    val srcDir = graftRoot() + "/src"
+    e.repartitionByRange(2, col("vec_id")).write.parquet(srcDir)
+    val base = graftRoot() + "/store"
+    val ckpt = graftRoot() + "/ckpt"
+    graft.streaming.AnnStream.buildStore(spark, sfDir, srcDir, e.schema,
+      base, Some(ckpt))
+    // the whole store tree lives behind graftfs:, not local file:
+    assert(fsOf(base).isInstanceOf[GraftTestFs])
+    assert(fsOf(base).exists(new Path(base + "/lists")))
+    // the scheduled sweep's rename-aside publish runs on the same scheme
+    graft.streaming.AnnStream.compactIndexStore(spark, base)
+    val live = graft.streaming.AnnStream.searchStore(spark, sfDir, base).collect()
+    val inline = graft.similarity.Embeddings.annIvfPqTopK(spark, sfDir).collect()
+    assert(live.nonEmpty)
+    assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
+  test("GraphStream live kNN-graph store drains and serves on a non-default scheme") {
+    val e = Tables.embeddings(spark, sfDir)
+    val srcDir = graftRoot() + "/src"
+    e.repartitionByRange(2, col("vec_id")).write.parquet(srcDir)
+    val base = graftRoot() + "/store"
+    val ckpt = graftRoot() + "/ckpt"
+    graft.streaming.GraphStream.buildStore(spark, sfDir, srcDir, e.schema,
+      base, Some(ckpt))
+    assert(fsOf(base).isInstanceOf[GraftTestFs])
+    assert(fsOf(base).exists(new Path(base + "/topk")))
+    val live = graft.similarity.GraphStore
+      .mutualFromTopk(graft.streaming.GraphStream.readTopk(spark, base))
+      .orderBy("id_a", "id_b").collect()
+    val inline = graft.similarity.KnnGraph.knnGraph(spark, sfDir).collect()
+    assert(live.nonEmpty)
+    assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("Migration.migrate lands a flat store into a graftfs tiered target") {
     val flat = HiveStore.scratchDir()
     val target = graftRoot()
