@@ -51,6 +51,8 @@ object Bench {
     // round-15 additions: live vector-index + kNN-graph maintenance
     "stream_ann_ivfpq", "stream_knn_graph", "embed_drift_report",
     "dedup_minhash_lsh_stored", "stream_drift_report",
+    // round-16 additions: deletion with derived-index repair
+    "store_delete_ivfpq", "store_delete_knn", "store_delete_bm25",
     // round-16 additions: live-index compaction, drift-triggered
     // blue/green refresh, delete-with-index-repair
     "stream_ann_ivfpq_compacted", "ann_index_refresh")

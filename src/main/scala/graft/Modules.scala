@@ -103,7 +103,8 @@ object Modules {
     ("AnnStream", streaming.AnnStream.queries, streaming.AnnStream.oracles),
     ("GraphStream", streaming.GraphStream.queries, streaming.GraphStream.oracles),
     ("DriftMonitor", similarity.DriftMonitor.queries, similarity.DriftMonitor.oracles),
-    ("IndexRefresh", similarity.IndexRefresh.queries, similarity.IndexRefresh.oracles))
+    ("IndexRefresh", similarity.IndexRefresh.queries, similarity.IndexRefresh.oracles),
+    ("DeleteRepair", similarity.DeleteRepair.queries, similarity.DeleteRepair.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

@@ -170,11 +170,28 @@ object Hybrid {
 
   /** idf table from a postings frame — shared with the staged twin. */
   private def idfOf(postings: DataFrame, nDocs: Long): DataFrame =
-    postings.groupBy("t").agg(count(lit(1)).as("df"))
-      .withColumn("idf", r6(log(
+    idfFromDf(postings.groupBy("t").agg(count(lit(1)).as("df")), nDocs)
+
+  /** idf from an (t, df) table + the CURRENT doc count. Split out
+    * because idf is the one BM25 statistic a store must NOT persist
+    * under deletions: every term's idf moves when N moves, while df is
+    * an integer that repairs by per-term subtraction
+    * ([[DeleteRepair.storeDeleteBm25]] stores df and derives idf here
+    * at query time — vocabulary-sized work). */
+  private[graft] def idfFromDf(dfTab: DataFrame, nDocs: Long): DataFrame =
+    dfTab.withColumn("idf", r6(log(
         (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
           (col("df").cast("double") + lit(0.5)) + lit(1.0))))
       .select("t", "idf")
+
+  /** Score the standard probes against fully-supplied index tables —
+    * the seam a REPAIRED store answers through
+    * ([[DeleteRepair.storeDeleteBm25]]): postings/dl rows already
+    * pruned, idf derived from the repaired (df, N). */
+  private[graft] def bm25FromTables(spark: SparkSession, dir: String,
+      postings: DataFrame, dl: DataFrame, idf: DataFrame,
+      nDocs: Long, totTok: Long): DataFrame =
+    bm25Rank(probeTermsOf(spark, dir), postings, dl, idf, nDocs, totTok)
 
   private def probeTermsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).where(col("doc_id").isin(probeIds: _*))

@@ -130,6 +130,26 @@ class FsPortabilitySpec extends SparkSpec {
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("DeleteRepair touched-partition swaps run on a non-default scheme") {
+    graft.functions.DotProduct.register(spark)
+    graft.functions.KnownNonNullElements.register(spark)
+    val staged = graft.similarity.DeleteRepair.stageDirectedTopk(spark, sfDir)
+    val base = graftRoot() + "/knn"
+    for (t <- Seq("topk", "vecs"))
+      spark.read.parquet(s"$staged/$t").repartition(col("label"))
+        .write.partitionBy("label").parquet(s"$base/$t")
+    assert(fsOf(base).isInstanceOf[GraftTestFs])
+    val delVecs = graft.similarity.Embeddings
+      .vecsOf(Tables.embeddings(spark, sfDir))
+      .where(pmod(col("vec_id"), lit(17L)) === 14L)
+    graft.similarity.DeleteRepair.deleteFromGraph(spark, base, delVecs)
+    val topk = spark.read.parquet(s"$base/topk")
+      .select("label", "src_id", "dst_id", "cos", "rank")
+    assert(topk.where(pmod(col("src_id"), lit(17L)) === 14L).isEmpty)
+    assert(topk.where(pmod(col("dst_id"), lit(17L)) === 14L).isEmpty)
+    assert(topk.count() > 0)
+  }
+
   test("Migration.migrate lands a flat store into a graftfs tiered target") {
     val flat = HiveStore.scratchDir()
     val target = graftRoot()
