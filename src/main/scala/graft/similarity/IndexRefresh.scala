@@ -158,10 +158,19 @@ object IndexRefresh {
     * the alarm on the drifted feed, rotate to v2 (retrained), answer
     * the post-refresh search — which must equal a FRESH build on the
     * drifted window (the oracle below). */
-  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def annIndexRefresh(spark: SparkSession, dir: String): DataFrame =
+    annIndexRefreshAt(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft_bluegreen").toString)
+
+  /** The same flow with a caller-supplied store root — every
+    * stage/commit/read resolves its filesystem from the path
+    * ([[graft.util.Fs]]), so the versioned store may live on any
+    * registered scheme (FsPortabilitySpec rotates it over
+    * `graftfs:`). */
+  private[graft] def annIndexRefreshAt(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    val root = java.nio.file.Files.createTempDirectory("graft_bluegreen").toString
     stageVersion(spark, root, 1, Embeddings.vecs(spark, dir))
     commitVersion(spark, root, 1)
     refreshIfDrifted(spark, dir, root, 0.5)

@@ -149,6 +149,33 @@ class DeleteRepairSpec extends SparkSpec {
     assert(a.count() == b.count() && a.count() > 0)
   }
 
+  test("delete repairs the LIVE (multi-file-per-cell) drained IVFADC store too") {
+    // the streaming twin's store has one file pair per (trigger, cell)
+    // — the swap must replace whole partition DIRS, not single files
+    val emb = Tables.embeddings(spark, sfDir)
+    val srcDir = tmp("graft_delspec_live_src")
+    emb.repartitionByRange(3, col("vec_id")).write.mode("overwrite").parquet(srcDir)
+    val base = tmp("graft_delspec_live")
+    graft.streaming.AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
+    val cellFiles = inv(s"$base/lists").keySet
+      .flatMap("bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(inv(s"$base/lists").size > cellFiles.size,
+      "expected the per-trigger fan-out (several files per cell)")
+    DeleteRepair.deleteFromIvfPq(spark, base,
+      Embeddings.vecsOf(emb).where(pmod(col("vec_id"), lit(17L)) === 14L))
+    val repaired = DeleteRepair.searchIvfPq(spark, sfDir, base).collect()
+    val (cents, cb) = StoredIndex.trainIndex(spark, sfDir)
+    val (lists, codes) = StoredIndex.indexDelta(survivors, cents, cb)
+    val fresh = tmp("graft_delspec_live_fresh")
+    cents.write.parquet(s"$fresh/centroids")
+    cb.write.parquet(s"$fresh/codebook")
+    lists.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/lists")
+    codes.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/codes")
+    val expected = DeleteRepair.searchIvfPq(spark, sfDir, fresh).collect()
+    assert(repaired.nonEmpty)
+    assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
+  }
+
   test("BM25 delete equals a fresh store built from the surviving docs (dl buckets file-pinned)") {
     val docs = Tables.documents(spark, sfDir)
     val base = tmp("graft_delspec_bm")

@@ -130,6 +130,16 @@ class FsPortabilitySpec extends SparkSpec {
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("IndexRefresh blue/green rotation runs on a non-default scheme") {
+    val root = graftRoot() + "/bluegreen"
+    val out = graft.similarity.IndexRefresh
+      .annIndexRefreshAt(spark, sfDir, root).collect()
+    assert(out.nonEmpty)
+    assert(fsOf(root).isInstanceOf[GraftTestFs])
+    // the rotation committed v2 on the graftfs root (marker = the swap)
+    assert(graft.similarity.IndexRefresh.committedVersion(spark, root) == 2)
+  }
+
   test("DeleteRepair touched-partition swaps run on a non-default scheme") {
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
