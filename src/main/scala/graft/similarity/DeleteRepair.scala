@@ -72,14 +72,6 @@ import org.apache.hadoop.fs.Path
   */
 object DeleteRepair {
 
-  /** Injected crash point for the swap-window recovery specs
-    * ("swap" fires between a partition's aside-rename and its
-    * in-rename — the only window a crash can leave asymmetric). */
-  private[graft] var crashPoint: Option[String] = None
-  private def maybeCrash(step: String): Unit =
-    if (crashPoint.contains(step))
-      throw new IllegalStateException(s"injected crash at $step")
-
   private[graft] val delVecPred = pmod(col("vec_id"), lit(17L)) === 14L
   private[graft] val delDocPred = pmod(col("doc_id"), lit(13L)) === 5L
 
@@ -87,29 +79,16 @@ object DeleteRepair {
   // shared touched-partition publish
   // ---------------------------------------------------------------
 
-  /** Restore partitions a crashed swap left aside (cur missing, aside
-    * present → the crash hit between the two renames; restoring and
-    * RE-RUNNING the delete is correct because the repair is
-    * idempotent). Aside dirs whose cur exists are superseded
-    * leftovers and fall with the aside root. */
   private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
-      store: String, partPrefix: String): Unit = {
-    val aside = new Path(store + "_aside")
-    if (fs.exists(aside)) {
-      for (st <- fs.listStatus(aside) if st.getPath.getName.startsWith(partPrefix)) {
-        val dst = new Path(store, st.getPath.getName)
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
-      }
-      fs.delete(aside, true)
-      ()
-    }
-  }
+      store: String, partPrefix: String): Unit =
+    graft.util.PartitionSwap.recover(fs, store, partPrefix)
 
   /** Publish `repaired` (the new rows of the TOUCHED partitions only)
-    * into `store` via the per-partition rename-aside swap. A touched
-    * partition absent from `repaired` (every row deleted) is simply
-    * removed — its aside copy falls with the aside root. Untouched
-    * partitions' files are never listed, read or rewritten. */
+    * into `store` via the single-sourced per-partition rename-aside
+    * swap ([[graft.util.PartitionSwap]], `removeMissing = true`): a
+    * touched partition absent from `repaired` (every row deleted) is
+    * simply removed. Untouched partitions' files are never listed,
+    * read or rewritten. */
   private def publishTouched(spark: SparkSession, store: String,
       partCol: String, touched: Seq[Int], repaired: DataFrame): Unit = {
     val fs = graft.util.Fs.of(spark, store)
@@ -119,18 +98,8 @@ object DeleteRepair {
     fs.delete(new Path(next), true)
     repaired.repartition(col(partCol))
       .write.partitionBy(partCol).parquet(next)
-    val aside = new Path(store + "_aside")
-    fs.mkdirs(aside)
-    for (v <- touched) {
-      val cur = new Path(s"$store/$partCol=$v")
-      val upd = new Path(s"$next/$partCol=$v")
-      if (fs.exists(cur)) fs.rename(cur, new Path(aside, s"$partCol=$v"))
-      maybeCrash("swap")
-      if (fs.exists(upd)) { fs.rename(upd, cur); () }
-    }
-    fs.delete(aside, true)
-    fs.delete(new Path(next), true)
-    ()
+    graft.util.PartitionSwap.swapTouched(fs, store, next, partCol,
+      touched.map(v => v: Any), removeMissing = true)
   }
 
   private def collectInts(df: DataFrame, c: String): Seq[Int] =
@@ -157,10 +126,13 @@ object DeleteRepair {
       delVecs: DataFrame): Unit = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    // recover any crashed swap BEFORE reading the store: a partition
-    // sitting in the aside dir must be visible to the re-run's reads
-    for (t <- Seq("lists", "codes"))
+    // recover any crashed swap OR compaction sweep BEFORE reading the
+    // store: a partition sitting in the aside dir (or a whole store
+    // sitting in _precompact) must be visible to the re-run's reads
+    for (t <- Seq("lists", "codes")) {
+      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
       recoverAside(graft.util.Fs.of(spark, s"$base/$t"), s"$base/$t", "bucket=")
+    }
     val cents = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val assigned = Embeddings.ivfAssign(delVecs, cents, 1)
@@ -196,10 +168,14 @@ object DeleteRepair {
     searchIvfPq(spark, dir, base)
   }
 
-  /** The unchanged staged-read ADC search over a repaired store. */
+  /** The unchanged staged-read ADC search over a repaired store
+    * (self-healing a crashed compaction sweep first, like
+    * [[graft.streaming.AnnStream.searchStore]]). */
   private[graft] def searchIvfPq(spark: SparkSession, dir: String,
       base: String): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
+    for (t <- Seq("lists", "codes"))
+      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
     val centroids = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")
@@ -347,7 +323,7 @@ object DeleteRepair {
     * rows from the touched term buckets, then RECOUNT df and the
     * stat partials for the touched buckets from the repaired primary
     * rows. Every step reads repaired state, so a crashed run re-runs
-    * to the same store (spec-exercised via [[crashPoint]]). */
+    * to the same store (spec-exercised via [[graft.util.PartitionSwap.crashPoint]]). */
   private[graft] def deleteFromBm25(spark: SparkSession, base: String,
       delDocs: DataFrame): Unit = {
     for ((t, p) <- Seq("postings" -> "tb=", "df" -> "tb=",

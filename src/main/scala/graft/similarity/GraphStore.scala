@@ -149,7 +149,21 @@ object GraphStore {
     * from the batch are fixed points — [[graft.streaming.GraphStream]]
     * exploits this by passing ONLY the touched label partitions of the
     * stored vectors/lists here and leaving every other partition's
-    * files untouched on disk. */
+    * files untouched on disk.
+    *
+    * The three sources are (src, dst)-disjoint on a normal trigger
+    * (batch ids are append-only) — but foreachBatch runs
+    * AT-LEAST-ONCE: a crash after the topk swap but before the
+    * checkpoint commit re-delivers the batch, and then the carried
+    * state already contains the batch's rows, duplicating the
+    * recomputed candidates. The bounded heap does not dedup ids, so a
+    * duplicated (src, dst, cos) would fill two of the five slots and
+    * evict a true neighbor. The pre-heap dropDuplicates makes the
+    * repair idempotent under re-delivery (scores are deterministic, so
+    * duplicate rows are identical and any survivor is exact) — one
+    * extra candidate-frame exchange per trigger, the price of
+    * exactly-once semantics over an at-least-once callback
+    * (GraphStreamSpec pins double delivery ≡ single delivery). */
   private[graft] def repairedTopk(storedTopk: DataFrame, storedVecs: DataFrame,
       batchVecs: DataFrame): DataFrame = {
     val newCand = KnnGraph.scoredPairs(KnnGraph.srcSide(batchVecs),
@@ -158,7 +172,8 @@ object GraphStore {
       KnnGraph.srcSide(storedVecs), KnnGraph.dstSide(batchVecs))
     val carried = storedTopk.select("label", "src_id", "dst_id", "cos")
     KnnGraph.directedTopk(
-      newCand.unionByName(repairCand).unionByName(carried))
+      newCand.unionByName(repairCand).unionByName(carried)
+        .dropDuplicates("label", "src_id", "dst_id"))
   }
 
   /** The mutual filter over a maintained directed store — node-scale

@@ -175,9 +175,11 @@ object Hybrid {
   /** idf from an (t, df) table + the CURRENT doc count. Split out
     * because idf is the one BM25 statistic a store must NOT persist
     * under deletions: every term's idf moves when N moves, while df is
-    * an integer that repairs by per-term subtraction
-    * ([[DeleteRepair.storeDeleteBm25]] stores df and derives idf here
-    * at query time — vocabulary-sized work). */
+    * an integer that repairs as a touched-bucket RECOUNT of the
+    * repaired postings (NOT a subtraction — a crashed delete's re-run
+    * would double-apply one; see [[DeleteRepair.deleteFromBm25]]).
+    * [[DeleteRepair.storeDeleteBm25]] stores df and derives idf here
+    * at query time — vocabulary-sized work. */
   private[graft] def idfFromDf(dfTab: DataFrame, nDocs: Long): DataFrame =
     dfTab.withColumn("idf", r6(log(
         (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /

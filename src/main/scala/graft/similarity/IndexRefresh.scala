@@ -60,14 +60,21 @@ object IndexRefresh {
 
   // -------------------------------------------------------------- #116
   /** The corpus with the arriving quarter's seeded mean shift applied —
-    * the "new window" the refresh retrains on (exactly the
-    * [[DriftMonitor]] demo distribution). */
-  private[graft] def driftedVecs(spark: SparkSession, dir: String): DataFrame = {
+    * the "new window" the refresh retrains on (shift 0.5 is exactly
+    * the [[DriftMonitor]] demo distribution). `norm2` is recomputed
+    * after the transform so the frame keeps the norm2 = dot(v,v)
+    * invariant every (vec_id, label, v, norm2) consumer relies on
+    * (the IVFADC path itself only touches v, but a stale norm would
+    * silently corrupt any cosine consumer handed this frame). */
+  private[graft] def driftedVecs(spark: SparkSession, dir: String,
+      shift: Double = 0.5): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
+    graft.functions.DotProduct.register(spark)
     Embeddings.vecs(spark, dir).withColumn("v",
       when(pmod(col("vec_id"), lit(4L)) === 3L,
-        expr("graft_dense(transform(v, x -> x + CAST(0.5 AS DOUBLE)))"))
+        expr(s"graft_dense(transform(v, x -> x + CAST($shift AS DOUBLE)))"))
       .otherwise(col("v")))
+      .withColumn("norm2", expr("graft_dot(v, v)"))
   }
 
   /** The original (pre-drift) window — the spec's v1 corpus. */
@@ -85,30 +92,20 @@ object IndexRefresh {
   }
 
   /** Stage version `n`'s four index tables from `corpus` — quantizers
-    * RETRAINED on this window (same training-slice rule as the 40ac
-    * build: vectors 100-115 of the window), cell-partitioned
-    * lists/codes. NO marker: readers cannot see this version yet.
-    * Idempotent — a re-run clears its own version dir first. */
+    * RETRAINED on this window through the SAME single-sourced builder
+    * as the canonical staged store
+    * ([[StoredIndex.writeIndexTables]]: training-slice rule, keep=1
+    * assignment collapse, cell-partitioned lists/codes — one
+    * materialization discipline, so a rotated version cannot diverge
+    * from a from-scratch re-index). NO marker: readers cannot see
+    * this version yet. Idempotent — a re-run clears its own version
+    * dir first. */
   private[graft] def stageVersion(spark: SparkSession, root: String, n: Int,
       corpus: DataFrame): Unit = {
-    graft.functions.L2Distance.register(spark)
     val fs = graft.util.Fs.of(spark, root)
     val vdir = s"$root/v$n"
     fs.delete(new Path(vdir), true)
-    val centroids = corpus.where(col("vec_id") >= 100 && col("vec_id") < 116)
-      .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
-    centroids.write.parquet(s"$vdir/centroids")
-    val codebook = Embeddings.pqCodebook(Embeddings.pqSubsOf(corpus))
-    codebook.write.parquet(s"$vdir/codebook")
-    Embeddings.ivfAssign(corpus, centroids, 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$vdir/lists")
-    val lists = spark.read.parquet(s"$vdir/lists")
-    Embeddings.pqCodes(Embeddings.pqSubsOf(corpus), codebook)
-      .join(lists, "neighbor_id")
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$vdir/codes")
+    StoredIndex.writeIndexTables(spark, corpus, vdir)
   }
 
   /** Publish version `n`: one atomic marker create — THE swap. */
@@ -146,8 +143,12 @@ object IndexRefresh {
       .select("kl").head().getDouble(0)
     if (kl > klThreshold) {
       val n = committedVersion(spark, root) + 1
+      // the retraining window IS the measured window: the same shift
+      // that fed the alarm parameterizes the corpus the new version
+      // stages from (a fixed +0.5 here would silently retrain on a
+      // distribution the feed never had for any other shift)
       val window = if (shift == 0.0) Embeddings.vecs(spark, dir)
-        else driftedVecs(spark, dir)
+        else driftedVecs(spark, dir, shift)
       stageVersion(spark, root, n, window)
       commitVersion(spark, root, n)
       n

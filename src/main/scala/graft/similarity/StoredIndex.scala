@@ -50,29 +50,39 @@ object StoredIndex {
     * never listed into the scan. */
   private[graft] def stageIvfPq(spark: SparkSession, dir: String): String =
     Staging.stagedDir("graft_ivfpq_store", dir, "v2:ivf16:pq8x16:cell-partitioned", "embeddings") { root =>
-      graft.functions.L2Distance.register(spark)
-      val e = Embeddings.vecs(spark, dir)
-      val centroids = e.where(col("vec_id") >= 100 && col("vec_id") < 116)
-        .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
-      centroids.write.parquet(s"$root/centroids")
-      val subs = Embeddings.pqSubs(spark, dir)
-      val codebook = Embeddings.pqCodebook(subs)
-      codebook.write.parquet(s"$root/codebook")
-      // ingest-side full-corpus cell assignment: the map-side min_by
-      // collapse (keep = 1), paid once here, never at query time.
-      // One writer task per cell dir (the HiveStore.write fanout rule).
-      Embeddings.ivfAssign(e, centroids, 1)
-        .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$root/lists")
-      // codes inherit their vector's cell from the persisted lists so
-      // the ADC scan prunes by cell too (read back, not recomputed)
-      val lists = spark.read.parquet(s"$root/lists")
-      Embeddings.pqCodes(subs, codebook)
-        .join(lists, "neighbor_id")
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$root/codes")
+      writeIndexTables(spark, Embeddings.vecs(spark, dir), root)
     }
+
+  /** THE four-table IVFADC materialization from a corpus frame —
+    * single-sourced so every index build (the staged store here, each
+    * version of [[IndexRefresh]]'s blue/green rotation) shares one
+    * assignment discipline and cannot drift: training-slice centroids
+    * (vectors 100–115 of the WINDOW), the per-subspace PQ codebook
+    * from the same slice, the ingest-side full-corpus cell assignment
+    * (map-side min_by collapse, keep = 1 — paid once here, never at
+    * query time; one writer task per cell dir, the HiveStore.write
+    * fanout rule), and codes inheriting their vector's cell from the
+    * persisted lists (read back, not recomputed) so the ADC scan
+    * prunes by cell too. */
+  private[graft] def writeIndexTables(spark: SparkSession,
+      corpus: DataFrame, root: String): Unit = {
+    graft.functions.L2Distance.register(spark)
+    val centroids = corpus.where(col("vec_id") >= 100 && col("vec_id") < 116)
+      .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
+    centroids.write.parquet(s"$root/centroids")
+    val subs = Embeddings.pqSubsOf(corpus)
+    val codebook = Embeddings.pqCodebook(subs)
+    codebook.write.parquet(s"$root/codebook")
+    Embeddings.ivfAssign(corpus, centroids, 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/lists")
+    val lists = spark.read.parquet(s"$root/lists")
+    Embeddings.pqCodes(subs, codebook)
+      .join(lists, "neighbor_id")
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(s"$root/codes")
+  }
 
   /** The frozen index metadata, trained once at index creation: coarse
     * centroids (vectors 100-115) and the per-subspace PQ codebook from

@@ -272,6 +272,19 @@ object Compaction {
         .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     }
 
+  /** Restore a store whose [[publishRewrite]] crashed between its two
+    * renames (root missing, `_precompact` present). Exposed so READ
+    * paths over compacted stores can self-heal instead of failing on
+    * the missing root until the next scheduled sweep runs —
+    * [[graft.streaming.AnnStream.searchStore]] and the
+    * [[graft.similarity.DeleteRepair]] IVFADC entry points call this
+    * before reading (a no-op exists() check in the healthy case). */
+  private[graft] def recoverRewrite(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val (root, aside) = (new Path(dir), new Path(dir + "_precompact"))
+    if (!fs.exists(root) && fs.exists(aside)) { fs.rename(aside, root); () }
+  }
+
   /** The shared whole-root atomic-publish protocol: recover from a
     * previous crash, run `job` into a tmp root, then
     * dir → dir_precompact, tmp → dir, drop aside. Readers never see a
@@ -283,7 +296,7 @@ object Compaction {
     val (root, aside, tmp) = (new Path(dir),
       new Path(dir + "_precompact"), new Path(dir + "_compacting"))
     // Recovery: a previous run crashed between its two renames.
-    if (!fs.exists(root) && fs.exists(aside)) fs.rename(aside, root)
+    recoverRewrite(spark, dir)
     fs.delete(aside, true)
     fs.delete(tmp, true)
     job(tmp.toString)

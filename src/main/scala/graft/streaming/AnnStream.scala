@@ -79,29 +79,54 @@ object AnnStream {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        graft.functions.L2Distance.register(sp)
-        graft.functions.DotProduct.register(sp)
-        graft.functions.KnownNonNullElements.register(sp)
-        val cents = sp.read.parquet(s"$base/centroids")
-          .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
-        val cb = sp.read.parquet(s"$base/codebook")
-          .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-        val (lists, codes) = StoredIndex.indexDelta(
-          Embeddings.vecsOf(batch), cents, cb)
-        // append-only: new vec_ids cannot collide with stored
-        // (bucket, neighbor_id) keys — plain partitioned appends
-        lists.repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket").parquet(s"$base/lists")
-        codes.repartition(col("bucket"))
-          .write.mode("append").partitionBy("bucket").parquet(s"$base/codes")
-        ()
+        ingestBatch(batch.sparkSession, base, batch)
       }
       .option("checkpointLocation", checkpoint.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ckpt_ann").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One trigger's ingest, IDEMPOTENT under micro-batch re-delivery:
+    * foreachBatch runs at-least-once (a crash after an append but
+    * before the checkpoint commit re-runs the same batch), so each
+    * table's delta is anti-joined against the rows the store already
+    * holds IN THE DELTA'S OWN CELLS before appending — a bounded
+    * cell-pruned read, gated PER TABLE because a crash can land
+    * between the two appends (lists absorbed, codes not). Within one
+    * cell, (bucket, neighbor_id) rows are unique by construction
+    * (vec_ids append-only; per-vector argmins slicing-invariant), so
+    * the anti-join drops exactly the re-delivered rows.
+    * AnnStreamSpec pins a double-delivered batch leaving the store
+    * identical to single delivery. */
+  private[graft] def ingestBatch(sp: SparkSession, base: String,
+      batch: DataFrame): Unit = {
+    graft.functions.L2Distance.register(sp)
+    graft.functions.DotProduct.register(sp)
+    graft.functions.KnownNonNullElements.register(sp)
+    val cents = sp.read.parquet(s"$base/centroids")
+      .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
+    val cb = sp.read.parquet(s"$base/codebook")
+      .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
+    val (lists, codes) = StoredIndex.indexDelta(
+      Embeddings.vecsOf(batch), cents, cb)
+    val deltaL = lists.localCheckpoint() // reused: buckets, gate, codes join
+    val bkts = deltaL.select("bucket").distinct().collect()
+      .map(_.get(0)).toSeq
+    val fs = graft.util.Fs.of(sp, base)
+    def appendGated(delta: DataFrame, store: String): Unit = {
+      val gated = if (fs.exists(new org.apache.hadoop.fs.Path(store)))
+        delta.join(sp.read.parquet(store)
+            .where(col("bucket").isin(bkts: _*)).select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti")
+      else delta
+      gated.repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(store)
+    }
+    appendGated(deltaL, s"$base/lists")
+    appendGated(codes, s"$base/codes")
+    ()
   }
 
   // ------------------------------------------------------------- #113b
@@ -140,10 +165,15 @@ object AnnStream {
       spark, s"$base/codes", "bucket", Seq("neighbor_id", "sub"))
   }
 
-  /** The unchanged staged-read search over a live-maintained store. */
+  /** The unchanged staged-read search over a live-maintained store.
+    * Self-heals a crashed compaction sweep first (a store renamed to
+    * `_precompact` with no rewrite in place would otherwise be
+    * unreadable until the next scheduled sweep). */
   private[graft] def searchStore(spark: SparkSession, dir: String,
       base: String): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
+    for (t <- Seq("lists", "codes"))
+      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
     val centroids = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")

@@ -89,24 +89,13 @@ object GraphStream {
   private[graft] def readVecs(spark: SparkSession, base: String): DataFrame =
     spark.read.schema(vecsSchema).parquet(s"$base/vecs")
 
-  /** Restore any `label=` dir a crashed swap left aside: the
-    * [[graft.sources.Compaction.compactStore]] recovery step at
-    * partition granularity (rename-aside happens strictly before
-    * rename-in, so a missing store dir with a surviving aside dir is
-    * the only crash state; aside dirs whose store dir exists are
-    * superseded leftovers and are dropped with the aside root). */
+  /** Restore any `label=` dir a crashed swap left aside — the
+    * single-sourced [[graft.util.PartitionSwap]] recovery step
+    * (rename-aside happens strictly before rename-in, so a missing
+    * store dir with a surviving aside dir is the only crash state). */
   private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
-      store: String): Unit = {
-    val aside = new Path(store + "_aside")
-    if (fs.exists(aside)) {
-      for (st <- fs.listStatus(aside) if st.getPath.getName.startsWith("label=")) {
-        val dst = new Path(store, st.getPath.getName)
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
-      }
-      fs.delete(aside, true)
-      ()
-    }
-  }
+      store: String): Unit =
+    graft.util.PartitionSwap.recover(fs, store, "label=")
 
   /** Drain `srcDir` into a live-maintained graph store at `base`:
     * per-trigger TOUCHED-LABEL directed-list repair (per-partition
@@ -131,53 +120,69 @@ object GraphStream {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        graft.functions.BoundedTopK.register(sp)
-        graft.functions.DotProduct.register(sp)
-        graft.functions.KnownNonNullElements.register(sp)
-        val fs = graft.util.Fs.of(sp, topkStore)
-        recoverAside(fs, topkStore)
-        val batchVecs = Embeddings.vecsOf(batch)
-        // the only lists a label-blocked candidate pass can change
-        val touched = batchVecs.select("label").distinct()
-          .collect().map(_.getInt(0)).sorted
-        val touchedOnly = col("label").isin(touched.map(l => l: Any): _*)
-        // static partition pruning: only touched label= dirs are listed
-        // (graft_dense on the parquet-loaded vectors — the file source
-        // forces containsNull=true; see Embeddings.vecs)
-        val storedVecs = readVecs(sp, base).where(touchedOnly)
-          .select(col("vec_id"), col("label"),
-            expr("graft_dense(v)").as("v"), col("norm2"))
-        val storedTopk = readTopk(sp, base).where(touchedOnly)
-        val repaired = GraphStore.repairedTopk(storedTopk, storedVecs, batchVecs)
-        val next = topkStore + "_next"
-        fs.delete(new Path(next), true)
-        repaired.repartition(col("label"))
-          .write.mode("overwrite").partitionBy("label").parquet(next)
-        // per-partition rename-aside swap: ONLY the touched label dirs
-        // move; every other partition's files are never rewritten
-        val asideRoot = new Path(topkStore + "_aside")
-        fs.mkdirs(asideRoot)
-        for (l <- touched) {
-          val cur = new Path(s"$topkStore/label=$l")
-          val upd = new Path(s"$next/label=$l")
-          if (fs.exists(upd)) {
-            if (fs.exists(cur)) fs.rename(cur, new Path(asideRoot, s"label=$l"))
-            fs.rename(upd, cur)
-          }
-        }
-        fs.delete(asideRoot, true)
-        fs.delete(new Path(next), true)
-        batchVecs.select("vec_id", "v", "norm2", "label")
-          .repartition(col("label"))
-          .write.mode("append").partitionBy("label").parquet(vecStore)
-        ()
+        ingestBatch(batch.sparkSession, base, batch)
       }
       .option("checkpointLocation", checkpoint.getOrElse(
         java.nio.file.Files.createTempDirectory("graft_ckpt_graph").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** One trigger's maintenance, IDEMPOTENT under micro-batch
+    * re-delivery (foreachBatch is at-least-once — a crash between the
+    * topk swap, the vecs append and the checkpoint commit re-runs the
+    * same batch): the list repair dedups its candidate union
+    * ([[GraphStore.repairedTopk]]), so re-collapsing a store that
+    * already absorbed the batch reproduces it; the vecs append
+    * anti-joins the batch against the ids its touched label partitions
+    * already hold (a pruned, block-bounded read), so re-delivered
+    * vectors are never double-appended. GraphStreamSpec pins a
+    * double-delivered batch leaving both stores identical to single
+    * delivery. */
+  private[graft] def ingestBatch(sp: SparkSession, base: String,
+      batch: DataFrame): Unit = {
+    graft.functions.BoundedTopK.register(sp)
+    graft.functions.DotProduct.register(sp)
+    graft.functions.KnownNonNullElements.register(sp)
+    val vecStore = base + "/vecs"
+    val topkStore = base + "/topk"
+    val fs = graft.util.Fs.of(sp, topkStore)
+    fs.mkdirs(new Path(vecStore))
+    fs.mkdirs(new Path(topkStore))
+    recoverAside(fs, topkStore)
+    val batchVecs = Embeddings.vecsOf(batch)
+    // the only lists a label-blocked candidate pass can change
+    val touched = batchVecs.select("label").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val touchedOnly = col("label").isin(touched.map(l => l: Any): _*)
+    // static partition pruning: only touched label= dirs are listed
+    // (graft_dense on the parquet-loaded vectors — the file source
+    // forces containsNull=true; see Embeddings.vecs)
+    val storedVecs = readVecs(sp, base).where(touchedOnly)
+      .select(col("vec_id"), col("label"),
+        expr("graft_dense(v)").as("v"), col("norm2"))
+    val storedTopk = readTopk(sp, base).where(touchedOnly)
+    val repaired = GraphStore.repairedTopk(storedTopk, storedVecs, batchVecs)
+    val next = topkStore + "_next"
+    fs.delete(new Path(next), true)
+    repaired.repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(next)
+    // the single-sourced per-partition rename-aside swap: ONLY the
+    // touched label dirs move; every other partition's files are
+    // never rewritten (removeMissing = false — the repair covers
+    // every touched label, so a missing upd dir means "leave as is")
+    graft.util.PartitionSwap.swapTouched(fs, topkStore, next, "label",
+      touched.toSeq.map(l => l: Any), removeMissing = false)
+    // re-delivery gate: only vectors the touched partitions don't
+    // already hold append (ids are append-only, so the anti-join
+    // drops exactly the re-delivered rows)
+    batchVecs.select("vec_id", "v", "norm2", "label")
+      .join(readVecs(sp, base).where(touchedOnly).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+      .repartition(col("label"))
+      .write.mode("append").partitionBy("label").parquet(vecStore)
+    ()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

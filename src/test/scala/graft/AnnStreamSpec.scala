@@ -82,6 +82,52 @@ class AnnStreamSpec extends SparkSpec {
     assert(df.collect().map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("search self-heals a store left in _precompact by a crashed compaction sweep") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (centroids, codebook) = StoredIndex.trainIndex(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_heal").toString
+    centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    codebook.write.mode("overwrite").parquet(s"$base/codebook")
+    AnnStream.ingestBatch(spark, base, emb)
+    // the sweep dies between its two renames: lists sits in
+    // lists_precompact, the store root is gone
+    graft.sources.Compaction.crashPoint = Some("swap")
+    intercept[IllegalStateException] { AnnStream.compactIndexStore(spark, base) }
+    graft.sources.Compaction.crashPoint = None
+    assert(!graft.util.Fs.of(spark, base)
+      .exists(new org.apache.hadoop.fs.Path(s"$base/lists")))
+    // a read does not have to wait for the next scheduled sweep
+    val healed = AnnStream.searchStore(spark, sfDir, base).collect()
+    val inline = Embeddings.annIvfPqTopK(spark, sfDir).collect()
+    assert(healed.nonEmpty)
+    assert(healed.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
+  test("a re-delivered micro-batch is a no-op: double delivery equals single delivery") {
+    // foreachBatch is at-least-once — a crash after the appends but
+    // before the checkpoint commit re-runs the same batch
+    val emb = Tables.embeddings(spark, sfDir)
+    val (centroids, codebook) = StoredIndex.trainIndex(spark, sfDir)
+    def mkStore(): String = {
+      val b = java.nio.file.Files.createTempDirectory("graft_redeliver").toString
+      centroids.write.mode("overwrite").parquet(s"$b/centroids")
+      codebook.write.mode("overwrite").parquet(s"$b/codebook")
+      b
+    }
+    val once = mkStore()
+    AnnStream.ingestBatch(spark, once, emb)
+    val twice = mkStore()
+    AnnStream.ingestBatch(spark, twice, emb)
+    AnnStream.ingestBatch(spark, twice, emb) // the re-delivery
+    for (t <- Seq("lists", "codes")) {
+      val a = spark.read.parquet(s"$once/$t")
+      val b = spark.read.parquet(s"$twice/$t")
+      val cols = a.columns.sorted.map(col).toSeq
+      assert(b.count() == a.count(), s"$t re-delivery appended duplicates")
+      assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
+    }
+  }
+
   test("appends land inside bucket partitions — the nprobe pruning shape survives maintenance") {
     val df = AnnStream.streamAnnIvfPq(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString

@@ -133,11 +133,11 @@ class DeleteRepairSpec extends SparkSpec {
     val clean = cloneGraph()
     val delVecs = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
       .where(pmod(col("vec_id"), lit(17L)) === 14L)
-    DeleteRepair.crashPoint = Some("swap")
+    graft.util.PartitionSwap.crashPoint = Some("swap")
     intercept[IllegalStateException] {
       DeleteRepair.deleteFromGraph(spark, crashed, delVecs)
     }
-    DeleteRepair.crashPoint = None
+    graft.util.PartitionSwap.crashPoint = None
     // the interrupted store has a partition sitting aside; the re-run
     // recovers it before reading and repairs to the clean outcome
     DeleteRepair.deleteFromGraph(spark, crashed, delVecs)

@@ -60,6 +60,29 @@ class GraphStreamSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "vec store rows changed across compaction")
   }
 
+  test("a re-delivered micro-batch is a no-op: double delivery equals single delivery") {
+    // foreachBatch is at-least-once — a crash after the topk swap /
+    // vecs append but before the checkpoint commit re-runs the batch;
+    // the candidate dedup + gated vecs append must make that exact
+    val emb = Tables.embeddings(spark, sfDir)
+    def mkStore(n: Int): String = {
+      val b = java.nio.file.Files.createTempDirectory("graft_graph_redeliver").toString
+      GraphStream.ingestBatch(spark, b, emb)
+      for (_ <- 2 to n) GraphStream.ingestBatch(spark, b, emb)
+      b
+    }
+    val once = mkStore(1)
+    val twice = mkStore(2)
+    for (t <- Seq("topk", "vecs")) {
+      val a = spark.read.parquet(s"$once/$t")
+      val b = spark.read.parquet(s"$twice/$t")
+      val cols = a.columns.sorted.map(col).toSeq
+      assert(b.count() == a.count(), s"$t re-delivery changed the row count")
+      assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
+      assert(a.count() > 0)
+    }
+  }
+
   test("a 1-vector trigger rewrites ONLY its touched label partition (file-listing pin)") {
     val emb = Tables.embeddings(spark, sfDir)
     val last = emb.orderBy(col("vec_id").desc).limit(1).collect().head
