@@ -1,0 +1,188 @@
+package graft
+
+import graft.util.ManifestStore
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.hadoop.fs.Path
+
+/** The manifest-store publish protocol: snapshot-isolated reads (a
+  * reader concurrent with any publish sees only old-or-new COMPLETE
+  * state, never an absent partition), atomic marker commits, one-grace
+  * GC, orphan cleanup, single-writer lease, and partition pruning over
+  * the explicit-file read path. */
+class ManifestStoreSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("x", DoubleType),
+    StructField("b", IntegerType)))
+
+  private def df(rows: (Long, Double, Int)*) = {
+    import spark.implicits._
+    rows.toDF("id", "x", "b")
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_mstore").toString
+
+  private def rows(root: String): Set[String] =
+    ManifestStore.read(spark, root, schema).collect().map(_.toString).toSet
+
+  private def diskFiles(root: String): Set[String] = {
+    val fs = graft.util.Fs.of(spark, root)
+    val b = Set.newBuilder[String]
+    val it = fs.listFiles(new Path(root), true)
+    while (it.hasNext) {
+      val p = it.next().getPath.toString
+      if (p.endsWith(".parquet")) b += p
+    }
+    b.result()
+  }
+
+  test("append/read roundtrip; unpublished store reads empty; versions advance") {
+    val root = tmp()
+    assert(ManifestStore.read(spark, root, schema).isEmpty)
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0), (2L, 2.0, 1)))
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,1]"))
+    // appending an existing partition + a brand-new one
+    ManifestStore.append(spark, root, "b", df((3L, 3.0, 1), (4L, 4.0, 2)))
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,1]", "[3,3.0,1]", "[4,4.0,2]"))
+    val fs = graft.util.Fs.of(spark, root)
+    assert(ManifestStore.committedVersion(fs, root) == 2)
+    assert(ManifestStore.partitionDirs(spark, root) == Seq("b=0", "b=1", "b=2"))
+  }
+
+  test("rewriteTouched replaces only touched partitions; untouched files byte-identical; empty rewrite deletes the partition durably") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b",
+      df((1L, 1.0, 0), (2L, 2.0, 1), (3L, 3.0, 2)))
+    val untouchedBefore = diskFiles(root).filter(_.contains("b=0/"))
+    // b=1 rewritten, b=2 deleted (no surviving rows)
+    ManifestStore.rewriteTouched(spark, root, "b", Seq(1, 2),
+      df((2L, 20.0, 1)))
+    assert(rows(root) == Set("[1,1.0,0]", "[2,20.0,1]"))
+    assert(diskFiles(root).filter(_.contains("b=0/")) == untouchedBefore,
+      "untouched partition files were rewritten")
+    // deletion durability: nothing ever restores b=2 (the rename-aside
+    // protocol's resurrection gap) — further publishes keep it gone
+    ManifestStore.append(spark, root, "b", df((5L, 5.0, 0)))
+    ManifestStore.append(spark, root, "b", df((6L, 6.0, 0)))
+    assert(!rows(root).exists(_.endsWith(",2]")))
+    assert(!ManifestStore.partitionDirs(spark, root).contains("b=2"))
+  }
+
+  test("a reader concurrent with a publish sees old-or-new complete state, never an absent partition") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0), (2L, 2.0, 1)))
+    val before = rows(root)
+    // crash AFTER the new data files are written, BEFORE the commit
+    // marker — the exact window where the rename-aside swap exposed an
+    // absent partition dir to readers
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] {
+      ManifestStore.rewriteTouched(spark, root, "b", Seq(1), df((2L, 99.0, 1)))
+    }
+    ManifestStore.crashPoint = None
+    // mid-window read: bit-identical to the pre-publish snapshot — the
+    // half-published files are invisible, no partition is absent
+    assert(rows(root) == before)
+    // an in-process failure released the lease on the way out; the
+    // re-run converges to the clean outcome
+    ManifestStore.rewriteTouched(spark, root, "b", Seq(1), df((2L, 99.0, 1)))
+    assert(rows(root) == Set("[1,1.0,0]", "[2,99.0,1]"))
+  }
+
+  test("orphans of a crashed publish are invisible and cleared by the next publish of their partition") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((9L, 9.0, 0)))
+    }
+    ManifestStore.crashPoint = None
+    assert(rows(root) == Set("[1,1.0,0]"), "orphan rows leaked into a read")
+    // the re-delivered publish clears the orphans, then lands cleanly:
+    // afterwards the disk holds exactly the manifest's files (no
+    // retirees yet on this append-only history, no orphan leftovers)
+    ManifestStore.append(spark, root, "b", df((9L, 9.0, 0)))
+    assert(rows(root) == Set("[1,1.0,0]", "[9,9.0,0]"))
+    assert(diskFiles(root).size == ManifestStore.files(spark, root).size,
+      "crashed-publish orphans were not cleared")
+  }
+
+  test("GC keeps exactly one grace version: retired files vanish at the NEXT publish; crash mid-GC self-heals") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    val v1Files = diskFiles(root)
+    ManifestStore.rewriteTouched(spark, root, "b", Seq(0), df((1L, 2.0, 0)))
+    // grace: v1's file is retired from the manifest but still on disk
+    assert(v1Files.subsetOf(diskFiles(root)), "grace copy dropped too early")
+    // crash between the v3 commit and its GC: the commit stands
+    ManifestStore.crashPoint = Some("gc")
+    intercept[IllegalStateException] {
+      ManifestStore.rewriteTouched(spark, root, "b", Seq(0), df((1L, 3.0, 0)))
+    }
+    ManifestStore.crashPoint = None
+    assert(rows(root) == Set("[1,3.0,0]"), "commit did not stand across a GC crash")
+    // the next publish collects the backlog: v1's file is gone
+    ManifestStore.rewriteTouched(spark, root, "b", Seq(0), df((1L, 4.0, 0)))
+    assert(v1Files.intersect(diskFiles(root)).isEmpty, "retired files never GC'd")
+    val fs = graft.util.Fs.of(spark, root)
+    // steady state: exactly the last two manifests remain
+    val manifests = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest_v")).sorted.toSeq
+    assert(manifests == Seq("_manifest_v3", "_manifest_v4"))
+  }
+
+  test("the writer lease is exclusive: a colliding maintenance job fails loudly, breakLease unwedges") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    val fs = graft.util.Fs.of(spark, root)
+    ManifestStore.acquireLease(fs, root) // the concurrent holder
+    val e = intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((2L, 2.0, 0)))
+    }
+    assert(e.getMessage.contains("concurrent maintenance"))
+    // reads are unaffected by a held lease
+    assert(rows(root) == Set("[1,1.0,0]"))
+    ManifestStore.breakLease(spark, root)
+    ManifestStore.append(spark, root, "b", df((2L, 2.0, 0)))
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,0]"))
+  }
+
+  test("compact collapses each partition to one sorted file and is result-invisible; pruning survives") {
+    val root = tmp()
+    for (i <- 1 to 3)
+      ManifestStore.append(spark, root, "b",
+        df((i.toLong, i.toDouble, 0), (i + 10L, i + 10.0, 1)))
+    val before = rows(root)
+    assert(ManifestStore.files(spark, root).size == 6)
+    ManifestStore.compact(spark, root, "b", Seq("id"), schema)
+    assert(rows(root) == before)
+    val byPart = ManifestStore.files(spark, root).groupBy(_.takeWhile(_ != '/'))
+    assert(byPart.keySet == Set("b=0", "b=1"))
+    assert(byPart.values.forall(_.size == 1), s"not 1 file/partition: $byPart")
+    // static partition pruning over the explicit-file read
+    val pruned = ManifestStore.read(spark, root, schema).where(col("b") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*b#".r.findFirstIn(scan).isDefined,
+      "partition filter not pushed to the manifest read:\n" + scan.take(1200))
+    assert(pruned.count() == 3)
+  }
+
+  test("dynamic partition pruning reaches a manifest-read scan joined on its partition column") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b",
+      df((1L, 1.0, 0), (2L, 2.0, 1), (3L, 3.0, 2), (4L, 4.0, 3)))
+    import spark.implicits._
+    val dimRoot = tmp() + "/dim"
+    Seq((1, "keep"), (2, "drop"), (3, "drop"), (0, "drop"))
+      .toDF("b", "tag").write.parquet(dimRoot)
+    val dim = spark.read.parquet(dimRoot).where(col("tag") === "keep")
+    val joined = ManifestStore.read(spark, root, schema)
+      .join(broadcast(dim), Seq("b"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "no dynamic partition pruning on the manifest scan:\n" + plan.take(2000))
+    assert(joined.collect().map(_.getLong(1)).toSet == Set(2L))
+  }
+}
