@@ -23,12 +23,17 @@ import org.apache.hadoop.fs.Path
   *     (touched cells, touched labels, touched term buckets) is
   *     delete-batch-sized — the corpus-scale store is never scanned,
   *     only its touched partitions are listed, read and rewritten;
-  *   - each rewrite publishes via the per-partition rename-aside swap
-  *     (the [[graft.streaming.GraphStream]] protocol): aside-rename
-  *     strictly before in-rename, recovery at the head of the next
-  *     run, so readers never see a partial partition and a crashed
-  *     delete re-runs idempotently (the delete set is a pure
-  *     predicate; re-deleting already-deleted rows is a no-op);
+  *   - each rewrite publishes through [[graft.util.ManifestStore]]
+  *     (snapshot-isolated manifest commit): readers concurrent with
+  *     the repair see the old or the new committed store in full,
+  *     never a partial partition, and a crashed delete re-runs
+  *     idempotently (the delete set is a pure predicate; re-deleting
+  *     already-deleted rows is a no-op, and the crashed attempt's
+  *     uncommitted files are invisible orphans the re-run clears);
+  *   - every delete is RECORDED in the store's [[graft.util.DeleteLog]]
+  *     so the live ingest path ([[graft.streaming.AnnStream]],
+  *     [[graft.streaming.GraphStream]]) gates later-arriving batches —
+  *     a deleted id stays deleted even if its source row re-arrives;
   *   - repair is EXACT, not tombstoning: the contract (and the
   *     oracle) is that every post-delete answer equals a FRESH build
   *     from the surviving corpus. That holds bit-for-bit because the
@@ -79,38 +84,28 @@ object DeleteRepair {
   // shared touched-partition publish
   // ---------------------------------------------------------------
 
-  private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
-      store: String, partPrefix: String): Unit =
-    graft.util.PartitionSwap.recover(fs, store, partPrefix)
-
   /** Publish `repaired` (the new rows of the TOUCHED partitions only)
-    * into `store` via the single-sourced per-partition rename-aside
-    * swap ([[graft.util.PartitionSwap]], `removeMissing = true`): a
-    * touched partition absent from `repaired` (every row deleted) is
-    * simply removed. Untouched partitions' files are never listed,
-    * read or rewritten. */
+    * into `store` via the snapshot-isolated manifest commit
+    * ([[graft.util.ManifestStore.rewriteTouched]]): a touched
+    * partition absent from `repaired` (every row deleted) drops from
+    * the manifest — durably, no recovery step can resurrect it.
+    * Untouched partitions' files are never listed, read or
+    * rewritten. */
   private def publishTouched(spark: SparkSession, store: String,
-      partCol: String, touched: Seq[Int], repaired: DataFrame): Unit = {
-    val fs = graft.util.Fs.of(spark, store)
-    recoverAside(fs, store, partCol + "=")
-    if (touched.isEmpty) return
-    val next = store + "_next"
-    fs.delete(new Path(next), true)
-    repaired.repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(next)
-    graft.util.PartitionSwap.swapTouched(fs, store, next, partCol,
-      touched.map(v => v: Any), removeMissing = true)
-  }
+      partCol: String, touched: Seq[Int], repaired: DataFrame): Unit =
+    if (touched.nonEmpty)
+      graft.util.ManifestStore.rewriteTouched(spark, store, partCol,
+        touched.map(v => v: Any), repaired)
 
   private def collectInts(df: DataFrame, c: String): Seq[Int] =
     df.select(col(c).cast("int")).distinct().collect().map(_.getInt(0)).sorted.toSeq
 
-  /** Clone a staged (immutable, fingerprint-shared) partitioned table
+  /** Clone a staged (immutable, fingerprint-shared) manifest table
     * into a mutable root, keeping the partition layout. */
-  private def clonePartitioned(spark: SparkSession, src: String,
-      dst: String, partCol: String): Unit =
-    spark.read.parquet(src).repartition(col(partCol))
-      .write.partitionBy(partCol).parquet(dst)
+  private def cloneStore(spark: SparkSession, src: String, dst: String,
+      partCol: String, schema: org.apache.spark.sql.types.StructType): Unit =
+    graft.util.ManifestStore.append(spark, dst, partCol,
+      graft.util.ManifestStore.read(spark, src, schema))
 
   // ------------------------------------------------------------- #117
   // IVFADC: drop the deleted vectors' rows from their cells only
@@ -119,20 +114,17 @@ object DeleteRepair {
   /** Apply the delete set to a live IVFADC store at `base`: assign the
     * deleted VECTORS (not the store) against the frozen centroids to
     * find the touched cells, then rewrite only those `bucket=` dirs of
-    * `lists` and `codes`. Idempotent (anti-joins of already-absent
-    * rows are no-ops), so a crashed run re-runs safely after the
-    * entry recovery. */
+    * `lists` and `codes`. The ids land in the store's [[graft.util
+    * .DeleteLog]] FIRST, so the deletion is durable against later
+    * ingest even if the repair crashes mid-way; the repair itself is
+    * idempotent (anti-joins of already-absent rows are no-ops), so a
+    * crashed run re-runs safely — readers in between serve the last
+    * committed snapshot. */
   private[graft] def deleteFromIvfPq(spark: SparkSession, base: String,
       delVecs: DataFrame): Unit = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    // recover any crashed swap OR compaction sweep BEFORE reading the
-    // store: a partition sitting in the aside dir (or a whole store
-    // sitting in _precompact) must be visible to the re-run's reads
-    for (t <- Seq("lists", "codes")) {
-      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
-      recoverAside(graft.util.Fs.of(spark, s"$base/$t"), s"$base/$t", "bucket=")
-    }
+    graft.util.DeleteLog.append(spark, base, delVecs.select("vec_id"))
     val cents = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val assigned = Embeddings.ivfAssign(delVecs, cents, 1)
@@ -140,9 +132,10 @@ object DeleteRepair {
       .localCheckpoint() // delete-batch-sized
     val touched = collectInts(assigned, "bucket")
     val delIds = assigned.select("neighbor_id")
-    for (t <- Seq("lists", "codes")) {
+    for ((t, sch) <- Seq("lists" -> StoredIndex.listsSchema,
+        "codes" -> StoredIndex.codesSchema)) {
       val store = s"$base/$t"
-      val part = spark.read.parquet(store)
+      val part = graft.util.ManifestStore.read(spark, store, sch)
         .where(col("bucket").isin(touched.map(v => v: Any): _*))
       publishTouched(spark, store, "bucket", touched,
         part.join(broadcast(delIds), Seq("neighbor_id"), "left_anti"))
@@ -159,29 +152,34 @@ object DeleteRepair {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
     val staged = StoredIndex.stageIvfPq(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft_del_ivf").toString
-    for (t <- Seq("centroids", "codebook"))
-      spark.read.parquet(s"$staged/$t").write.mode("overwrite").parquet(s"$base/$t")
-    for (t <- Seq("lists", "codes"))
-      clonePartitioned(spark, s"$staged/$t", s"$base/$t", "bucket")
+    val base = cloneIvfPq(spark, staged)
     deleteFromIvfPq(spark, base, Embeddings.vecs(spark, dir).where(delVecPred))
     searchIvfPq(spark, dir, base)
   }
 
-  /** The unchanged staged-read ADC search over a repaired store
-    * (self-healing a crashed compaction sweep first, like
-    * [[graft.streaming.AnnStream.searchStore]]). */
+  /** Clone the staged (immutable, fingerprint-shared) IVFADC index
+    * into a mutable manifest-store root. */
+  private[graft] def cloneIvfPq(spark: SparkSession, staged: String): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_del_ivf").toString
+    for (t <- Seq("centroids", "codebook"))
+      spark.read.parquet(s"$staged/$t").write.mode("overwrite").parquet(s"$base/$t")
+    cloneStore(spark, s"$staged/lists", s"$base/lists", "bucket", StoredIndex.listsSchema)
+    cloneStore(spark, s"$staged/codes", s"$base/codes", "bucket", StoredIndex.codesSchema)
+    base
+  }
+
+  /** The unchanged staged-read ADC search over a repaired store (the
+    * manifest read serves the last committed snapshot, whatever
+    * maintenance crashed before). */
   private[graft] def searchIvfPq(spark: SparkSession, dir: String,
       base: String): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
-    for (t <- Seq("lists", "codes"))
-      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
     val centroids = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     StoredIndex.searchIndex(spark, dir, centroids, codebook,
-      spark.read.parquet(s"$base/codes"), spark.read.parquet(s"$base/lists"))
+      StoredIndex.readCodes(spark, base), StoredIndex.readLists(spark, base))
   }
 
   // ------------------------------------------------------------- #118
@@ -194,16 +192,14 @@ object DeleteRepair {
     * delete repairs (the [[graft.streaming.GraphStream]] store shape,
     * built one-shot at ingest). */
   private[graft] def stageDirectedTopk(spark: SparkSession, dir: String): String =
-    Staging.stagedDir("graft_knn_directed", dir, "v1:k5:label-partitioned", "embeddings") { root =>
+    Staging.stagedDir("graft_knn_directed", dir, "v2:k5:label-manifest", "embeddings") { root =>
       graft.functions.BoundedTopK.register(spark)
       graft.functions.DotProduct.register(spark)
       val e = Embeddings.vecs(spark, dir)
-      KnnGraph.directedTopk(KnnGraph.scoredPairs(
-          KnnGraph.srcSide(e), KnnGraph.dstSide(e)))
-        .repartition(col("label"))
-        .write.partitionBy("label").parquet(s"$root/topk")
-      e.repartition(col("label"))
-        .write.partitionBy("label").parquet(s"$root/vecs")
+      graft.util.ManifestStore.append(spark, s"$root/topk", "label",
+        KnnGraph.directedTopk(KnnGraph.scoredPairs(
+          KnnGraph.srcSide(e), KnnGraph.dstSide(e))))
+      graft.util.ManifestStore.append(spark, s"$root/vecs", "label", e)
     }
 
   /** Apply the delete set to a directed-list store at `base`. Only the
@@ -216,17 +212,17 @@ object DeleteRepair {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    // recover any crashed swap BEFORE reading the store (see
-    // deleteFromIvfPq); the repair itself is idempotent — re-deleting
-    // absent rows and re-scoring already-repaired lists are no-ops
-    for (t <- Seq("topk", "vecs"))
-      recoverAside(graft.util.Fs.of(spark, s"$base/$t"), s"$base/$t", "label=")
+    // the log first (durable against later ingest even if the repair
+    // crashes); the repair itself is idempotent — re-deleting absent
+    // rows and re-scoring already-repaired lists are no-ops, and
+    // readers in between serve the last committed snapshot
+    graft.util.DeleteLog.append(spark, base, delVecs.select("vec_id"))
     val del = delVecs.select("vec_id", "label").localCheckpoint()
     val touched = collectInts(del, "label")
     val touchedOnly = col("label").isin(touched.map(v => v: Any): _*)
     val delIds = del.select("vec_id")
     // the touched labels' stored lists, deleted sources dropped
-    val surv = spark.read.parquet(s"$base/topk").where(touchedOnly)
+    val surv = graft.streaming.GraphStream.readTopk(spark, base).where(touchedOnly)
       .join(broadcast(delIds.withColumnRenamed("vec_id", "src_id")),
         Seq("src_id"), "left_anti")
       .select("label", "src_id", "dst_id", "cos", "rank")
@@ -239,7 +235,8 @@ object DeleteRepair {
     val carried = surv.join(broadcast(affected), Seq("label", "src_id"), "left_anti")
     // surviving block vectors of the touched labels (store-read arrays
     // re-densified for the scoring kernels)
-    val survVecsRaw = spark.read.parquet(s"$base/vecs").where(touchedOnly)
+    val survVecsRaw = graft.streaming.GraphStream.readVecsRaw(spark, base)
+      .where(touchedOnly)
       .join(broadcast(delIds), Seq("vec_id"), "left_anti")
     val survVecs = survVecsRaw.select(col("vec_id"), col("label"),
       expr("graft_dense(v)").as("v"), col("norm2"))
@@ -264,127 +261,41 @@ object DeleteRepair {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.DotProduct.register(spark)
     val staged = stageDirectedTopk(spark, dir)
-    val base = java.nio.file.Files.createTempDirectory("graft_del_knn").toString
-    for (t <- Seq("topk", "vecs"))
-      clonePartitioned(spark, s"$staged/$t", s"$base/$t", "label")
+    val base = cloneGraph(spark, staged)
     deleteFromGraph(spark, base, Embeddings.vecs(spark, dir).where(delVecPred))
-    KnnGraph.mutualEdges(spark.read.parquet(s"$base/topk")
-        .select("label", "src_id", "dst_id", "cos", "rank"))
+    KnnGraph.mutualEdges(graft.streaming.GraphStream.readTopk(spark, base))
       .orderBy("id_a", "id_b")
   }
 
+  /** Clone the staged directed-list store into a mutable
+    * manifest-store root. */
+  private[graft] def cloneGraph(spark: SparkSession, staged: String): String = {
+    val base = java.nio.file.Files.createTempDirectory("graft_del_knn").toString
+    cloneStore(spark, s"$staged/topk", s"$base/topk", "label",
+      graft.streaming.GraphStream.topkSchema)
+    cloneStore(spark, s"$staged/vecs", s"$base/vecs", "label",
+      graft.streaming.GraphStream.vecsSchema)
+    base
+  }
+
   // ------------------------------------------------------------- #119
-  // BM25: touched-term-bucket postings repair + derived recounts
+  // BM25: touched-term-bucket postings repair + derived recounts —
+  // the whole store discipline lives in [[Bm25Store]] (ONE layout
+  // shared with the staged read path and the live append twin)
   // ---------------------------------------------------------------
 
-  /** Build the DELETABLE form of the BM25 index at `base`: postings
-    * and df term-hash-bucketed (`tb=`), dl and the corpus-stat
-    * PARTIALS doc-bucketed (`db=`). Differs from the 40w9 staged
-    * store in exactly the ways deletion forces:
-    *   - partitioned tables, so a delete rewrites touched buckets,
-    *     never the store (at warehouse scale the bucket count grows
-    *     with the corpus, holding per-bucket size constant — 16 here);
-    *   - INTEGER df instead of materialized idf (deleting any doc
-    *     moves N and therefore EVERY term's idf; df is local to its
-    *     bucket and idf derives at query time, [[Hybrid.idfFromDf]],
-    *     vocabulary-sized);
-    *   - corpus stats as per-doc-bucket partials (n_docs, tot_tok per
-    *     `db=`), summed at query time (≤ bucket-count rows), so every
-    *     derived number repairs as a RECOUNT of repaired primary rows
-    *     at touched-bucket granularity — idempotent by construction,
-    *     which is what makes a crashed delete safe to re-run (a
-    *     per-term subtraction would double-apply on the re-run). */
-  private[graft] def buildBm25Store(spark: SparkSession, docs: DataFrame,
-      base: String): Unit = {
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
-      .withColumn("tb", pmod(hash(col("t")), lit(16)))
-      .repartition(col("tb"))
-      .write.partitionBy("tb").parquet(s"$base/postings")
-    val postings = spark.read.parquet(s"$base/postings")
-    // df carries its term's tb so a bucket recount replaces exactly
-    // its own rows (terms never cross buckets: tb is a hash of t)
-    postings.groupBy("tb", "t").agg(count(lit(1)).as("df"))
-      .repartition(col("tb"))
-      .write.partitionBy("tb").parquet(s"$base/df")
-    postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .withColumn("db", pmod(col("doc_id"), lit(16L)).cast("int"))
-      .repartition(col("db"))
-      .write.partitionBy("db").parquet(s"$base/dl")
-    spark.read.parquet(s"$base/dl")
-      .groupBy("db").agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok"))
-      .repartition(col("db"))
-      .write.partitionBy("db").parquet(s"$base/stats")
-  }
-
-  /** Apply the delete set to a BM25 store at `base`: re-tokenize the
-    * DELETED docs (delete-batch-sized — postings are term-keyed, so a
-    * doc's rows are findable only through its own terms), drop their
-    * rows from the touched term buckets, then RECOUNT df and the
-    * stat partials for the touched buckets from the repaired primary
-    * rows. Every step reads repaired state, so a crashed run re-runs
-    * to the same store (spec-exercised via [[graft.util.PartitionSwap.crashPoint]]). */
-  private[graft] def deleteFromBm25(spark: SparkSession, base: String,
-      delDocs: DataFrame): Unit = {
-    for ((t, p) <- Seq("postings" -> "tb=", "df" -> "tb=",
-        "dl" -> "db=", "stats" -> "db="))
-      recoverAside(graft.util.Fs.of(spark, s"$base/$t"), s"$base/$t", p)
-    val delToks = delDocs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // delete-batch-sized, consumed below
-    val touchedTb = collectInts(
-      delToks.select(pmod(hash(col("t")), lit(16)).as("tb")), "tb")
-    val tbOnly = col("tb").isin(touchedTb.map(v => v: Any): _*)
-    val delIds = delToks.select("doc_id").distinct()
-    publishTouched(spark, s"$base/postings", "tb", touchedTb,
-      spark.read.parquet(s"$base/postings").where(tbOnly)
-        .join(broadcast(delIds), Seq("doc_id"), "left_anti"))
-    // df: recount the touched buckets from the REPAIRED postings —
-    // terms whose last doc died vanish, exactly like a fresh build's
-    publishTouched(spark, s"$base/df", "tb", touchedTb,
-      spark.read.parquet(s"$base/postings").where(tbOnly)
-        .groupBy("tb", "t").agg(count(lit(1)).as("df")))
-    val touchedDb = collectInts(
-      delIds.select(pmod(col("doc_id"), lit(16L)).as("db")), "db")
-    val dbOnly = col("db").isin(touchedDb.map(v => v: Any): _*)
-    publishTouched(spark, s"$base/dl", "db", touchedDb,
-      spark.read.parquet(s"$base/dl").where(dbOnly)
-        .join(broadcast(delIds), Seq("doc_id"), "left_anti"))
-    // stats: recount the touched buckets' partials from repaired dl
-    publishTouched(spark, s"$base/stats", "db", touchedDb,
-      spark.read.parquet(s"$base/dl").where(dbOnly)
-        .groupBy("db").agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_tok")))
-  }
-
-  /** Gated end-to-end: build the deletable BM25 store, apply the
-    * delete with touched-bucket repair, score the standard probes.
-    * Equals the fresh BM25 build on the surviving corpus: postings/dl
-    * rows are the survivors' rows, df and the stats are recounts of
-    * those rows, and idf re-derives from (df, N) through the same
-    * expression both builds share. */
+  /** Gated end-to-end: clone the STAGED converged BM25 store (the same
+    * one `retrieve_bm25_stored` serves from), apply the delete with
+    * touched-bucket repair, score the standard probes. Equals the
+    * fresh BM25 build on the surviving corpus: postings/dl rows are
+    * the survivors' rows, the stats partials are recounts of those
+    * rows, and df/idf re-derive from the probed posting lists and
+    * (df, N) through the same expressions both builds share. */
   def storeDeleteBm25(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BoundedTopK.register(spark)
-    val base = java.nio.file.Files.createTempDirectory("graft_del_bm25").toString
-    buildBm25Store(spark, Tables.documents(spark, dir), base)
-    deleteFromBm25(spark, base,
-      Tables.documents(spark, dir).where(delDocPred))
-    searchBm25(spark, dir, base)
-  }
-
-  /** Score the standard probes from a (possibly repaired) store. The
-    * corpus stats are the sum of the per-bucket partials — at most
-    * bucket-count rows. */
-  private[graft] def searchBm25(spark: SparkSession, dir: String,
-      base: String): DataFrame = {
-    val stats = spark.read.parquet(s"$base/stats")
-      .agg(sum("n_docs"), sum("tot_tok")).head()
-    val nDocs = stats.getLong(0)
-    Hybrid.bm25FromTables(spark, dir,
-      spark.read.parquet(s"$base/postings").drop("tb"),
-      spark.read.parquet(s"$base/dl").drop("db"),
-      Hybrid.idfFromDf(spark.read.parquet(s"$base/df").drop("tb"), nDocs),
-      nDocs, stats.getLong(1))
+    val base = Bm25Store.cloneStore(spark, Hybrid.stageBm25(spark, dir))
+    Bm25Store.delete(spark, base, Tables.documents(spark, dir).where(delDocPred))
+    Bm25Store.score(spark, dir, base)
   }
 
   // ---------------------------------------------------------------

@@ -161,25 +161,16 @@ object Hybrid {
     bm25Rank(probeTermsOf(spark, dir), postings, dl, idf, nDocs, totTok)
   }
 
-  /** Score against an externally-maintained postings/dl index — the
-    * live-twin seam ([[graft.streaming.KmvStream.streamBm25Postings]]). */
-  private[graft] def bm25FromIndex(spark: SparkSession, dir: String,
-      postings: DataFrame, dl: DataFrame, nDocs: Long, totTok: Long): DataFrame =
-    bm25Rank(probeTermsOf(spark, dir), postings, dl, idfOf(postings, nDocs),
-      nDocs, totTok)
-
   /** idf table from a postings frame — shared with the staged twin. */
   private def idfOf(postings: DataFrame, nDocs: Long): DataFrame =
     idfFromDf(postings.groupBy("t").agg(count(lit(1)).as("df")), nDocs)
 
   /** idf from an (t, df) table + the CURRENT doc count. Split out
     * because idf is the one BM25 statistic a store must NOT persist
-    * under deletions: every term's idf moves when N moves, while df is
-    * an integer that repairs as a touched-bucket RECOUNT of the
-    * repaired postings (NOT a subtraction — a crashed delete's re-run
-    * would double-apply one; see [[DeleteRepair.deleteFromBm25]]).
-    * [[DeleteRepair.storeDeleteBm25]] stores df and derives idf here
-    * at query time — vocabulary-sized work. */
+    * under deletions: every term's idf moves when N moves, while df
+    * falls out of the probed posting lists as an integer count
+    * ([[Bm25Store.score]]) — so idf derives here at query time,
+    * query-term-sized work. */
   private[graft] def idfFromDf(dfTab: DataFrame, nDocs: Long): DataFrame =
     dfTab.withColumn("idf", r6(log(
         (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5)) /
@@ -195,7 +186,7 @@ object Hybrid {
       nDocs: Long, totTok: Long): DataFrame =
     bm25Rank(probeTermsOf(spark, dir), postings, dl, idf, nDocs, totTok)
 
-  private def probeTermsOf(spark: SparkSession, dir: String): DataFrame =
+  private[similarity] def probeTermsOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).where(col("doc_id").isin(probeIds: _*))
       .select(col("doc_id").as("probe_id"),
         explode(graft.dedup.Dedup.tokens).as("t"))
@@ -232,45 +223,29 @@ object Hybrid {
   }
 
   // -------------------------------------------------------------- #107
-  /** The PERSISTED steady-state of [[bm25]] — the
-    * [[graft.dedup.LshStore]]/[[StoredIndex]] pattern applied to the
-    * lexical index: postings / doc-lengths / idf / corpus stats are
-    * staged to parquet ONCE at ingest (fingerprint-idempotent
-    * [[graft.sources.Staging]]), and the query path SCANS the store —
-    * no tokenization, no corpus statistics pass, no raw text touched
-    * except the probes' own rows (plan-pinned in Bm25Spec). Per query
-    * the cost is the probed posting lists + a candidate-sized
-    * aggregation — the operating shape of a 100 TB lexical index,
-    * where the postings store is term-partitioned and this equi-join
-    * prunes to the query's terms. tf/dl/df are BIGINT and idf a
-    * round-tripping DOUBLE, so the staged trajectory is bit-identical
-    * to the inline build (same oracle, same answer). */
-  def bm25Stored(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.BoundedTopK.register(spark)
-    val root = graft.sources.Staging.stagedDir(
-      "graft_bm25", dir, s"k1=$BmK1|b=$BmB|v1", "documents") { tmp =>
-      val docs = Tables.documents(spark, dir)
-      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-        .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
-        .write.parquet(s"$tmp/postings")
-      val postings = spark.read.parquet(s"$tmp/postings")
-      postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-        .write.parquet(s"$tmp/dl")
-      val nDocs = docs.count()
-      idfOf(postings, nDocs).write.parquet(s"$tmp/idf")
-      val totTok = spark.read.parquet(s"$tmp/dl")
-        .agg(sum("dl")).head().getLong(0)
-      import spark.implicits._
-      Seq((nDocs, totTok)).toDF("n_docs", "tot_tok")
-        .coalesce(1).write.parquet(s"$tmp/stats")
+  /** The PERSISTED steady-state of [[bm25]] — THE converged
+    * [[Bm25Store]] layout staged ONCE at ingest (fingerprint-idempotent
+    * [[graft.sources.Staging]]): term-hash-bucketed postings +
+    * doc-bucketed dl/stats, the SAME deletable store the live append
+    * twin and the delete repair maintain. The query path SCANS the
+    * store — no tokenization, no corpus statistics pass, no raw text
+    * touched except the probes' own rows (plan-pinned in Bm25Spec),
+    * and only the query terms' `tb=` buckets are listed (static
+    * partition pruning — the index-probe shape of a 100 TB lexical
+    * index). tf/dl are BIGINT, df falls out of the probed posting
+    * lists as a count, idf derives from (df, N) at query time — the
+    * staged trajectory is bit-identical to the inline build (same
+    * oracle, same answer). */
+  def bm25Stored(spark: SparkSession, dir: String): DataFrame =
+    Bm25Store.score(spark, dir, stageBm25(spark, dir))
+
+  /** The staged converged store, built once per (fingerprint, sf
+    * dir) — also the clone source for the delete-repair demo. */
+  private[graft] def stageBm25(spark: SparkSession, dir: String): String =
+    graft.sources.Staging.stagedDir(
+      "graft_bm25", dir, s"k1=$BmK1|b=$BmB|v2:bucketed-manifest", "documents") { tmp =>
+      Bm25Store.build(spark, Tables.documents(spark, dir), tmp)
     }
-    val stats = spark.read.parquet(s"$root/stats").head()
-    bm25Rank(probeTermsOf(spark, dir),
-      spark.read.parquet(s"$root/postings"),
-      spark.read.parquet(s"$root/dl"),
-      spark.read.parquet(s"$root/idf"),
-      stats.getAs[Long]("n_docs"), stats.getAs[Long]("tot_tok"))
-  }
 
   val bm25Oracle: String =
     s"""WITH tok AS (

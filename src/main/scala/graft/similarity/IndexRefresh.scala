@@ -130,7 +130,7 @@ object IndexRefresh {
     val codebook = spark.read.parquet(s"$vdir/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     StoredIndex.searchIndexProbes(spark, probeVecs, centroids, codebook,
-      spark.read.parquet(s"$vdir/codes"), spark.read.parquet(s"$vdir/lists"))
+      StoredIndex.readCodes(spark, vdir), StoredIndex.readLists(spark, vdir))
   }
 
   /** Run the 42z alarm on the arriving window against the v1 reference

@@ -37,6 +37,23 @@ import org.apache.spark.sql.functions._
   */
 object StoredIndex {
 
+  import org.apache.spark.sql.types._
+
+  /** Explicit store schemas (partition column included): manifest reads
+    * pin the partition column's type against the shared session's
+    * `partitionColumnTypeInference` setting, and an empty store reads
+    * as an empty frame of the right shape. */
+  private[graft] val listsSchema = StructType(Seq(
+    StructField("neighbor_id", LongType), StructField("bucket", IntegerType)))
+  private[graft] val codesSchema = StructType(Seq(
+    StructField("neighbor_id", LongType), StructField("sub", IntegerType),
+    StructField("code", LongType), StructField("bucket", IntegerType)))
+
+  private[graft] def readLists(spark: SparkSession, root: String): DataFrame =
+    graft.util.ManifestStore.read(spark, s"$root/lists", listsSchema)
+  private[graft] def readCodes(spark: SparkSession, root: String): DataFrame =
+    graft.util.ManifestStore.read(spark, s"$root/codes", codesSchema)
+
   // ------------------------------------------------------------- #40ac
   /** Stage the four index tables once per (fingerprint, sf dir).
     * `lists` and `codes` are written PARTITIONED BY the coarse cell
@@ -49,7 +66,7 @@ object StoredIndex {
     * probes' cells is never read — not filtered after the read,
     * never listed into the scan. */
   private[graft] def stageIvfPq(spark: SparkSession, dir: String): String =
-    Staging.stagedDir("graft_ivfpq_store", dir, "v2:ivf16:pq8x16:cell-partitioned", "embeddings") { root =>
+    Staging.stagedDir("graft_ivfpq_store", dir, "v3:ivf16:pq8x16:cell-manifest", "embeddings") { root =>
       writeIndexTables(spark, Embeddings.vecs(spark, dir), root)
     }
 
@@ -73,15 +90,16 @@ object StoredIndex {
     val subs = Embeddings.pqSubsOf(corpus)
     val codebook = Embeddings.pqCodebook(subs)
     codebook.write.parquet(s"$root/codebook")
-    Embeddings.ivfAssign(corpus, centroids, 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$root/lists")
-    val lists = spark.read.parquet(s"$root/lists")
-    Embeddings.pqCodes(subs, codebook)
-      .join(lists, "neighbor_id")
-      .repartition(col("bucket"))
-      .write.partitionBy("bucket").parquet(s"$root/codes")
+    // lists/codes are MANIFEST STORES from birth (one discipline for
+    // the staged build, each blue/green version, and the live twin) —
+    // the delete/compaction maintenance paths publish into them with
+    // snapshot-isolated commits
+    graft.util.ManifestStore.append(spark, s"$root/lists", "bucket",
+      Embeddings.ivfAssign(corpus, centroids, 1)
+        .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket")))
+    graft.util.ManifestStore.append(spark, s"$root/codes", "bucket",
+      Embeddings.pqCodes(subs, codebook)
+        .join(readLists(spark, root), "neighbor_id"))
   }
 
   /** The frozen index metadata, trained once at index creation: coarse
@@ -174,7 +192,7 @@ object StoredIndex {
     val codebook = spark.read.parquet(s"$root/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     searchIndex(spark, dir, centroids, codebook,
-      spark.read.parquet(s"$root/codes"), spark.read.parquet(s"$root/lists"))
+      readCodes(spark, root), readLists(spark, root))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

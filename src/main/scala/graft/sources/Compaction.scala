@@ -230,82 +230,15 @@ object Compaction {
       .orderBy("context")
   }
 
-  /** Small-file compaction for a FLAT append store — the seam the
-    * streaming index stores name (SURVEY 42s: per-trigger appends →
-    * many small parquet files; e.g. the BM25 postings store grows one
-    * file pair per trigger). Rewrite into `nFiles` files sorted by
-    * `sortCols`, published with the [[HiveStore.compact]] rename-aside
-    * protocol: dir → dir_precompact, tmp → dir, drop aside — the
-    * source stays on disk until the rewrite is in place, a crash
-    * inside the two-rename window is repaired by the recovery step at
-    * the head of the next run, and a crash before the first rename
-    * leaves the store untouched (readers never see a partial state).
-    * Result-invisible by contract: same rows, fewer files (spec-gated
-    * via the bm25 oracle on the compacted index). */
-  def compactStore(spark: SparkSession, dir: String,
-      sortCols: Seq[String], nFiles: Int = 2): Unit =
-    publishRewrite(spark, dir) { tmp =>
-      spark.read.parquet(dir)
-        .repartition(nFiles, col(sortCols.head))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").parquet(tmp)
-    }
-
-  /** [[compactStore]] for a HIVE-PARTITIONED append store — the
-    * live vector-index stores (the IVFADC `lists`/`codes` cell dirs of
-    * [[graft.streaming.AnnStream]], the label dirs of
-    * [[graft.streaming.GraphStream]]'s vector store) grow one file per
-    * trigger per partition. The rewrite KEEPS the partition layout
-    * (`partitionBy` on the same column), so the read path's dynamic
-    * partition pruning survives compaction unchanged (plan-pinned in
-    * AnnStreamSpec); `repartition(partCol)` gives each output dir one
-    * writing task. Publish = the same rename-aside protocol as
-    * [[compactStore]]: the source stays on disk until the rewritten
-    * tree is in place, and a crash inside the two-rename window is
-    * repaired by the recovery step at the head of the next run. */
-  def compactPartitionedStore(spark: SparkSession, dir: String,
-      partCol: String, sortCols: Seq[String]): Unit =
-    publishRewrite(spark, dir) { tmp =>
-      spark.read.parquet(dir)
-        .repartition(col(partCol))
-        .sortWithinPartitions(sortCols.map(col): _*)
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmp)
-    }
-
-  /** Restore a store whose [[publishRewrite]] crashed between its two
-    * renames (root missing, `_precompact` present). Exposed so READ
-    * paths over compacted stores can self-heal instead of failing on
-    * the missing root until the next scheduled sweep runs —
-    * [[graft.streaming.AnnStream.searchStore]] and the
-    * [[graft.similarity.DeleteRepair]] IVFADC entry points call this
-    * before reading (a no-op exists() check in the healthy case). */
-  private[graft] def recoverRewrite(spark: SparkSession, dir: String): Unit = {
-    val fs = fsOf(spark, dir)
-    val (root, aside) = (new Path(dir), new Path(dir + "_precompact"))
-    if (!fs.exists(root) && fs.exists(aside)) { fs.rename(aside, root); () }
-  }
-
-  /** The shared whole-root atomic-publish protocol: recover from a
-    * previous crash, run `job` into a tmp root, then
-    * dir → dir_precompact, tmp → dir, drop aside. Readers never see a
-    * partial state; the crash-window contract is spec-exercised via
-    * [[crashPoint]] ("swap" fires between the two renames). */
-  private def publishRewrite(spark: SparkSession, dir: String)
-      (job: String => Unit): Unit = {
-    val fs = fsOf(spark, dir)
-    val (root, aside, tmp) = (new Path(dir),
-      new Path(dir + "_precompact"), new Path(dir + "_compacting"))
-    // Recovery: a previous run crashed between its two renames.
-    recoverRewrite(spark, dir)
-    fs.delete(aside, true)
-    fs.delete(tmp, true)
-    job(tmp.toString)
-    fs.rename(root, aside)
-    maybeCrash("swap")
-    fs.rename(tmp, root)
-    fs.delete(aside, true)
-    ()
-  }
+  // NOTE: the flat/partitioned append-store sweeps that used to live
+  // here (compactStore / compactPartitionedStore, whole-root
+  // rename-aside) are superseded by [[graft.util.ManifestStore
+  // .compact]] — the manifest commit removes the two-rename window a
+  // concurrent reader could observe. The live index stores (IVFADC
+  // lists/codes, kNN-graph topk/vecs, BM25 buckets) all compact
+  // through it now; this object keeps the EVENT-store day→year
+  // archival compaction above, whose marker-based read precedence
+  // ([[compactedRead]]) was already snapshot-safe.
 
   val compactionOracle: String =
     """SELECT 'vessels__urn-' || CAST(user_id AS VARCHAR) AS context,

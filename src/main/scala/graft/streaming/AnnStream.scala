@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.similarity.{Embeddings, StoredIndex}
+import graft.util.{DeleteLog, ManifestStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -29,14 +30,17 @@ import org.apache.spark.sql.streaming.Trigger
   *     output against [[StoredIndex.annIvfPqStored]]) and the
   *     full-recompute `ann_ivfpq_topk` oracle carries over verbatim.
   *
+  * Both tables are [[graft.util.ManifestStore]]s: every append/sweep
+  * publishes a snapshot-isolated manifest version, so a query between
+  * (or DURING) maintenance operations reads one committed index state
+  * — never a half-appended batch, never a mid-compaction window. The
+  * nprobe dynamic-partition-pruning read shape is unchanged (the
+  * manifest read keeps the `bucket=<cell>/` partition columns;
+  * plan-pinned).
+  *
   * Store growth is corpus-proportional (it IS the index; 9 rows per
   * vector), never throughput-bounded; per-trigger cost is
   * O(|batch| · K) assignment work with ≤ one shuffle of batch size.
-  * Appends land INSIDE the `bucket=<cell>/` partition dirs, so the
-  * read path keeps its nprobe dynamic-partition-pruning shape
-  * unchanged — queries between triggers see a consistent index (each
-  * parquet append is file-atomic; a vector is either fully indexed,
-  * lists+codes, after its trigger commits, or absent).
   *
   * Reference: signalk-parquet has no vector index; this is the
   * training-pipeline extension's operational leg.
@@ -88,45 +92,49 @@ object AnnStream {
     q.awaitTermination()
   }
 
-  /** One trigger's ingest, IDEMPOTENT under micro-batch re-delivery:
-    * foreachBatch runs at-least-once (a crash after an append but
-    * before the checkpoint commit re-runs the same batch), so each
-    * table's delta is anti-joined against the rows the store already
-    * holds IN THE DELTA'S OWN CELLS before appending — a bounded
-    * cell-pruned read, gated PER TABLE because a crash can land
-    * between the two appends (lists absorbed, codes not). Within one
-    * cell, (bucket, neighbor_id) rows are unique by construction
-    * (vec_ids append-only; per-vector argmins slicing-invariant), so
-    * the anti-join drops exactly the re-delivered rows.
-    * AnnStreamSpec pins a double-delivered batch leaving the store
-    * identical to single delivery. */
+  /** One trigger's ingest, IDEMPOTENT under micro-batch re-delivery
+    * AND durable against deleted ids:
+    *   - the batch is first gated on the store's [[DeleteLog]] —
+    *     an id deleted BEFORE its source row (re-)arrives must never
+    *     enter the index (the triggers → delete → triggers sequence);
+    *   - foreachBatch runs at-least-once (a crash after an append but
+    *     before the checkpoint commit re-runs the same batch), so each
+    *     table's delta is anti-joined against the rows the store
+    *     already holds IN THE DELTA'S OWN CELLS before appending — a
+    *     bounded cell-pruned read, gated PER TABLE because a crash can
+    *     land between the two appends, and on the FULL ROW KEY
+    *     ((neighbor_id) for lists, (neighbor_id, sub) for codes)
+    *     because a crash inside one table's multi-file append commit
+    *     can persist a SUBSET of a vector's 8 code rows — a
+    *     neighbor-only gate would then drop the re-delivered batch's
+    *     missing sub-codes forever, silently corrupting ADC scores.
+    * AnnStreamSpec pins double delivery ≡ single delivery and the
+    * partial-codes-commit repair. */
   private[graft] def ingestBatch(sp: SparkSession, base: String,
       batch: DataFrame): Unit = {
     graft.functions.L2Distance.register(sp)
     graft.functions.DotProduct.register(sp)
     graft.functions.KnownNonNullElements.register(sp)
+    val live = DeleteLog.gate(sp, base, batch, "vec_id")
     val cents = sp.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val cb = sp.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     val (lists, codes) = StoredIndex.indexDelta(
-      Embeddings.vecsOf(batch), cents, cb)
+      Embeddings.vecsOf(live), cents, cb)
     val deltaL = lists.localCheckpoint() // reused: buckets, gate, codes join
     val bkts = deltaL.select("bucket").distinct().collect()
       .map(_.get(0)).toSeq
-    val fs = graft.util.Fs.of(sp, base)
-    def appendGated(delta: DataFrame, store: String): Unit = {
-      val gated = if (fs.exists(new org.apache.hadoop.fs.Path(store)))
-        delta.join(sp.read.parquet(store)
-            .where(col("bucket").isin(bkts: _*)).select("neighbor_id"),
-          Seq("neighbor_id"), "left_anti")
-      else delta
-      gated.repartition(col("bucket"))
-        .write.mode("append").partitionBy("bucket").parquet(store)
+    if (bkts.nonEmpty) {
+      val inDelta = col("bucket").isin(bkts: _*)
+      val storedL = StoredIndex.readLists(sp, base).where(inDelta)
+      ManifestStore.append(sp, s"$base/lists", "bucket",
+        deltaL.join(storedL.select("neighbor_id"), Seq("neighbor_id"), "left_anti"))
+      val storedC = StoredIndex.readCodes(sp, base).where(inDelta)
+      ManifestStore.append(sp, s"$base/codes", "bucket",
+        codes.join(storedC.select("neighbor_id", "sub"),
+          Seq("neighbor_id", "sub"), "left_anti"))
     }
-    appendGated(deltaL, s"$base/lists")
-    appendGated(codes, s"$base/codes")
-    ()
   }
 
   // ------------------------------------------------------------- #113b
@@ -134,14 +142,15 @@ object AnnStream {
     * searched: per-trigger appends leave one file pair per (trigger,
     * cell) — at a day of triggers that is the small-file pathology the
     * reference schedules compaction against (compaction-service.ts) —
-    * so the scheduled sweep is [[graft.sources.Compaction
-    * .compactPartitionedStore]] over `lists` and `codes`, which
-    * rewrites each `bucket=<cell>/` dir to one sorted file while
-    * KEEPING the cell layout (the nprobe dynamic partition pruning
-    * survives — plan-pinned in AnnStreamSpec, file-count reduction and
-    * crash-window recovery spec-exercised). Result-invisible by
-    * contract: the same full-recompute IVFADC oracle gates the search
-    * over the compacted store. */
+    * so the scheduled sweep is [[ManifestStore.compact]] over `lists`
+    * and `codes`: each `bucket=<cell>/` dir collapses to one
+    * neighbor-sorted file while KEEPING the cell layout (the nprobe
+    * dynamic partition pruning survives — plan-pinned in
+    * AnnStreamSpec), and the sweep publishes as ONE snapshot flip, so
+    * a search concurrent with it reads the previous committed index
+    * in full (spec-exercised via the injected mid-publish crash).
+    * Result-invisible by contract: the same full-recompute IVFADC
+    * oracle gates the search over the compacted store. */
   def streamAnnIvfPqCompacted(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
@@ -159,27 +168,24 @@ object AnnStream {
     * dir collapses to one file sorted by neighbor id (tight row-group
     * stats for the candidate equi-join). */
   private[graft] def compactIndexStore(spark: SparkSession, base: String): Unit = {
-    graft.sources.Compaction.compactPartitionedStore(
-      spark, s"$base/lists", "bucket", Seq("neighbor_id"))
-    graft.sources.Compaction.compactPartitionedStore(
-      spark, s"$base/codes", "bucket", Seq("neighbor_id", "sub"))
+    ManifestStore.compact(spark, s"$base/lists", "bucket",
+      Seq("neighbor_id"), StoredIndex.listsSchema)
+    ManifestStore.compact(spark, s"$base/codes", "bucket",
+      Seq("neighbor_id", "sub"), StoredIndex.codesSchema)
   }
 
-  /** The unchanged staged-read search over a live-maintained store.
-    * Self-heals a crashed compaction sweep first (a store renamed to
-    * `_precompact` with no rewrite in place would otherwise be
-    * unreadable until the next scheduled sweep). */
+  /** The unchanged staged-read search over a live-maintained store —
+    * the manifest read serves the committed snapshot, so no recovery
+    * step is needed regardless of what maintenance crashed before. */
   private[graft] def searchStore(spark: SparkSession, dir: String,
       base: String): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
-    for (t <- Seq("lists", "codes"))
-      graft.sources.Compaction.recoverRewrite(spark, s"$base/$t")
     val centroids = spark.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     StoredIndex.searchIndex(spark, dir, centroids, codebook,
-      spark.read.parquet(s"$base/codes"), spark.read.parquet(s"$base/lists"))
+      StoredIndex.readCodes(spark, base), StoredIndex.readLists(spark, base))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

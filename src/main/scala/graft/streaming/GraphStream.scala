@@ -1,11 +1,11 @@
 package graft.streaming
 
 import graft.similarity.{Embeddings, GraphStore, KnnGraph}
+import graft.util.{DeleteLog, ManifestStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
-import org.apache.hadoop.fs.Path
 
 /** Incremental kNN-graph maintenance — the streaming twin of
   * [[GraphStore]]'s staged mutual-kNN graph: a new-vector batch inserts
@@ -31,37 +31,37 @@ import org.apache.hadoop.fs.Path
   * (`label=<block>/`, the [[AnnStream]] cell-dir discipline) and each
   * trigger (a) reads ONLY the touched label partitions of the vector
   * and list stores (static partition pruning on the batch's label
-  * set), (b) re-collapses only those nodes, and (c) swaps ONLY the
-  * touched `label=` dirs via per-partition rename-aside (recovery at
-  * the head of the next trigger restores any dir left aside by a
-  * crash inside the swap window — the [[graft.sources.Compaction
-  * .compactStore]] protocol at partition granularity). Untouched
-  * partitions are never listed, read, re-collapsed, or rewritten
-  * (GraphStreamSpec pins this with a file-listing assertion on a
-  * 1-label trigger).
+  * set), (b) re-collapses only those nodes, and (c) publishes ONLY the
+  * touched `label=` dirs' replacement files through the
+  * [[ManifestStore]] snapshot commit — a reader concurrent with the
+  * trigger sees the previous committed graph in full, never an absent
+  * partition, and a crashed trigger's uncommitted files are invisible
+  * orphans the re-run clears. Untouched partitions are never listed,
+  * read, re-collapsed, or rewritten (GraphStreamSpec pins this with a
+  * file-listing assertion on a 1-label trigger).
   *
   * Per-trigger cost: the batch scores against the label-blocked store
   * — O(|batch| · block), the [[graft.dedup.LshStore]] (29b/42h)
   * batch-vs-store discipline — plus a TOUCHED-NODE heap re-collapse
-  * and a touched-partition rewrite; corpus × corpus scoring never runs
+  * and a touched-partition publish; corpus × corpus scoring never runs
   * after ingest and write amplification per trigger is O(touched
   * blocks), not O(corpus). State: ≤ 5 rows per node (the directed
   * lists) + the vector store the warehouse holds anyway; both
-  * label-partitioned, swapped/appended per trigger.
+  * label-partitioned manifest stores.
   *
   * Drain ≡ one-shot [[KnnGraph.knnGraph]] (bit-equal spec) and the
   * full-recompute mutual-kNN oracle carries verbatim.
   */
 object GraphStream {
 
-  /** Explicit store schemas: reads must work on an EMPTY partitioned
-    * store (bootstrap trigger — no footer, no partition dirs to infer
-    * from). `label` last = the partition column position. */
-  private val topkSchema = StructType(Seq(
+  /** Explicit store schemas: manifest reads pin the partition column's
+    * type and make an EMPTY store (bootstrap trigger) read as an empty
+    * frame. `label` last = the partition column position. */
+  private[graft] val topkSchema = StructType(Seq(
     StructField("src_id", LongType), StructField("dst_id", LongType),
     StructField("cos", DoubleType), StructField("rank", IntegerType),
     StructField("label", IntegerType)))
-  private val vecsSchema = StructType(Seq(
+  private[graft] val vecsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("v", ArrayType(DoubleType)),
     StructField("norm2", DoubleType),
@@ -83,23 +83,17 @@ object GraphStream {
   }
 
   private[graft] def readTopk(spark: SparkSession, base: String): DataFrame =
-    spark.read.schema(topkSchema).parquet(s"$base/topk")
+    ManifestStore.read(spark, s"$base/topk", topkSchema)
       .select("label", "src_id", "dst_id", "cos", "rank")
 
-  private[graft] def readVecs(spark: SparkSession, base: String): DataFrame =
-    spark.read.schema(vecsSchema).parquet(s"$base/vecs")
-
-  /** Restore any `label=` dir a crashed swap left aside — the
-    * single-sourced [[graft.util.PartitionSwap]] recovery step
-    * (rename-aside happens strictly before rename-in, so a missing
-    * store dir with a surviving aside dir is the only crash state). */
-  private def recoverAside(fs: org.apache.hadoop.fs.FileSystem,
-      store: String): Unit =
-    graft.util.PartitionSwap.recover(fs, store, "label=")
+  /** The raw (vec_id, v, norm2, label) snapshot — `v` still the
+    * parquet-loaded nullable array (consumers `graft_dense` it). */
+  private[graft] def readVecsRaw(spark: SparkSession, base: String): DataFrame =
+    ManifestStore.read(spark, s"$base/vecs", vecsSchema)
 
   /** Drain `srcDir` into a live-maintained graph store at `base`:
-    * per-trigger TOUCHED-LABEL directed-list repair (per-partition
-    * rename-aside swap) + label-partitioned vector append. All
+    * per-trigger TOUCHED-LABEL directed-list repair (snapshot-isolated
+    * manifest publish) + label-partitioned vector append. All
     * filesystem choreography resolves from the store path
     * ([[graft.util.Fs]]) so `base`, `srcDir` and `checkpoint` may live
     * on any Hadoop filesystem (FsPortabilitySpec runs the drain over a
@@ -110,11 +104,6 @@ object GraphStream {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    val vecStore = base + "/vecs"
-    val topkStore = base + "/topk"
-    val baseFs = graft.util.Fs.of(spark, base)
-    baseFs.mkdirs(new Path(vecStore))
-    baseFs.mkdirs(new Path(topkStore))
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
@@ -131,58 +120,50 @@ object GraphStream {
 
   /** One trigger's maintenance, IDEMPOTENT under micro-batch
     * re-delivery (foreachBatch is at-least-once — a crash between the
-    * topk swap, the vecs append and the checkpoint commit re-runs the
-    * same batch): the list repair dedups its candidate union
-    * ([[GraphStore.repairedTopk]]), so re-collapsing a store that
-    * already absorbed the batch reproduces it; the vecs append
-    * anti-joins the batch against the ids its touched label partitions
-    * already hold (a pruned, block-bounded read), so re-delivered
-    * vectors are never double-appended. GraphStreamSpec pins a
-    * double-delivered batch leaving both stores identical to single
-    * delivery. */
+    * topk publish, the vecs append and the checkpoint commit re-runs
+    * the same batch) and durable against deletions: the batch is first
+    * gated on the store's [[DeleteLog]] (an id deleted before its
+    * source row arrives must never enter the graph); the list repair
+    * dedups its candidate union ([[GraphStore.repairedTopk]]), so
+    * re-collapsing a store that already absorbed the batch reproduces
+    * it; the vecs append anti-joins the batch against the ids its
+    * touched label partitions already hold (a pruned, block-bounded
+    * manifest read), so re-delivered vectors are never
+    * double-appended. GraphStreamSpec pins a double-delivered batch
+    * leaving both stores identical to single delivery. */
   private[graft] def ingestBatch(sp: SparkSession, base: String,
       batch: DataFrame): Unit = {
     graft.functions.BoundedTopK.register(sp)
     graft.functions.DotProduct.register(sp)
     graft.functions.KnownNonNullElements.register(sp)
-    val vecStore = base + "/vecs"
-    val topkStore = base + "/topk"
-    val fs = graft.util.Fs.of(sp, topkStore)
-    fs.mkdirs(new Path(vecStore))
-    fs.mkdirs(new Path(topkStore))
-    recoverAside(fs, topkStore)
-    val batchVecs = Embeddings.vecsOf(batch)
+    val batchVecs = Embeddings.vecsOf(DeleteLog.gate(sp, base, batch, "vec_id"))
     // the only lists a label-blocked candidate pass can change
     val touched = batchVecs.select("label").distinct()
       .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return
     val touchedOnly = col("label").isin(touched.map(l => l: Any): _*)
-    // static partition pruning: only touched label= dirs are listed
+    // static partition pruning: only touched label= files are read
     // (graft_dense on the parquet-loaded vectors — the file source
     // forces containsNull=true; see Embeddings.vecs)
-    val storedVecs = readVecs(sp, base).where(touchedOnly)
+    val storedVecs = readVecsRaw(sp, base).where(touchedOnly)
       .select(col("vec_id"), col("label"),
         expr("graft_dense(v)").as("v"), col("norm2"))
     val storedTopk = readTopk(sp, base).where(touchedOnly)
     val repaired = GraphStore.repairedTopk(storedTopk, storedVecs, batchVecs)
-    val next = topkStore + "_next"
-    fs.delete(new Path(next), true)
-    repaired.repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label").parquet(next)
-    // the single-sourced per-partition rename-aside swap: ONLY the
-    // touched label dirs move; every other partition's files are
-    // never rewritten (removeMissing = false — the repair covers
-    // every touched label, so a missing upd dir means "leave as is")
-    graft.util.PartitionSwap.swapTouched(fs, topkStore, next, "label",
-      touched.toSeq.map(l => l: Any), removeMissing = false)
+    // snapshot-isolated publish: ONLY the touched label dirs gain
+    // replacement files; every other partition's files are never
+    // rewritten, and a reader mid-publish stays on the previous
+    // committed version
+    ManifestStore.rewriteTouched(sp, s"$base/topk", "label",
+      touched.toSeq.map(l => l: Any),
+      repaired.select("src_id", "dst_id", "cos", "rank", "label"))
     // re-delivery gate: only vectors the touched partitions don't
     // already hold append (ids are append-only, so the anti-join
     // drops exactly the re-delivered rows)
-    batchVecs.select("vec_id", "v", "norm2", "label")
-      .join(readVecs(sp, base).where(touchedOnly).select("vec_id"),
-        Seq("vec_id"), "left_anti")
-      .repartition(col("label"))
-      .write.mode("append").partitionBy("label").parquet(vecStore)
-    ()
+    ManifestStore.append(sp, s"$base/vecs", "label",
+      batchVecs.select("vec_id", "v", "norm2", "label")
+        .join(readVecsRaw(sp, base).where(touchedOnly).select("vec_id"),
+          Seq("vec_id"), "left_anti"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -79,86 +79,67 @@ object KmvStream {
 
   // -------------------------------------------------------------- #109
   /** Live lexical-index maintenance — the streaming twin of
-    * [[graft.similarity.Hybrid.bm25Stored]]: the postings / doc-length
-    * stores kept current as document batches arrive. Documents are
-    * append-only, so each micro-batch's (term, doc, tf) delta and
-    * (doc, dl) delta UNION into the stores with no key collisions —
-    * the real ingest shape of a live inverted index (posting appends;
-    * compaction is the existing [[graft.sources.Compaction]] seam).
-    * idf and corpus stats are VOCABULARY-sized derivations recomputed
-    * from the store at query time, so the drained answer is
-    * bit-identical to the one-shot batch build and the 40w8 oracle
-    * carries verbatim (spec-pinned against [[Hybrid.bm25]]). Store
-    * growth is corpus-proportional (it IS the index), never
-    * throughput-bounded; the raw stream is not retained. */
+    * [[graft.similarity.Hybrid.bm25Stored]], maintaining THE SAME
+    * converged [[graft.similarity.Bm25Store]] layout the staged read
+    * path serves from: each micro-batch's (term, doc, tf) delta
+    * appends into the term-hash buckets, its dl rows (every doc, 0 for
+    * token-less) and per-(db, batch) stats partials into the doc
+    * buckets — full-row-key re-delivery gates per table, DeleteLog
+    * ingest gating, manifest-committed visibility. Documents are
+    * append-only, so the drained store answers bit-identically to the
+    * one-shot batch build and the 40w8 oracle carries verbatim
+    * (spec-pinned against [[Hybrid.bm25]]). Store growth is
+    * corpus-proportional (it IS the index), never throughput-bounded;
+    * the raw stream is not retained. */
   def streamBm25Postings(spark: SparkSession, dir: String): DataFrame =
-    scoreBm25Store(spark, dir, buildBm25Store(spark, dir))
+    graft.similarity.Bm25Store.score(spark, dir, drainBm25(spark, dir))
 
-  /** The 42s append store run through its named compaction seam
-    * before serving: per-trigger appends leave one small parquet file
-    * pair per trigger; [[graft.sources.Compaction.compactStore]]
-    * rewrites the postings into few term-sorted files under the 28d
-    * rename-aside crash-safe publish, and the compacted index must
+  /** The 42s live store run through its named compaction seam before
+    * serving: per-trigger appends leave one small file set per
+    * (trigger, bucket); [[graft.similarity.Bm25Store.compact]]
+    * collapses each bucket to one sorted file under the
+    * manifest-committed snapshot flip, and the compacted index must
     * answer IDENTICALLY (same 40w8 oracle — compaction is
     * result-invisible by contract). */
   def streamBm25Compacted(spark: SparkSession, dir: String): DataFrame = {
-    val base = buildBm25Store(spark, dir)
-    graft.sources.Compaction.compactStore(spark, s"$base/postings",
-      Seq("t", "doc_id"), nFiles = 2)
-    graft.sources.Compaction.compactStore(spark, s"$base/stats",
-      Seq("n_docs"), nFiles = 1)
-    scoreBm25Store(spark, dir, base)
+    val base = drainBm25(spark, dir)
+    graft.similarity.Bm25Store.compact(spark, base)
+    graft.similarity.Bm25Store.score(spark, dir, base)
   }
 
-  /** Drain the corpus into a fresh postings/stats store; returns its
-    * base dir (separated from scoring so the compacted twin and the
-    * spec can operate on the store between build and serve). */
-  private[graft] def buildBm25Store(spark: SparkSession, dir: String): String = {
+  /** Drain the corpus into a fresh converged BM25 store; returns its
+    * base dir (separated from scoring so the compacted/deleted twins
+    * and the specs can operate on the store between build and
+    * serve). */
+  private[graft] def drainBm25(spark: SparkSession, dir: String): String = {
     graft.functions.BoundedTopK.register(spark)
     val docs = graft.Tables.documents(spark, dir)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_bm25_src").toString
     docs.repartitionByRange(3, col("doc_id"))
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_bm25_store").toString
-    val postStore = base + "/postings"
-    val statStore = base + "/stats"
-    val q = spark.readStream.schema(docs.schema)
+    drainBm25Into(spark, srcDir, docs.schema, base)
+    base
+  }
+
+  /** The drain itself, store root and checkpoint caller-supplied (the
+    * live-delete choreography interleaves deletes between drains). */
+  private[graft] def drainBm25Into(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, base: String,
+      checkpoint: Option[String] = None): Unit = {
+    val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // append-only postings: new docs cannot collide with stored
-        // (term, doc) keys, so the merge is a plain partitioned append
-        batch.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-          .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
-          .write.mode("append").parquet(postStore)
-        // corpus doc count accumulated per batch FROM THE BATCH, not
-        // re-derived from postings at drain: a NULL/empty-text document
-        // (dropped by the explode) still counts toward N in idf/avgdl,
-        // exactly as the batch twin's docs.count() does
-        batch.agg(count(lit(1)).as("n_docs"))
-          .write.mode("append").parquet(statStore)
-        ()
+        graft.similarity.Bm25Store.appendBatch(
+          batch.sparkSession, base, batch, batchId)
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_ckpt_bm25").toString)
+      .option("checkpointLocation", checkpoint.getOrElse(
+        java.nio.file.Files.createTempDirectory("graft_ckpt_bm25").toString))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    base
-  }
-
-  /** Serve the 40w8 ranking from a (streamed, possibly compacted)
-    * postings/stats store. */
-  private[graft] def scoreBm25Store(spark: SparkSession, dir: String,
-      base: String): DataFrame = {
-    graft.functions.BoundedTopK.register(spark)
-    val postings = spark.read.parquet(s"$base/postings")
-    val dl = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val nDocs = spark.read.parquet(s"$base/stats")
-      .agg(sum("n_docs")).head().getLong(0)
-    val totTok = dl.agg(sum("dl")).head().getLong(0)
-    graft.similarity.Hybrid.bm25FromIndex(spark, dir, postings, dl, nDocs, totTok)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

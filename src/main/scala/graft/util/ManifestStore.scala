@@ -183,10 +183,11 @@ object ManifestStore {
   def append(spark: SparkSession, root: String, partCol: String,
       delta: DataFrame): Unit = {
     val touched = delta.select(partCol).distinct().collect().map(_.get(0)).toSeq
-    publish(spark, root, partCol, touched, replaceTouched = false) {
-      delta.repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol).parquet(root)
-    }
+    if (touched.nonEmpty)
+      publish(spark, root, partCol, touched, replaceTouched = false) {
+        delta.repartition(col(partCol))
+          .write.mode("append").partitionBy(partCol).parquet(root)
+      }
   }
 
   /** Replace the `touched` partitions' content with `repaired` (whose

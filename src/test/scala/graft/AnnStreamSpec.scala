@@ -2,6 +2,7 @@ package graft
 
 import graft.similarity.{Embeddings, StoredIndex}
 import graft.streaming.AnnStream
+import graft.util.ManifestStore
 import org.apache.spark.sql.functions._
 
 /** Live IVFADC index maintenance: the per-trigger appended store must
@@ -19,9 +20,9 @@ class AnnStreamSpec extends SparkSpec {
     // exactly 3 triggers ran (one appended file set per source file)
     val staged = StoredIndex.stageIvfPq(spark, sfDir)
     for (t <- Seq("lists", "codes")) {
-      val s = spark.read.parquet(s"$streamed/$t")
-      val o = spark.read.parquet(s"$staged/$t")
-      assert(s.columns.sorted.sameElements(o.columns.sorted), s"$t columns")
+      val sch = if (t == "lists") StoredIndex.listsSchema else StoredIndex.codesSchema
+      val s = ManifestStore.read(spark, s"$streamed/$t", sch)
+      val o = ManifestStore.read(spark, s"$staged/$t", sch)
       val cols = s.columns.sorted.map(col).toSeq
       assert(s.select(cols: _*).exceptAll(o.select(cols: _*)).isEmpty, s"$t: extra rows in stream store")
       assert(o.select(cols: _*).exceptAll(s.select(cols: _*)).isEmpty, s"$t: missing rows in stream store")
@@ -34,38 +35,34 @@ class AnnStreamSpec extends SparkSpec {
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
-  test("compaction collapses the trigger fan-out per cell, keeps DPP, and survives a crash window") {
+  test("compaction collapses the trigger fan-out per cell, keeps DPP, and a mid-sweep reader stays on the old snapshot") {
     val emb = Tables.embeddings(spark, sfDir)
     val srcDir = java.nio.file.Files.createTempDirectory("graft_anncspec_src").toString
     emb.repartitionByRange(3, col("vec_id"))
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_anncspec_store").toString
     AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
-    def files(t: String): Seq[String] = {
-      val fs = graft.util.Fs.of(spark, base)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$base/$t"), true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val p = it.next().getPath.toString
-        if (p.endsWith(".parquet")) b += p
-      }
-      b.result()
-    }
+    def manifestFiles(t: String): Seq[String] = ManifestStore.files(spark, s"$base/$t")
     def buckets(t: String): Set[String] =
-      files(t).flatMap("bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
-    val (filesBefore, bucketsBefore) = (files("lists").size, buckets("lists"))
+      manifestFiles(t).map(_.takeWhile(_ != '/')).toSet
+    val (filesBefore, bucketsBefore) = (manifestFiles("lists").size, buckets("lists"))
     assert(filesBefore > bucketsBefore.size,
       "per-trigger appends produced no small-file fan-out — nothing to compact")
-    // crash INSIDE the swap window (store renamed aside, rewrite not yet
-    // in place), then the next scheduled run recovers and completes
-    graft.sources.Compaction.crashPoint = Some("swap")
+    // crash INSIDE the sweep's publish window (rewritten files on disk,
+    // manifest not committed): a concurrent reader must keep serving
+    // the PRE-sweep snapshot — then the re-run sweep completes
+    val preSweep = AnnStream.searchStore(spark, sfDir, base).collect()
+    ManifestStore.crashPoint = Some("publish")
     intercept[IllegalStateException] { AnnStream.compactIndexStore(spark, base) }
-    graft.sources.Compaction.crashPoint = None
+    ManifestStore.crashPoint = None
+    val midCrash = AnnStream.searchStore(spark, sfDir, base).collect()
+    assert(midCrash.map(_.toString).toSeq == preSweep.map(_.toString).toSeq,
+      "a reader saw a crashed sweep's uncommitted state")
     AnnStream.compactIndexStore(spark, base)
     for (t <- Seq("lists", "codes")) {
       assert(buckets(t) == bucketsBefore, s"$t lost cell partitions")
-      assert(files(t).size == buckets(t).size,
-        s"$t not compacted to one file per cell dir: ${files(t).size}")
+      assert(manifestFiles(t).size == buckets(t).size,
+        s"$t not compacted to one file per cell dir: ${manifestFiles(t).size}")
     }
     // result-invisible AND the nprobe DPP shape survives the rewrite
     val df = AnnStream.searchStore(spark, sfDir, base)
@@ -80,27 +77,6 @@ class AnnStreamSpec extends SparkSpec {
     }
     val inline = Embeddings.annIvfPqTopK(spark, sfDir).collect()
     assert(df.collect().map(_.toString).toSeq == inline.map(_.toString).toSeq)
-  }
-
-  test("search self-heals a store left in _precompact by a crashed compaction sweep") {
-    val emb = Tables.embeddings(spark, sfDir)
-    val (centroids, codebook) = StoredIndex.trainIndex(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_heal").toString
-    centroids.write.mode("overwrite").parquet(s"$base/centroids")
-    codebook.write.mode("overwrite").parquet(s"$base/codebook")
-    AnnStream.ingestBatch(spark, base, emb)
-    // the sweep dies between its two renames: lists sits in
-    // lists_precompact, the store root is gone
-    graft.sources.Compaction.crashPoint = Some("swap")
-    intercept[IllegalStateException] { AnnStream.compactIndexStore(spark, base) }
-    graft.sources.Compaction.crashPoint = None
-    assert(!graft.util.Fs.of(spark, base)
-      .exists(new org.apache.hadoop.fs.Path(s"$base/lists")))
-    // a read does not have to wait for the next scheduled sweep
-    val healed = AnnStream.searchStore(spark, sfDir, base).collect()
-    val inline = Embeddings.annIvfPqTopK(spark, sfDir).collect()
-    assert(healed.nonEmpty)
-    assert(healed.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
   test("a re-delivered micro-batch is a no-op: double delivery equals single delivery") {
@@ -120,12 +96,46 @@ class AnnStreamSpec extends SparkSpec {
     AnnStream.ingestBatch(spark, twice, emb)
     AnnStream.ingestBatch(spark, twice, emb) // the re-delivery
     for (t <- Seq("lists", "codes")) {
-      val a = spark.read.parquet(s"$once/$t")
-      val b = spark.read.parquet(s"$twice/$t")
+      val sch = if (t == "lists") StoredIndex.listsSchema else StoredIndex.codesSchema
+      val a = ManifestStore.read(spark, s"$once/$t", sch)
+      val b = ManifestStore.read(spark, s"$twice/$t", sch)
       val cols = a.columns.sorted.map(col).toSeq
       assert(b.count() == a.count(), s"$t re-delivery appended duplicates")
       assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
+      assert(a.count() > 0)
     }
+  }
+
+  test("a partially committed codes append self-heals: the re-delivered batch restores the missing sub-codes") {
+    // the failure ADVICE r16 called out: a crash inside the codes
+    // append's multi-file commit can persist a SUBSET of a vector's 8
+    // sub-code rows; a neighbor-only re-delivery gate would then drop
+    // the whole re-delivered delta and strand the vector half-coded.
+    // The (neighbor_id, sub) gate must instead append exactly the
+    // missing rows.
+    val emb = Tables.embeddings(spark, sfDir)
+    val (centroids, codebook) = StoredIndex.trainIndex(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    centroids.write.mode("overwrite").parquet(s"$base/centroids")
+    codebook.write.mode("overwrite").parquet(s"$base/codebook")
+    AnnStream.ingestBatch(spark, base, emb)
+    // simulate the partial commit: rewrite the store dropping half of
+    // one vector's code rows (subs 4-7 of the first neighbor)
+    val victim = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
+      .select("neighbor_id").orderBy("neighbor_id").head().getLong(0)
+    val full = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
+    val buckets = full.select("bucket").distinct().collect().map(_.get(0)).toSeq
+    ManifestStore.rewriteTouched(spark, s"$base/codes", "bucket", buckets,
+      full.where(!(col("neighbor_id") === victim && col("sub") >= 4)))
+    assert(ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
+      .where(col("neighbor_id") === victim).count() == 4)
+    // the re-delivered batch must heal exactly the 4 missing rows
+    AnnStream.ingestBatch(spark, base, emb)
+    val healed = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
+    assert(healed.where(col("neighbor_id") === victim).count() == 8,
+      "partial codes commit not healed by re-delivery")
+    assert(healed.groupBy("neighbor_id").count()
+      .where(col("count") =!= 8).isEmpty, "some vector lost or duplicated sub-codes")
   }
 
   test("appends land inside bucket partitions — the nprobe pruning shape survives maintenance") {

@@ -76,32 +76,31 @@ class Bm25Spec extends SparkSpec {
     assert(w(2, 50, 50) < 2 * w(1, 50, 50))
   }
 
-  test("postings compaction is result-invisible and crash-safe (the 28d seam, exercised)") {
-    val base = graft.streaming.KmvStream.buildBm25Store(spark, sfDir)
-    val fs = graft.util.Fs.of(spark, base)
-    def files(d: String) =
-      fs.listStatus(new org.apache.hadoop.fs.Path(d))
-        .filter(_.getPath.getName.endsWith(".parquet")).length
-    val before = spark.read.parquet(s"$base/postings")
+  test("postings compaction is result-invisible and crash-safe (the converged-store sweep, exercised)") {
+    import graft.similarity.Bm25Store
+    import graft.util.ManifestStore
+    val base = graft.streaming.KmvStream.drainBm25(spark, sfDir)
+    def postingsFiles() = ManifestStore.files(spark, s"$base/postings")
+    def buckets() = postingsFiles().map(_.takeWhile(_ != '/')).toSet
+    val before = Bm25Store.readPostings(spark, base)
       .orderBy("t", "doc_id").collect()
-    assert(files(s"$base/postings") >= 3, "expected one appended file set per trigger")
-    graft.sources.Compaction.compactStore(spark, s"$base/postings", Seq("t", "doc_id"), nFiles = 2)
-    // fewer files, identical rows
-    assert(files(s"$base/postings") <= 2)
-    val after = spark.read.parquet(s"$base/postings")
+    assert(postingsFiles().size > buckets().size,
+      "expected one appended file set per (trigger, bucket)")
+    // crash inside the sweep's publish window: a reader must keep
+    // serving the pre-sweep snapshot, then the re-run completes
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] { Bm25Store.compact(spark, base) }
+    ManifestStore.crashPoint = None
+    val midCrash = Bm25Store.readPostings(spark, base)
+      .orderBy("t", "doc_id").collect()
+    assert(midCrash.map(_.toString).toSeq == before.map(_.toString).toSeq,
+      "a reader saw a crashed sweep's uncommitted state")
+    Bm25Store.compact(spark, base)
+    // one file per bucket, identical rows
+    assert(postingsFiles().size == buckets().size,
+      s"postings not 1 file/bucket: ${postingsFiles().size}")
+    val after = Bm25Store.readPostings(spark, base)
       .orderBy("t", "doc_id").collect()
     assert(after.map(_.toString).toSeq == before.map(_.toString).toSeq)
-    // crash-safe precedence: simulate a crash BETWEEN the two renames
-    // (root moved aside, tmp not yet in place) — the recovery step at
-    // the head of the next run must restore the store unchanged
-    val root = new org.apache.hadoop.fs.Path(s"$base/postings")
-    val aside = new org.apache.hadoop.fs.Path(s"$base/postings_precompact")
-    fs.rename(root, aside)
-    assert(!fs.exists(root))
-    graft.sources.Compaction.compactStore(spark, s"$base/postings", Seq("t", "doc_id"), nFiles = 2)
-    val recovered = spark.read.parquet(s"$base/postings")
-      .orderBy("t", "doc_id").collect()
-    assert(recovered.map(_.toString).toSeq == before.map(_.toString).toSeq)
-    assert(!fs.exists(aside))
   }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import graft.similarity.{DeleteRepair, Embeddings, KnnGraph, StoredIndex}
+import graft.similarity.{Bm25Store, DeleteRepair, Embeddings, Hybrid, KnnGraph, StoredIndex}
+import graft.streaming.GraphStream
+import graft.util.ManifestStore
 import org.apache.spark.sql.functions._
 import org.apache.hadoop.fs.Path
 
@@ -33,53 +35,37 @@ class DeleteRepairSpec extends SparkSpec {
   private def survivors = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
     .where(!(pmod(col("vec_id"), lit(17L)) === 14L))
 
-  private def cloneIvf(): String = {
-    val staged = StoredIndex.stageIvfPq(spark, sfDir)
-    val base = tmp("graft_delspec_ivf")
-    for (t <- Seq("centroids", "codebook"))
-      spark.read.parquet(s"$staged/$t").write.mode("overwrite").parquet(s"$base/$t")
-    for (t <- Seq("lists", "codes"))
-      spark.read.parquet(s"$staged/$t").repartition(col("bucket"))
-        .write.partitionBy("bucket").parquet(s"$base/$t")
-    base
-  }
-
-  private def cloneGraph(): String = {
-    val staged = DeleteRepair.stageDirectedTopk(spark, sfDir)
-    val base = tmp("graft_delspec_knn")
-    for (t <- Seq("topk", "vecs"))
-      spark.read.parquet(s"$staged/$t").repartition(col("label"))
-        .write.partitionBy("label").parquet(s"$base/$t")
-    base
-  }
-
   test("IVFADC single-vector delete rewrites only its cell and drops exactly its rows") {
-    val base = cloneIvf()
-    // cast: a prior suite may have left partition-column type inference
-    // off on the shared session, making `bucket` read back as a string
-    val cell = spark.read.parquet(s"$base/lists")
-      .where(col("neighbor_id") === 14L)
-      .select(col("bucket").cast("int")).head().getInt(0)
-    val nLists = spark.read.parquet(s"$base/lists").count()
-    val nCodes = spark.read.parquet(s"$base/codes").count()
+    val base = DeleteRepair.cloneIvfPq(spark, StoredIndex.stageIvfPq(spark, sfDir))
+    val cell = StoredIndex.readLists(spark, base)
+      .where(col("neighbor_id") === 14L).head().getInt(1)
+    val nLists = StoredIndex.readLists(spark, base).count()
+    val nCodes = StoredIndex.readCodes(spark, base).count()
     val before = inv(s"$base/lists") ++ inv(s"$base/codes")
+    val beforeM = ManifestStore.files(spark, s"$base/lists").map("lists/" + _).toSet ++
+      ManifestStore.files(spark, s"$base/codes").map("codes/" + _).toSet
     val delVec = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
       .where(col("vec_id") === 14L)
     DeleteRepair.deleteFromIvfPq(spark, base, delVec)
     val after = inv(s"$base/lists") ++ inv(s"$base/codes")
+    val afterM = ManifestStore.files(spark, s"$base/lists").map("lists/" + _).toSet ++
+      ManifestStore.files(spark, s"$base/codes").map("codes/" + _).toSet
     val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$cell/"))
     assert(untouchedBefore.nonEmpty)
-    // every file outside the deleted vector's cell is the SAME file
+    // every file outside the deleted vector's cell is the SAME file on
+    // disk AND the same manifest entry
     assert(after.filterNot(_._1.contains(s"bucket=$cell/")) == untouchedBefore)
-    // the touched cell was rewritten (no old file survives)
-    assert(after.keySet.intersect(
-      before.keySet.filter(_.contains(s"bucket=$cell/"))).isEmpty)
-    assert(spark.read.parquet(s"$base/lists")
+    assert(afterM.filterNot(_.contains(s"bucket=$cell/")) ==
+      beforeM.filterNot(_.contains(s"bucket=$cell/")))
+    // the touched cell was republished (no old manifest entry survives)
+    assert(afterM.filter(_.contains(s"bucket=$cell/"))
+      .intersect(beforeM.filter(_.contains(s"bucket=$cell/"))).isEmpty)
+    assert(StoredIndex.readLists(spark, base)
       .where(col("neighbor_id") === 14L).isEmpty)
-    assert(spark.read.parquet(s"$base/codes")
+    assert(StoredIndex.readCodes(spark, base)
       .where(col("neighbor_id") === 14L).isEmpty)
-    assert(spark.read.parquet(s"$base/lists").count() == nLists - 1)
-    assert(spark.read.parquet(s"$base/codes").count() == nCodes - 8)
+    assert(StoredIndex.readLists(spark, base).count() == nLists - 1)
+    assert(StoredIndex.readCodes(spark, base).count() == nCodes - 8)
   }
 
   test("IVFADC repaired search equals a fresh index built from the survivors") {
@@ -89,15 +75,15 @@ class DeleteRepairSpec extends SparkSpec {
     val fresh = tmp("graft_delspec_fresh")
     cents.write.parquet(s"$fresh/centroids")
     cb.write.parquet(s"$fresh/codebook")
-    lists.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/lists")
-    codes.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/codes")
+    ManifestStore.append(spark, s"$fresh/lists", "bucket", lists)
+    ManifestStore.append(spark, s"$fresh/codes", "bucket", codes)
     val expected = DeleteRepair.searchIvfPq(spark, sfDir, fresh).collect()
     assert(repaired.nonEmpty)
     assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
   }
 
   test("kNN single-vector delete rewrites only its label partitions; node gone as src AND dst") {
-    val base = cloneGraph()
+    val base = DeleteRepair.cloneGraph(spark, DeleteRepair.stageDirectedTopk(spark, sfDir))
     val label = Tables.embeddings(spark, sfDir)
       .where(col("vec_id") === 14L).select("label").head().getInt(0)
     val before = inv(s"$base/topk") ++ inv(s"$base/vecs")
@@ -107,10 +93,11 @@ class DeleteRepairSpec extends SparkSpec {
     val after = inv(s"$base/topk") ++ inv(s"$base/vecs")
     val untouched = before.filterNot(_._1.contains(s"label=$label/"))
     assert(untouched.nonEmpty)
-    assert(after.filterNot(_._1.contains(s"label=$label/")) == untouched)
-    val topk = spark.read.parquet(s"$base/topk")
+    assert(after.filterNot(k => k._1.contains(s"label=$label/") ||
+      k._1.contains("/deletes/")) == untouched)
+    val topk = GraphStream.readTopk(spark, base)
     assert(topk.where(col("src_id") === 14L || col("dst_id") === 14L).isEmpty)
-    assert(spark.read.parquet(s"$base/vecs").where(col("vec_id") === 14L).isEmpty)
+    assert(GraphStream.readVecsRaw(spark, base).where(col("vec_id") === 14L).isEmpty)
     // survivors that had 14 in their top-5 still have exactly 5
     // entries (the block is larger than k) — the rescore refilled them
     assert(topk.where(col("label") === label)
@@ -128,38 +115,45 @@ class DeleteRepairSpec extends SparkSpec {
     assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
   }
 
-  test("a crash inside the swap window re-runs to the clean result") {
-    val crashed = cloneGraph()
-    val clean = cloneGraph()
+  test("a crash inside the publish window re-runs to the clean result") {
+    val staged = DeleteRepair.stageDirectedTopk(spark, sfDir)
+    val crashed = DeleteRepair.cloneGraph(spark, staged)
+    val clean = DeleteRepair.cloneGraph(spark, staged)
     val delVecs = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
       .where(pmod(col("vec_id"), lit(17L)) === 14L)
-    graft.util.PartitionSwap.crashPoint = Some("swap")
+    val preCrash = GraphStream.readTopk(spark, crashed)
+      .orderBy("src_id", "rank").collect().map(_.toString).toSeq
+    ManifestStore.crashPoint = Some("publish")
     intercept[IllegalStateException] {
       DeleteRepair.deleteFromGraph(spark, crashed, delVecs)
     }
-    graft.util.PartitionSwap.crashPoint = None
-    // the interrupted store has a partition sitting aside; the re-run
-    // recovers it before reading and repairs to the clean outcome
+    ManifestStore.crashPoint = None
+    // the interrupted store still serves its last committed snapshot —
+    // a reader between the crash and the re-run sees NO partial state
+    assert(GraphStream.readTopk(spark, crashed)
+      .orderBy("src_id", "rank").collect().map(_.toString).toSeq == preCrash,
+      "a reader saw the crashed publish's partial state")
+    // the re-run repairs to the clean outcome
     DeleteRepair.deleteFromGraph(spark, crashed, delVecs)
     DeleteRepair.deleteFromGraph(spark, clean, delVecs)
-    val cols = Seq("label", "src_id", "dst_id", "cos", "rank").map(col)
-    val a = spark.read.parquet(s"$crashed/topk").select(cols: _*)
-    val b = spark.read.parquet(s"$clean/topk").select(cols: _*)
+    val a = GraphStream.readTopk(spark, crashed)
+    val b = GraphStream.readTopk(spark, clean)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
     assert(a.count() == b.count() && a.count() > 0)
   }
 
   test("delete repairs the LIVE (multi-file-per-cell) drained IVFADC store too") {
-    // the streaming twin's store has one file pair per (trigger, cell)
-    // — the swap must replace whole partition DIRS, not single files
+    // the streaming twin's store has one file set per (trigger, cell)
+    // — the repair must replace whole partition CONTENTS, not single
+    // files
     val emb = Tables.embeddings(spark, sfDir)
     val srcDir = tmp("graft_delspec_live_src")
     emb.repartitionByRange(3, col("vec_id")).write.mode("overwrite").parquet(srcDir)
     val base = tmp("graft_delspec_live")
     graft.streaming.AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
-    val cellFiles = inv(s"$base/lists").keySet
-      .flatMap("bucket=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1)))
-    assert(inv(s"$base/lists").size > cellFiles.size,
+    val listFiles = ManifestStore.files(spark, s"$base/lists")
+    val cells = listFiles.map(_.takeWhile(_ != '/')).toSet
+    assert(listFiles.size > cells.size,
       "expected the per-trigger fan-out (several files per cell)")
     DeleteRepair.deleteFromIvfPq(spark, base,
       Embeddings.vecsOf(emb).where(pmod(col("vec_id"), lit(17L)) === 14L))
@@ -169,8 +163,8 @@ class DeleteRepairSpec extends SparkSpec {
     val fresh = tmp("graft_delspec_live_fresh")
     cents.write.parquet(s"$fresh/centroids")
     cb.write.parquet(s"$fresh/codebook")
-    lists.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/lists")
-    codes.repartition(col("bucket")).write.partitionBy("bucket").parquet(s"$fresh/codes")
+    ManifestStore.append(spark, s"$fresh/lists", "bucket", lists)
+    ManifestStore.append(spark, s"$fresh/codes", "bucket", codes)
     val expected = DeleteRepair.searchIvfPq(spark, sfDir, fresh).collect()
     assert(repaired.nonEmpty)
     assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
@@ -179,32 +173,67 @@ class DeleteRepairSpec extends SparkSpec {
   test("BM25 delete equals a fresh store built from the surviving docs (dl buckets file-pinned)") {
     val docs = Tables.documents(spark, sfDir)
     val base = tmp("graft_delspec_bm")
-    DeleteRepair.buildBm25Store(spark, docs, base)
+    Bm25Store.build(spark, docs, base)
     // single-doc warmup delete pins the dl/stats bucket discipline:
     // doc 5 touches exactly the db=5 partition of dl and stats
-    val dlBefore = inv(s"$base/dl") ++ inv(s"$base/stats")
-    DeleteRepair.deleteFromBm25(spark, base, docs.where(col("doc_id") === 5L))
-    val dlAfter = inv(s"$base/dl") ++ inv(s"$base/stats")
+    val dlBefore = (inv(s"$base/dl") ++ inv(s"$base/stats"))
+      .filterNot(_._1.contains("/deletes/"))
+    Bm25Store.delete(spark, base, docs.where(col("doc_id") === 5L))
+    val dlAfter = (inv(s"$base/dl") ++ inv(s"$base/stats"))
+      .filterNot(_._1.contains("/deletes/"))
     val dlUntouched = dlBefore.filterNot(_._1.contains("db=5/"))
     assert(dlUntouched.nonEmpty)
     assert(dlAfter.filterNot(_._1.contains("db=5/")) == dlUntouched)
     // then the full delete set; compare against the fresh build
-    DeleteRepair.deleteFromBm25(spark, base,
+    Bm25Store.delete(spark, base,
       docs.where(pmod(col("doc_id"), lit(13L)) === 5L))
     val fresh = tmp("graft_delspec_bm_fresh")
-    DeleteRepair.buildBm25Store(spark,
+    Bm25Store.build(spark,
       docs.where(!(pmod(col("doc_id"), lit(13L)) === 5L)), fresh)
-    val a = DeleteRepair.searchBm25(spark, sfDir, base).collect()
-    val b = DeleteRepair.searchBm25(spark, sfDir, fresh).collect()
+    val a = Bm25Store.score(spark, sfDir, base).collect()
+    val b = Bm25Store.score(spark, sfDir, fresh).collect()
     assert(a.nonEmpty)
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
-    // the repaired df/stats tables ARE the fresh ones, row for row
-    for (t <- Seq("df", "stats")) {
-      val x = spark.read.parquet(s"$base/$t")
-      val y = spark.read.parquet(s"$fresh/$t")
+    // the repaired primary tables ARE the fresh ones, row for row
+    for (t <- Seq("postings", "dl")) {
+      val sch = if (t == "postings") Bm25Store.postingsSchema else Bm25Store.dlSchema
+      val x = ManifestStore.read(spark, s"$base/$t", sch)
+      val y = ManifestStore.read(spark, s"$fresh/$t", sch)
       val cs = x.columns.sorted.map(col).toSeq
       assert(x.select(cs: _*).exceptAll(y.select(cs: _*)).isEmpty, s"$t extra")
       assert(y.select(cs: _*).exceptAll(x.select(cs: _*)).isEmpty, s"$t missing")
     }
+    // and the recounted stats partials sum to the fresh totals
+    val sa = ManifestStore.read(spark, s"$base/stats", Bm25Store.statsSchema)
+      .agg(sum("n_docs"), sum("tot_tok")).head()
+    val sb = ManifestStore.read(spark, s"$fresh/stats", Bm25Store.statsSchema)
+      .agg(sum("n_docs"), sum("tot_tok")).head()
+    assert(sa == sb, s"stats totals diverged: $sa vs $sb")
+  }
+
+  test("BM25: delete-then-append and append-then-delete converge (the DeleteLog gates re-arrivals)") {
+    val docs = Tables.documents(spark, sfDir)
+    val delSet = docs.where(pmod(col("doc_id"), lit(13L)) === 5L)
+    // append-then-delete: full store, then the delete
+    val atd = tmp("graft_bm_atd")
+    Bm25Store.build(spark, docs, atd)
+    Bm25Store.delete(spark, atd, delSet)
+    // delete-then-append: the delete lands FIRST (ids logged on an
+    // empty store), then the full corpus arrives as two batches —
+    // the log must gate the deleted ids out of both
+    val dta = tmp("graft_bm_dta")
+    Bm25Store.delete(spark, dta, delSet)
+    Bm25Store.appendBatch(spark, dta, docs.where(col("doc_id") < 50), 1L)
+    Bm25Store.appendBatch(spark, dta, docs.where(col("doc_id") >= 50), 2L)
+    val a = Bm25Store.score(spark, sfDir, atd).collect()
+    val b = Bm25Store.score(spark, sfDir, dta).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // primary rows identical too (batch keys aside)
+    val x = Bm25Store.readPostings(spark, atd)
+    val y = Bm25Store.readPostings(spark, dta)
+    val cs = x.columns.sorted.map(col).toSeq
+    assert(x.select(cs: _*).exceptAll(y.select(cs: _*)).isEmpty)
+    assert(y.select(cs: _*).exceptAll(x.select(cs: _*)).isEmpty)
   }
 }

@@ -104,7 +104,7 @@ class FsPortabilitySpec extends SparkSpec {
     // the whole store tree lives behind graftfs:, not local file:
     assert(fsOf(base).isInstanceOf[GraftTestFs])
     assert(fsOf(base).exists(new Path(base + "/lists")))
-    // the scheduled sweep's rename-aside publish runs on the same scheme
+    // the scheduled sweep's manifest publish runs on the same scheme
     graft.streaming.AnnStream.compactIndexStore(spark, base)
     val live = graft.streaming.AnnStream.searchStore(spark, sfDir, base).collect()
     val inline = graft.similarity.Embeddings.annIvfPqTopK(spark, sfDir).collect()
@@ -140,21 +140,23 @@ class FsPortabilitySpec extends SparkSpec {
     assert(graft.similarity.IndexRefresh.committedVersion(spark, root) == 2)
   }
 
-  test("DeleteRepair touched-partition swaps run on a non-default scheme") {
+  test("DeleteRepair touched-partition publishes run on a non-default scheme") {
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
+    import graft.streaming.GraphStream
+    import graft.util.ManifestStore
     val staged = graft.similarity.DeleteRepair.stageDirectedTopk(spark, sfDir)
     val base = graftRoot() + "/knn"
-    for (t <- Seq("topk", "vecs"))
-      spark.read.parquet(s"$staged/$t").repartition(col("label"))
-        .write.partitionBy("label").parquet(s"$base/$t")
+    ManifestStore.append(spark, s"$base/topk", "label",
+      ManifestStore.read(spark, s"$staged/topk", GraphStream.topkSchema))
+    ManifestStore.append(spark, s"$base/vecs", "label",
+      ManifestStore.read(spark, s"$staged/vecs", GraphStream.vecsSchema))
     assert(fsOf(base).isInstanceOf[GraftTestFs])
     val delVecs = graft.similarity.Embeddings
       .vecsOf(Tables.embeddings(spark, sfDir))
       .where(pmod(col("vec_id"), lit(17L)) === 14L)
     graft.similarity.DeleteRepair.deleteFromGraph(spark, base, delVecs)
-    val topk = spark.read.parquet(s"$base/topk")
-      .select("label", "src_id", "dst_id", "cos", "rank")
+    val topk = GraphStream.readTopk(spark, base)
     assert(topk.where(pmod(col("src_id"), lit(17L)) === 14L).isEmpty)
     assert(topk.where(pmod(col("dst_id"), lit(17L)) === 14L).isEmpty)
     assert(topk.count() > 0)

@@ -2,6 +2,7 @@ package graft
 
 import graft.similarity.{Embeddings, KnnGraph}
 import graft.streaming.GraphStream
+import graft.util.ManifestStore
 import org.apache.spark.sql.functions._
 
 /** Incremental kNN-graph maintenance: the per-trigger repaired store
@@ -22,6 +23,7 @@ class GraphStreamSpec extends SparkSpec {
     val e = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
     val oneShot = KnnGraph.directedTopk(
       KnnGraph.scoredPairs(KnnGraph.srcSide(e), KnnGraph.dstSide(e)))
+      .select("label", "src_id", "dst_id", "cos", "rank")
       .orderBy("src_id", "rank").collect()
     val maintained = GraphStream.readTopk(spark, base)
       .orderBy("src_id", "rank").collect()
@@ -32,36 +34,27 @@ class GraphStreamSpec extends SparkSpec {
       GraphStream.readTopk(spark, base)).orderBy("id_a", "id_b").collect()
     val inline = KnnGraph.knnGraph(spark, sfDir).collect()
     assert(live.map(_.toString).toSeq == inline.map(_.toString).toSeq)
-    // the live vector store compacts through the named seam: one file
-    // per label dir afterwards, layout kept, store result-invisible
-    def vecFiles(): Seq[String] = {
-      val fs = graft.util.Fs.of(spark, base)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(base + "/vecs"), true)
-      val b = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val p = it.next().getPath.toString
-        if (p.endsWith(".parquet")) b += p
-      }
-      b.result()
-    }
-    def labels(fs: Seq[String]): Set[String] =
-      fs.flatMap("label=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    // the live vector store compacts through the named seam: one
+    // manifest file per label dir afterwards, layout kept, store
+    // result-invisible
+    def vecFiles(): Seq[String] = ManifestStore.files(spark, s"$base/vecs")
+    def labels(fs: Seq[String]): Set[String] = fs.map(_.takeWhile(_ != '/')).toSet
     val before = vecFiles()
     assert(before.size > labels(before).size, "no per-trigger vec fan-out to compact")
-    val rowsBefore = GraphStream.readVecs(spark, base)
+    val rowsBefore = GraphStream.readVecsRaw(spark, base)
       .orderBy("vec_id").collect().map(_.toString).toSeq
-    graft.sources.Compaction.compactPartitionedStore(
-      spark, base + "/vecs", "label", Seq("vec_id"))
+    ManifestStore.compact(spark, s"$base/vecs", "label",
+      Seq("vec_id"), GraphStream.vecsSchema)
     val after = vecFiles()
     assert(labels(after) == labels(before), "compaction lost label partitions")
     assert(after.size == labels(after).size, s"vecs not 1 file/label: ${after.size}")
-    val rowsAfter = GraphStream.readVecs(spark, base)
+    val rowsAfter = GraphStream.readVecsRaw(spark, base)
       .orderBy("vec_id").collect().map(_.toString).toSeq
     assert(rowsAfter == rowsBefore, "vec store rows changed across compaction")
   }
 
   test("a re-delivered micro-batch is a no-op: double delivery equals single delivery") {
-    // foreachBatch is at-least-once — a crash after the topk swap /
+    // foreachBatch is at-least-once — a crash after the topk publish /
     // vecs append but before the checkpoint commit re-runs the batch;
     // the candidate dedup + gated vecs append must make that exact
     val emb = Tables.embeddings(spark, sfDir)
@@ -74,8 +67,9 @@ class GraphStreamSpec extends SparkSpec {
     val once = mkStore(1)
     val twice = mkStore(2)
     for (t <- Seq("topk", "vecs")) {
-      val a = spark.read.parquet(s"$once/$t")
-      val b = spark.read.parquet(s"$twice/$t")
+      val sch = if (t == "topk") GraphStream.topkSchema else GraphStream.vecsSchema
+      val a = ManifestStore.read(spark, s"$once/$t", sch)
+      val b = ManifestStore.read(spark, s"$twice/$t", sch)
       val cols = a.columns.sorted.map(col).toSeq
       assert(b.count() == a.count(), s"$t re-delivery changed the row count")
       assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
@@ -106,6 +100,7 @@ class GraphStreamSpec extends SparkSpec {
       b.result()
     }
     val before = listing()
+    val beforeManifest = ManifestStore.files(spark, s"$base/topk").toSet
     assert(before.keys.exists(_.contains(s"label=$lastLabel")), "touched label present pre-trigger")
     assert(before.keys.exists(!_.contains(s"label=$lastLabel")), "untouched labels present pre-trigger")
     // one more trigger: exactly the one held-out vector
@@ -114,15 +109,21 @@ class GraphStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(src2)
     GraphStream.buildStore(spark, sfDir, src2, emb.schema, base)
     val after = listing()
+    val afterManifest = ManifestStore.files(spark, s"$base/topk").toSet
     // untouched label partitions: byte-for-byte the same files on disk
     val untouchedBefore = before.filter(!_._1.contains(s"label=$lastLabel"))
     val untouchedAfter = after.filter(!_._1.contains(s"label=$lastLabel"))
     assert(untouchedAfter == untouchedBefore,
       "an untouched label partition was rewritten by a 1-label trigger")
-    // the touched partition WAS swapped (fresh files)
-    assert(after.filter(_._1.contains(s"label=$lastLabel")) !=
-      before.filter(_._1.contains(s"label=$lastLabel")),
-      "touched label partition was not rewritten")
+    // the touched partition WAS republished: its manifest entries are
+    // all fresh (the old files survive only as unreferenced grace
+    // copies until the next publish of that partition)
+    assert(afterManifest.filter(_.startsWith(s"label=$lastLabel/"))
+      .intersect(beforeManifest.filter(_.startsWith(s"label=$lastLabel/"))).isEmpty,
+      "touched label partition was not republished")
+    assert(afterManifest.filterNot(_.startsWith(s"label=$lastLabel/")) ==
+      beforeManifest.filterNot(_.startsWith(s"label=$lastLabel/")),
+      "untouched labels' manifest entries changed")
     // and the maintained store still equals the full rebuild, bit for bit
     val live = graft.similarity.GraphStore.mutualFromTopk(
       GraphStream.readTopk(spark, base)).orderBy("id_a", "id_b").collect()
