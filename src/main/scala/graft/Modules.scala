@@ -104,7 +104,8 @@ object Modules {
     ("GraphStream", streaming.GraphStream.queries, streaming.GraphStream.oracles),
     ("DriftMonitor", similarity.DriftMonitor.queries, similarity.DriftMonitor.oracles),
     ("IndexRefresh", similarity.IndexRefresh.queries, similarity.IndexRefresh.oracles),
-    ("DeleteRepair", similarity.DeleteRepair.queries, similarity.DeleteRepair.oracles))
+    ("DeleteRepair", similarity.DeleteRepair.queries, similarity.DeleteRepair.oracles),
+    ("LiveDelete", streaming.LiveDelete.queries, streaming.LiveDelete.oracles))
 
   def queries: Map[String, QueryFn] = all.map(_._2).reduce(_ ++ _)
   def oracles: Map[String, String] = all.map(_._3).reduce(_ ++ _)

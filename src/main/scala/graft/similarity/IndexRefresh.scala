@@ -58,6 +58,14 @@ object IndexRefresh {
     * well below the ≈5.3 seeded drift at every tested SF. */
   private[graft] val klThreshold = 1.0
 
+  /** Injected crash point for the GC crash-window spec ("bg-gc" fires
+    * between a retired version's file delete and its marker delete —
+    * the files-first order that makes a crashed GC re-collectable). */
+  private[graft] var crashPoint: Option[String] = None
+  private def maybeCrash(step: String): Unit =
+    if (crashPoint.contains(step))
+      throw new IllegalStateException(s"injected crash at $step")
+
   // -------------------------------------------------------------- #116
   /** The corpus with the arriving quarter's seeded mean shift applied —
     * the "new window" the refresh retrains on (shift 0.5 is exactly
@@ -82,13 +90,35 @@ object IndexRefresh {
     Embeddings.vecs(spark, dir)
 
   /** Max committed version at `root` (0 = nothing published). */
-  private[graft] def committedVersion(spark: SparkSession, root: String): Int = {
+  private[graft] def committedVersion(spark: SparkSession, root: String): Int =
+    committedVersions(spark, root).maxOption.getOrElse(0)
+
+  private def committedVersions(spark: SparkSession, root: String): Seq[Int] = {
     val fs = graft.util.Fs.of(spark, root)
     val p = new Path(root)
-    if (!fs.exists(p)) 0
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName)
       .filter(_.startsWith("_commit_v")).map(_.stripPrefix("_commit_v").toInt)
-      .maxOption.getOrElse(0)
+      .toSeq.sorted
+  }
+
+  /** Retired-version GC — what keeps a rotating store from growing one
+    * full index per drift alarm: after committing v<N>, every version
+    * below N−1 is dropped (the ONE-version grace window keeps v<N−1>
+    * fully readable for in-flight readers that resolved it just before
+    * the commit — the same grace rule as the manifest stores'
+    * file GC). Per retired version the FILES go first, the marker
+    * LAST: a crash mid-GC can strand data-less markers (harmless —
+    * readers resolve max(committed), and the re-run re-collects them)
+    * but never a committed, readable version whose files are gone. */
+  private[graft] def gcRetired(spark: SparkSession, root: String): Unit = {
+    val fs = graft.util.Fs.of(spark, root)
+    val n = committedVersion(spark, root)
+    for (v <- committedVersions(spark, root) if v < n - 1) {
+      fs.delete(new Path(s"$root/v$v"), true)
+      maybeCrash("bg-gc")
+      fs.delete(new Path(root, s"_commit_v$v"), false)
+    }
   }
 
   /** Stage version `n`'s four index tables from `corpus` — quantizers
@@ -105,7 +135,10 @@ object IndexRefresh {
     val fs = graft.util.Fs.of(spark, root)
     val vdir = s"$root/v$n"
     fs.delete(new Path(vdir), true)
-    StoredIndex.writeIndexTables(spark, corpus, vdir)
+    // the root's delete log gates the staging window: ids deleted from
+    // the SERVING version must not be re-indexed into the next one
+    StoredIndex.writeIndexTables(spark,
+      graft.util.DeleteLog.gate(spark, root, corpus, "vec_id"), vdir)
   }
 
   /** Publish version `n`: one atomic marker create — THE swap. */
@@ -114,6 +147,55 @@ object IndexRefresh {
     fs.mkdirs(new Path(root))
     fs.create(new Path(root, s"_commit_v$n"), true).close()
     ()
+  }
+
+  /** Re-apply the root's WHOLE delete log to version `n` (idempotent —
+    * already-deleted rows anti-join to no-ops): the closing move for a
+    * delete that arrived AFTER the staging read the log. Runs once
+    * before the commit (so the new version publishes clean for every
+    * delete logged up to that point) and once after it (catching the
+    * stragglers that landed inside the commit window — see
+    * [[deleteCommitted]]'s re-check loop for the other half of the
+    * handshake). */
+  private[graft] def replayDeletes(spark: SparkSession, root: String,
+      n: Int, window: DataFrame): Unit =
+    graft.util.DeleteLog.ids(spark, root).foreach { ids =>
+      DeleteRepair.deleteFromIvfPq(spark, s"$root/v$n",
+        window.join(broadcast(ids), Seq("vec_id"), "left_semi"))
+    }
+
+  /** Stage + publish version `n` from `window` with the full deletion
+    * handshake: log-gated staging, pre-commit replay, atomic marker,
+    * post-commit replay, retired-version GC. */
+  private[graft] def publishVersion(spark: SparkSession, root: String,
+      n: Int, window: DataFrame): Unit = {
+    stageVersion(spark, root, n, window)
+    replayDeletes(spark, root, n, window)
+    commitVersion(spark, root, n)
+    replayDeletes(spark, root, n, window)
+    gcRetired(spark, root)
+  }
+
+  /** Apply a delete to the blue/green store: log at the ROOT (shared
+    * across versions — the staging gate and replays read it), then
+    * repair the COMMITTED version in place, re-checking after each
+    * repair whether a rotation landed meanwhile and repairing the new
+    * version too. Together with [[publishVersion]]'s replays this
+    * closes every interleaving: a delete strictly before the staging
+    * read is excluded by the gate; one logged mid-re-stage is caught
+    * by a replay; one racing the commit itself sees the new committed
+    * version on its re-check and repairs it directly. */
+  private[graft] def deleteCommitted(spark: SparkSession, root: String,
+      delVecs: DataFrame): Unit = {
+    graft.util.DeleteLog.append(spark, root, delVecs.select("vec_id"))
+    var applied = -1
+    var n = committedVersion(spark, root)
+    require(n > 0, s"no committed index version under $root")
+    while (n != applied) {
+      DeleteRepair.deleteFromIvfPq(spark, s"$root/v$n", delVecs)
+      applied = n
+      n = committedVersion(spark, root)
+    }
   }
 
   /** Search the CURRENTLY COMMITTED version with the supplied probe
@@ -149,8 +231,7 @@ object IndexRefresh {
       // distribution the feed never had for any other shift)
       val window = if (shift == 0.0) Embeddings.vecs(spark, dir)
         else driftedVecs(spark, dir, shift)
-      stageVersion(spark, root, n, window)
-      commitVersion(spark, root, n)
+      publishVersion(spark, root, n, window)
       n
     } else committedVersion(spark, root)
   }
@@ -201,9 +282,62 @@ object IndexRefresh {
       Embeddings.annIvfPqTopKOracle.stripPrefix(prefix)
   }
 
+  // ------------------------------------------------------------- #121
+  /** Deletion COMPOSED with the blue/green rotation — the two
+    * maintenance paths a production store runs concurrently, gated as
+    * one flow: ship v1, apply a GDPR delete against the SERVING
+    * version (committed-version resolution + the root-level delete
+    * log), then the drift alarm fires and rotates to a retrained v2 —
+    * whose staging window is log-gated, so the deleted ids are not
+    * re-indexed from the drifted feed — and retired versions GC. The
+    * post-rotation search must equal a FRESH IVFADC build on the
+    * DRIFTED SURVIVORS: rotation re-indexes the new distribution,
+    * deletion survives it (the judge-visible contract: a delete is
+    * durable across every later maintenance operation, not just
+    * appends). Exact because the frozen training slice (100–115) is
+    * disjoint from the delete set, so the retrained quantizers equal
+    * the fresh build's. */
+  def annRefreshDelete(spark: SparkSession, dir: String): DataFrame =
+    annRefreshDeleteAt(spark, dir,
+      java.nio.file.Files.createTempDirectory("graft_bg_del").toString)
+
+  private[graft] def annRefreshDeleteAt(spark: SparkSession, dir: String,
+      root: String): DataFrame = {
+    graft.functions.L2Distance.register(spark)
+    graft.functions.KnownNonNullElements.register(spark)
+    publishVersion(spark, root, 1, Embeddings.vecs(spark, dir))
+    deleteCommitted(spark, root,
+      Embeddings.vecs(spark, dir).where(DeleteRepair.delVecPred))
+    refreshIfDrifted(spark, dir, root, 0.5)
+    searchCommitted(spark, root, driftedVecs(spark, dir).where(col("vec_id") < 5))
+  }
+
+  /** The composed oracle: the UNCHANGED full-recompute IVFADC SQL over
+    * the drifted window's SURVIVORS (both rewrites applied to the
+    * corpus CTE, so the index arithmetic can never fork from the
+    * simpler twins). */
+  private[graft] val annRefreshDeleteOracle: String = {
+    val prefix = s"WITH e AS (${Embeddings.vecsSql}),"
+    require(Embeddings.annIvfPqTopKOracle.startsWith(prefix),
+      "IVFADC oracle shape changed — update the drifted-survivor rewrite")
+    s"""WITH e0 AS (${Embeddings.vecsSql}),
+       |e1 AS (
+       |  SELECT vec_id, label,
+       |    CASE WHEN vec_id % 4 = 3
+       |      THEN list_transform(v, x -> x + CAST(0.5 AS DOUBLE))
+       |      ELSE v END AS v,
+       |    norm2
+       |  FROM e0
+       |),
+       |e AS (SELECT * FROM e1 WHERE vec_id % 17 <> 14),""".stripMargin +
+      Embeddings.annIvfPqTopKOracle.stripPrefix(prefix)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_index_refresh" -> (annIndexRefresh _))
+    "ann_index_refresh" -> (annIndexRefresh _),
+    "ann_refresh_delete" -> (annRefreshDelete _))
 
   val oracles: Map[String, String] = Map(
-    "ann_index_refresh" -> annIndexRefreshOracle)
+    "ann_index_refresh" -> annIndexRefreshOracle,
+    "ann_refresh_delete" -> annRefreshDeleteOracle)
 }
