@@ -55,7 +55,12 @@ object Bench {
     "store_delete_ivfpq", "store_delete_knn", "store_delete_bm25",
     // round-16 additions: live-index compaction, drift-triggered
     // blue/green refresh, delete-with-index-repair
-    "stream_ann_ivfpq_compacted", "ann_index_refresh")
+    "stream_ann_ivfpq_compacted", "ann_index_refresh",
+    // round-17 additions: deletion gated against the LIVE stores
+    // (triggers → delete → triggers → compact → serve) and deletion
+    // composed with the blue/green rotation
+    "stream_ann_ivfpq_deleted", "stream_knn_graph_deleted",
+    "stream_bm25_deleted", "ann_refresh_delete")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

@@ -143,7 +143,12 @@ object Compaction {
         require(rel.startsWith("/"), s"unexpected publish path ${f.getPath}")
         val destDir = new Path(archiveDir + rel)
         fs.mkdirs(destDir)
-        fs.rename(f.getPath, new Path(destDir, s"c${cutoffDay}_${f.getPath.getName}"))
+        // check the boolean: object-store adapters signal failure by
+        // returning false, and a silently dropped file here would lose
+        // rows the marker then claims are archived
+        require(fs.rename(f.getPath,
+            new Path(destDir, s"c${cutoffDay}_${f.getPath.getName}")),
+          s"archive publish rename failed: ${f.getPath} -> $destDir")
       }
       fs.delete(new Path(tmp), true)
       maybeCrash("commit")
