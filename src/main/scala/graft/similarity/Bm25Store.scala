@@ -141,25 +141,36 @@ object Bm25Store {
   private[graft] def appendBatch(sp: SparkSession, base: String,
       batchDocs: DataFrame, batchKey: Long): Unit = {
     val live = DeleteLog.gate(sp, base, batchDocs, "doc_id")
-    val toks = tokensOf(live).localCheckpoint()
-    val dl = dlOf(live, toks, batchKey).localCheckpoint()
+    // batch-sized frames, deliberately NOT checkpointed: re-deriving
+    // them inside each table's single write job is cheaper than extra
+    // materialization jobs on this per-trigger hot path
+    val toks = tokensOf(live)
+    val dl = dlOf(live, toks, batchKey)
+    // ONE driver pass collects both touched-bucket sets (the only
+    // data-dependent facts the choreography needs)
+    val touched = live
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(dbOf(col("doc_id")).as("db"),
+        array_distinct(transform(col("ts"), t => pmod(hash(t), lit(Buckets)))).as("tbs"))
+      .groupBy("db").agg(array_distinct(flatten(collect_list("tbs"))).as("tbs"))
+      .collect()
+    val dbs = touched.map(_.getInt(0)).toSeq.sorted
+    val tbs = touched.flatMap(_.getSeq[Int](1)).distinct.sorted.toSeq
     // stats first: its (db, batch_key) gate is what lets a re-run know
     // the batch's counts were already absorbed
-    ManifestStore.append(sp, s"$base/stats", "db",
+    ManifestStore.appendTouched(sp, s"$base/stats", "db", dbs.map(v => v: Any),
       statsOf(dl).join(readStats(sp, base).select("db", "batch_key"),
         Seq("db", "batch_key"), "left_anti"))
-    val tbs = collectInts(toks, "tb")
     if (tbs.nonEmpty) {
       val storedP = readPostings(sp, base)
         .where(col("tb").isin(tbs.map(v => v: Any): _*))
-      ManifestStore.append(sp, s"$base/postings", "tb",
+      ManifestStore.appendTouched(sp, s"$base/postings", "tb", tbs.map(v => v: Any),
         toks.join(storedP.select("t", "doc_id"), Seq("t", "doc_id"), "left_anti"))
     }
-    val dbs = collectInts(dl, "db")
     if (dbs.nonEmpty) {
       val storedD = readDl(sp, base)
         .where(col("db").isin(dbs.map(v => v: Any): _*))
-      ManifestStore.append(sp, s"$base/dl", "db",
+      ManifestStore.appendTouched(sp, s"$base/dl", "db", dbs.map(v => v: Any),
         dl.join(storedD.select("doc_id"), Seq("doc_id"), "left_anti"))
     }
   }

@@ -128,10 +128,10 @@ object AnnStream {
     if (bkts.nonEmpty) {
       val inDelta = col("bucket").isin(bkts: _*)
       val storedL = StoredIndex.readLists(sp, base).where(inDelta)
-      ManifestStore.append(sp, s"$base/lists", "bucket",
+      ManifestStore.appendTouched(sp, s"$base/lists", "bucket", bkts,
         deltaL.join(storedL.select("neighbor_id"), Seq("neighbor_id"), "left_anti"))
       val storedC = StoredIndex.readCodes(sp, base).where(inDelta)
-      ManifestStore.append(sp, s"$base/codes", "bucket",
+      ManifestStore.appendTouched(sp, s"$base/codes", "bucket", bkts,
         codes.join(storedC.select("neighbor_id", "sub"),
           Seq("neighbor_id", "sub"), "left_anti"))
     }

@@ -160,7 +160,8 @@ object GraphStream {
     // re-delivery gate: only vectors the touched partitions don't
     // already hold append (ids are append-only, so the anti-join
     // drops exactly the re-delivered rows)
-    ManifestStore.append(sp, s"$base/vecs", "label",
+    ManifestStore.appendTouched(sp, s"$base/vecs", "label",
+      touched.toSeq.map(l => l: Any),
       batchVecs.select("vec_id", "v", "norm2", "label")
         .join(readVecsRaw(sp, base).where(touchedOnly).select("vec_id"),
           Seq("vec_id"), "left_anti"))

@@ -181,8 +181,16 @@ object ManifestStore {
     * publish the next version (old files all kept). Rows of partitions
     * the store has never seen simply add those partitions. */
   def append(spark: SparkSession, root: String, partCol: String,
-      delta: DataFrame): Unit = {
-    val touched = delta.select(partCol).distinct().collect().map(_.get(0)).toSeq
+      delta: DataFrame): Unit =
+    appendTouched(spark, root, partCol,
+      delta.select(partCol).distinct().collect().map(_.get(0)).toSeq, delta)
+
+  /** [[append]] with the touched partition set supplied by a caller
+    * that already computed it — saves the extra distinct-collect job
+    * on hot per-trigger paths. `touched` must cover every partition
+    * `delta` writes (a row outside it would land on disk unlisted). */
+  def appendTouched(spark: SparkSession, root: String, partCol: String,
+      touched: Seq[Any], delta: DataFrame): Unit = {
     if (touched.nonEmpty)
       publish(spark, root, partCol, touched, replaceTouched = false) {
         delta.repartition(col(partCol))
