@@ -80,66 +80,56 @@ object DeleteRepair {
   private[graft] val delVecPred = pmod(col("vec_id"), lit(17L)) === 14L
   private[graft] val delDocPred = pmod(col("doc_id"), lit(13L)) === 5L
 
-  // ---------------------------------------------------------------
-  // shared touched-partition publish
-  // ---------------------------------------------------------------
-
-  /** Publish `repaired` (the new rows of the TOUCHED partitions only)
-    * into `store` via the snapshot-isolated manifest commit
-    * ([[graft.util.ManifestStore.rewriteTouched]]): a touched
-    * partition absent from `repaired` (every row deleted) drops from
-    * the manifest — durably, no recovery step can resurrect it.
-    * Untouched partitions' files are never listed, read or
-    * rewritten. */
-  private def publishTouched(spark: SparkSession, store: String,
-      partCol: String, touched: Seq[Int], repaired: DataFrame): Unit =
-    if (touched.nonEmpty)
-      graft.util.ManifestStore.rewriteTouched(spark, store, partCol,
-        touched.map(v => v: Any), repaired)
-
   private def collectInts(df: DataFrame, c: String): Seq[Int] =
     df.select(col(c).cast("int")).distinct().collect().map(_.getInt(0)).sorted.toSeq
-
-  /** Clone a staged (immutable, fingerprint-shared) manifest table
-    * into a mutable root, keeping the partition layout. */
-  private def cloneStore(spark: SparkSession, src: String, dst: String,
-      partCol: String, schema: org.apache.spark.sql.types.StructType): Unit =
-    graft.util.ManifestStore.append(spark, dst, partCol,
-      graft.util.ManifestStore.read(spark, src, schema))
 
   // ------------------------------------------------------------- #117
   // IVFADC: drop the deleted vectors' rows from their cells only
   // ---------------------------------------------------------------
 
-  /** Apply the delete set to a live IVFADC store at `base`: assign the
-    * deleted VECTORS (not the store) against the frozen centroids to
-    * find the touched cells, then rewrite only those `bucket=` dirs of
-    * `lists` and `codes`. The ids land in the store's [[graft.util
-    * .DeleteLog]] FIRST, so the deletion is durable against later
-    * ingest even if the repair crashes mid-way; the repair itself is
-    * idempotent (anti-joins of already-absent rows are no-ops), so a
-    * crashed run re-runs safely — readers in between serve the last
-    * committed snapshot. */
+  /** The IVFADC repair's table ops — shared by the live store (plain
+    * frozen-quantizer dirs) and the blue/green store (quantizers are
+    * manifest tables), so both compose the SAME repair into their own
+    * atomic publish. Assign the deleted VECTORS (not the store)
+    * against the frozen centroids to find the touched cells, then
+    * rewrite only those `bucket=` dirs of `lists` and `codes` — all
+    * store reads (including `cents`) are forced INSIDE the publish,
+    * i.e. under the store lease. */
+  private[graft] def ivfRepairOps(spark: SparkSession, base: String,
+      delVecs: DataFrame, cents: () => DataFrame)
+      : Seq[graft.util.ManifestStore.TableOp] = {
+    import graft.util.ManifestStore
+    lazy val assigned = Embeddings.ivfAssign(delVecs, cents(), 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").cast("int").as("bucket"))
+      .localCheckpoint() // delete-batch-sized
+    lazy val touched = collectInts(assigned, "bucket").map(v => v: Any)
+    def repaired(t: String, sch: org.apache.spark.sql.types.StructType) =
+      ManifestStore.readTable(spark, base, t, sch)
+        .where(col("bucket").isin(touched: _*))
+        .join(broadcast(assigned.select("neighbor_id")), Seq("neighbor_id"), "left_anti")
+    Seq(
+      ManifestStore.rewriteOp("lists", "bucket", () => touched,
+        () => repaired("lists", StoredIndex.listsSchema)),
+      ManifestStore.rewriteOp("codes", "bucket", () => touched,
+        () => repaired("codes", StoredIndex.codesSchema)))
+  }
+
+  /** Apply the delete set to a live IVFADC store at `base`: ONE atomic
+    * publish carrying the [[graft.util.DeleteLog]] append (durability
+    * against later ingest) AND both tables' touched-cell rewrites — a
+    * crash anywhere leaves the delete entirely un-happened (the caller
+    * re-runs it; re-deleting absent rows is a no-op), and a reader at
+    * any instant sees either the full pre-delete or the full
+    * post-delete store across lists, codes and the log. */
   private[graft] def deleteFromIvfPq(spark: SparkSession, base: String,
       delVecs: DataFrame): Unit = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    graft.util.DeleteLog.append(spark, base, delVecs.select("vec_id"))
-    val cents = spark.read.parquet(s"$base/centroids")
-      .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
-    val assigned = Embeddings.ivfAssign(delVecs, cents, 1)
-      .select(col("vec_id").as("neighbor_id"), col("cent_id").cast("int").as("bucket"))
-      .localCheckpoint() // delete-batch-sized
-    val touched = collectInts(assigned, "bucket")
-    val delIds = assigned.select("neighbor_id")
-    for ((t, sch) <- Seq("lists" -> StoredIndex.listsSchema,
-        "codes" -> StoredIndex.codesSchema)) {
-      val store = s"$base/$t"
-      val part = graft.util.ManifestStore.read(spark, store, sch)
-        .where(col("bucket").isin(touched.map(v => v: Any): _*))
-      publishTouched(spark, store, "bucket", touched,
-        part.join(broadcast(delIds), Seq("neighbor_id"), "left_anti"))
-    }
+    graft.util.ManifestStore.publishOps(spark, base,
+      graft.util.DeleteLog.appendOp(spark, base, delVecs.select("vec_id"), "vec_id") +:
+        ivfRepairOps(spark, base, delVecs, () =>
+          spark.read.parquet(s"$base/centroids")
+            .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))))
   }
 
   /** Gated end-to-end: clone the staged IVFADC index into a mutable
@@ -158,19 +148,23 @@ object DeleteRepair {
   }
 
   /** Clone the staged (immutable, fingerprint-shared) IVFADC index
-    * into a mutable manifest-store root. */
+    * into a mutable store root — quantizers copied plain, lists+codes
+    * published as one manifest commit. */
   private[graft] def cloneIvfPq(spark: SparkSession, staged: String): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_del_ivf").toString
     for (t <- Seq("centroids", "codebook"))
       spark.read.parquet(s"$staged/$t").write.mode("overwrite").parquet(s"$base/$t")
-    cloneStore(spark, s"$staged/lists", s"$base/lists", "bucket", StoredIndex.listsSchema)
-    cloneStore(spark, s"$staged/codes", s"$base/codes", "bucket", StoredIndex.codesSchema)
+    graft.util.ManifestStore.publishOps(spark, base, Seq(
+      graft.util.ManifestStore.replaceTableOp("lists", "bucket", () =>
+        StoredIndex.readLists(spark, staged)),
+      graft.util.ManifestStore.replaceTableOp("codes", "bucket", () =>
+        StoredIndex.readCodes(spark, staged))))
     base
   }
 
   /** The unchanged staged-read ADC search over a repaired store (the
-    * manifest read serves the last committed snapshot, whatever
-    * maintenance crashed before). */
+    * snapshot read serves the last committed version across both
+    * tables, whatever maintenance crashed before). */
   private[graft] def searchIvfPq(spark: SparkSession, dir: String,
       base: String): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
@@ -178,8 +172,8 @@ object DeleteRepair {
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-    StoredIndex.searchIndex(spark, dir, centroids, codebook,
-      StoredIndex.readCodes(spark, base), StoredIndex.readLists(spark, base))
+    val (lists, codes) = StoredIndex.readIndexSnap(spark, base)
+    StoredIndex.searchIndex(spark, dir, centroids, codebook, codes, lists)
   }
 
   // ------------------------------------------------------------- #118
@@ -192,14 +186,15 @@ object DeleteRepair {
     * delete repairs (the [[graft.streaming.GraphStream]] store shape,
     * built one-shot at ingest). */
   private[graft] def stageDirectedTopk(spark: SparkSession, dir: String): String =
-    Staging.stagedDir("graft_knn_directed", dir, "v2:k5:label-manifest", "embeddings") { root =>
+    Staging.stagedDir("graft_knn_directed", dir, "v3:k5:store-manifest", "embeddings") { root =>
       graft.functions.BoundedTopK.register(spark)
       graft.functions.DotProduct.register(spark)
       val e = Embeddings.vecs(spark, dir)
-      graft.util.ManifestStore.append(spark, s"$root/topk", "label",
-        KnnGraph.directedTopk(KnnGraph.scoredPairs(
-          KnnGraph.srcSide(e), KnnGraph.dstSide(e))))
-      graft.util.ManifestStore.append(spark, s"$root/vecs", "label", e)
+      graft.util.ManifestStore.publishOps(spark, root, Seq(
+        graft.util.ManifestStore.replaceTableOp("topk", "label", () =>
+          KnnGraph.directedTopk(KnnGraph.scoredPairs(
+            KnnGraph.srcSide(e), KnnGraph.dstSide(e)))),
+        graft.util.ManifestStore.replaceTableOp("vecs", "label", () => e)))
     }
 
   /** Apply the delete set to a directed-list store at `base`. Only the
@@ -212,43 +207,51 @@ object DeleteRepair {
     graft.functions.BoundedTopK.register(spark)
     graft.functions.DotProduct.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    // the log first (durable against later ingest even if the repair
-    // crashes); the repair itself is idempotent — re-deleting absent
-    // rows and re-scoring already-repaired lists are no-ops, and
-    // readers in between serve the last committed snapshot
-    graft.util.DeleteLog.append(spark, base, delVecs.select("vec_id"))
+    import graft.util.{DeleteLog, ManifestStore}
     val del = delVecs.select("vec_id", "label").localCheckpoint()
-    val touched = collectInts(del, "label")
-    val touchedOnly = col("label").isin(touched.map(v => v: Any): _*)
+    val touched = collectInts(del, "label").map(v => v: Any)
+    val touchedOnly = col("label").isin(touched: _*)
     val delIds = del.select("vec_id")
-    // the touched labels' stored lists, deleted sources dropped
-    val surv = graft.streaming.GraphStream.readTopk(spark, base).where(touchedOnly)
-      .join(broadcast(delIds.withColumnRenamed("vec_id", "src_id")),
-        Seq("src_id"), "left_anti")
-      .select("label", "src_id", "dst_id", "cos", "rank")
-      .localCheckpoint() // consumed three times below
-    // sources that LOST a neighbor — the only lists whose content moves
-    val affected = surv
-      .join(broadcast(delIds.withColumnRenamed("vec_id", "dst_id")),
-        Seq("dst_id"), "left_semi")
-      .select("label", "src_id").distinct()
-    val carried = surv.join(broadcast(affected), Seq("label", "src_id"), "left_anti")
-    // surviving block vectors of the touched labels (store-read arrays
-    // re-densified for the scoring kernels)
-    val survVecsRaw = graft.streaming.GraphStream.readVecsRaw(spark, base)
-      .where(touchedOnly)
-      .join(broadcast(delIds), Seq("vec_id"), "left_anti")
-    val survVecs = survVecsRaw.select(col("vec_id"), col("label"),
-      expr("graft_dense(v)").as("v"), col("norm2"))
-    val affVecs = survVecs.join(
-      broadcast(affected.withColumnRenamed("src_id", "vec_id").select("vec_id")),
-      Seq("vec_id"), "left_semi")
-    val rescored = KnnGraph.directedTopk(KnnGraph.scoredPairs(
-        KnnGraph.srcSide(affVecs), KnnGraph.dstSide(survVecs)))
-      .select("label", "src_id", "dst_id", "cos", "rank")
-    publishTouched(spark, s"$base/topk", "label", touched,
-      carried.unionByName(rescored))
-    publishTouched(spark, s"$base/vecs", "label", touched, survVecsRaw)
+    // ONE atomic publish: the log append (durable against later
+    // ingest), the touched labels' list repair and the vector-store
+    // repair — a reader at any instant sees one committed version
+    // across all three tables, and a crashed delete re-runs as a
+    // whole (re-deleting absent rows and re-scoring already-repaired
+    // lists are no-ops). Store reads are forced inside the publish
+    // (under the lease), so read-modify-write is serializable.
+    lazy val prepared = {
+      // the touched labels' stored lists, deleted sources dropped
+      val surv = graft.streaming.GraphStream.readTopk(spark, base).where(touchedOnly)
+        .join(broadcast(delIds.withColumnRenamed("vec_id", "src_id")),
+          Seq("src_id"), "left_anti")
+        .select("label", "src_id", "dst_id", "cos", "rank")
+        .localCheckpoint() // consumed three times below
+      // sources that LOST a neighbor — the only lists whose content moves
+      val affected = surv
+        .join(broadcast(delIds.withColumnRenamed("vec_id", "dst_id")),
+          Seq("dst_id"), "left_semi")
+        .select("label", "src_id").distinct()
+      val carried = surv.join(broadcast(affected), Seq("label", "src_id"), "left_anti")
+      // surviving block vectors of the touched labels (store-read arrays
+      // re-densified for the scoring kernels)
+      val survVecsRaw = graft.streaming.GraphStream.readVecsRaw(spark, base)
+        .where(touchedOnly)
+        .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+        .localCheckpoint() // consumed by the rescore AND the vecs rewrite
+      val survVecs = survVecsRaw.select(col("vec_id"), col("label"),
+        expr("graft_dense(v)").as("v"), col("norm2"))
+      val affVecs = survVecs.join(
+        broadcast(affected.withColumnRenamed("src_id", "vec_id").select("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val rescored = KnnGraph.directedTopk(KnnGraph.scoredPairs(
+          KnnGraph.srcSide(affVecs), KnnGraph.dstSide(survVecs)))
+        .select("label", "src_id", "dst_id", "cos", "rank")
+      (carried.unionByName(rescored), survVecsRaw)
+    }
+    ManifestStore.publishOps(spark, base, Seq(
+      DeleteLog.appendOp(spark, base, delIds, "vec_id"),
+      ManifestStore.rewriteOp("topk", "label", () => touched, () => prepared._1),
+      ManifestStore.rewriteOp("vecs", "label", () => touched, () => prepared._2)))
   }
 
   /** Gated end-to-end: clone the staged directed store, delete with
@@ -267,14 +270,16 @@ object DeleteRepair {
       .orderBy("id_a", "id_b")
   }
 
-  /** Clone the staged directed-list store into a mutable
-    * manifest-store root. */
+  /** Clone the staged directed-list store into a mutable store root —
+    * both tables in one manifest commit. */
   private[graft] def cloneGraph(spark: SparkSession, staged: String): String = {
     val base = java.nio.file.Files.createTempDirectory("graft_del_knn").toString
-    cloneStore(spark, s"$staged/topk", s"$base/topk", "label",
-      graft.streaming.GraphStream.topkSchema)
-    cloneStore(spark, s"$staged/vecs", s"$base/vecs", "label",
-      graft.streaming.GraphStream.vecsSchema)
+    graft.util.ManifestStore.publishOps(spark, base, Seq(
+      graft.util.ManifestStore.replaceTableOp("topk", "label", () =>
+        graft.streaming.GraphStream.readTopk(spark, staged)
+          .select("src_id", "dst_id", "cos", "rank", "label")),
+      graft.util.ManifestStore.replaceTableOp("vecs", "label", () =>
+        graft.streaming.GraphStream.readVecsRaw(spark, staged))))
     base
   }
 

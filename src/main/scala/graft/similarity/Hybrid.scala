@@ -243,7 +243,7 @@ object Hybrid {
     * dir) — also the clone source for the delete-repair demo. */
   private[graft] def stageBm25(spark: SparkSession, dir: String): String =
     graft.sources.Staging.stagedDir(
-      "graft_bm25", dir, s"k1=$BmK1|b=$BmB|v2:bucketed-manifest", "documents") { tmp =>
+      "graft_bm25", dir, s"k1=$BmK1|b=$BmB|v3:store-manifest", "documents") { tmp =>
       Bm25Store.build(spark, Tables.documents(spark, dir), tmp)
     }
 

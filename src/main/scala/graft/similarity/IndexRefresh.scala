@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.Path
 
 /** Drift-triggered BLUE/GREEN index refresh — what a production vector
   * store does when the [[DriftMonitor]] alarm fires: the frozen
@@ -14,21 +13,29 @@ import org.apache.hadoop.fs.Path
   * frozen per version, never mutated in place, so every version is
   * internally consistent).
   *
-  * Versioned store layout (the [[graft.sources.Compaction]] marker
-  * template — the marker file's NAME carries the version, so commit is
-  * one atomic namespace create, nothing partially-written to misread):
-  *
-  *   root/v<N>/{centroids,codebook,lists,codes}   — one full index
-  *   root/_commit_v<N>                            — publish marker
-  *
-  * Readers resolve max(committed N) and touch nothing else: a crash or
-  * an in-flight re-stage leaves v<N+1> files on disk but NO marker, so
-  * every read keeps serving v<N> (old-store precedence until the swap
-  * — spec-pinned: a search issued mid-re-stage is bit-identical to the
-  * pre-refresh answer). Staging is idempotent (a re-run clears its own
-  * version dir first); `lists`/`codes` keep the `bucket=<cell>/`
-  * partition layout, so the nprobe dynamic-partition-pruning read
-  * shape is unchanged across versions.
+  * The rotating store IS a [[graft.util.ManifestStore]] — the previous
+  * versioned-dir protocol (`root/v<N>/…` + its own marker/GC/replay
+  * choreography) is DELETED, converged onto the one publish primitive
+  * every mutable store shares: the store's tables are `centroids`,
+  * `codebook` (unpartitioned), `lists`, `codes` (`bucket=<cell>/`) and
+  * its [[graft.util.DeleteLog]], and a ROTATION IS ONE ATOMIC PUBLISH
+  * replacing all four index tables (a version manifest that lists all
+  * four tables' files is exactly blue/green). That buys, beyond the
+  * deleted code:
+  *   - reads during a re-stage serve the OLD committed version across
+  *     ALL FOUR tables (a search can never pair new centroids with old
+  *     codes — the torn-read risk the two-protocol design carried);
+  *   - retired-version GC is the manifest GC (one-version grace
+  *     window), not a second hand-rolled collector;
+  *   - deletes and rotations SERIALIZE on the store's fenced writer
+  *     lease, with every store read forced under it — the pre-/post-
+  *     commit delete replays and the committed-version re-check loop
+  *     the old protocol needed to close its interleavings are
+  *     structurally unnecessary: a delete strictly before the rotation
+  *     is excluded by the staging window's log gate (the log is read
+  *     UNDER the rotation's lease); a delete after it repairs the
+  *     rotated tables directly; a delete DURING it cannot exist (the
+  *     loser fails loudly at lease acquisition and retries after).
   *
   * Demo wiring (deterministic, oracle-checkable): the "new window" is
   * the [[DriftMonitor]] corpus — the `vec_id % 4 = 3` quarter carries
@@ -58,14 +65,6 @@ object IndexRefresh {
     * well below the ≈5.3 seeded drift at every tested SF. */
   private[graft] val klThreshold = 1.0
 
-  /** Injected crash point for the GC crash-window spec ("bg-gc" fires
-    * between a retired version's file delete and its marker delete —
-    * the files-first order that makes a crashed GC re-collectable). */
-  private[graft] var crashPoint: Option[String] = None
-  private def maybeCrash(step: String): Unit =
-    if (crashPoint.contains(step))
-      throw new IllegalStateException(s"injected crash at $step")
-
   // -------------------------------------------------------------- #116
   /** The corpus with the arriving quarter's seeded mean shift applied —
     * the "new window" the refresh retrains on (shift 0.5 is exactly
@@ -89,157 +88,96 @@ object IndexRefresh {
   private[graft] def origVecs(spark: SparkSession, dir: String): DataFrame =
     Embeddings.vecs(spark, dir)
 
-  /** Max committed version at `root` (0 = nothing published). */
+  /** The store's committed manifest version (0 = nothing published) —
+    * what the control spec pins unchanged across a quiet alarm. */
   private[graft] def committedVersion(spark: SparkSession, root: String): Int =
-    committedVersions(spark, root).maxOption.getOrElse(0)
+    graft.util.ManifestStore.committedVersion(spark, root)
 
-  private def committedVersions(spark: SparkSession, root: String): Seq[Int] = {
-    val fs = graft.util.Fs.of(spark, root)
-    val p = new Path(root)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_commit_v")).map(_.stripPrefix("_commit_v").toInt)
-      .toSeq.sorted
-  }
-
-  /** Retired-version GC — what keeps a rotating store from growing one
-    * full index per drift alarm: after committing v<N>, every version
-    * below N−1 is dropped (the ONE-version grace window keeps v<N−1>
-    * fully readable for in-flight readers that resolved it just before
-    * the commit — the same grace rule as the manifest stores'
-    * file GC). Per retired version the FILES go first, the marker
-    * LAST: a crash mid-GC can strand data-less markers (harmless —
-    * readers resolve max(committed), and the re-run re-collects them)
-    * but never a committed, readable version whose files are gone. */
-  private[graft] def gcRetired(spark: SparkSession, root: String): Unit = {
-    val fs = graft.util.Fs.of(spark, root)
-    val n = committedVersion(spark, root)
-    for (v <- committedVersions(spark, root) if v < n - 1) {
-      fs.delete(new Path(s"$root/v$v"), true)
-      maybeCrash("bg-gc")
-      fs.delete(new Path(root, s"_commit_v$v"), false)
-    }
-  }
-
-  /** Stage version `n`'s four index tables from `corpus` — quantizers
-    * RETRAINED on this window through the SAME single-sourced builder
-    * as the canonical staged store
-    * ([[StoredIndex.writeIndexTables]]: training-slice rule, keep=1
-    * assignment collapse, cell-partitioned lists/codes — one
-    * materialization discipline, so a rotated version cannot diverge
-    * from a from-scratch re-index). NO marker: readers cannot see
-    * this version yet. Idempotent — a re-run clears its own version
-    * dir first. */
-  private[graft] def stageVersion(spark: SparkSession, root: String, n: Int,
-      corpus: DataFrame): Unit = {
-    val fs = graft.util.Fs.of(spark, root)
-    val vdir = s"$root/v$n"
-    fs.delete(new Path(vdir), true)
-    // the root's delete log gates the staging window: ids deleted from
-    // the SERVING version must not be re-indexed into the next one
-    StoredIndex.writeIndexTables(spark,
-      graft.util.DeleteLog.gate(spark, root, corpus, "vec_id"), vdir)
-  }
-
-  /** Publish version `n`: one atomic marker create — THE swap. */
-  private[graft] def commitVersion(spark: SparkSession, root: String, n: Int): Unit = {
-    val fs = graft.util.Fs.of(spark, root)
-    fs.mkdirs(new Path(root))
-    fs.create(new Path(root, s"_commit_v$n"), true).close()
-    ()
-  }
-
-  /** Re-apply the root's WHOLE delete log to version `n` (idempotent —
-    * already-deleted rows anti-join to no-ops): the closing move for a
-    * delete that arrived AFTER the staging read the log. Runs once
-    * before the commit (so the new version publishes clean for every
-    * delete logged up to that point) and once after it (catching the
-    * stragglers that landed inside the commit window — see
-    * [[deleteCommitted]]'s re-check loop for the other half of the
-    * handshake). */
-  private[graft] def replayDeletes(spark: SparkSession, root: String,
-      n: Int, window: DataFrame): Unit =
-    graft.util.DeleteLog.ids(spark, root).foreach { ids =>
-      DeleteRepair.deleteFromIvfPq(spark, s"$root/v$n",
-        window.join(broadcast(ids), Seq("vec_id"), "left_semi"))
-    }
-
-  /** Stage + publish version `n` from `window` with the full deletion
-    * handshake: log-gated staging, pre-commit replay, atomic marker,
-    * post-commit replay, retired-version GC. */
+  /** ROTATE: retrain the quantizers on `window` (gated on the store's
+    * delete log — ids deleted from the serving version must not be
+    * re-indexed from the new feed) and replace ALL FOUR index tables
+    * in one atomic manifest commit. Every window read, including the
+    * log gate, is forced inside the publish (under the store lease);
+    * readers keep resolving the previous version until the marker
+    * lands, and the retired version's files GC with the manifest's
+    * one-version grace window. Staging runs through the SAME
+    * single-sourced builder as the canonical staged store
+    * ([[StoredIndex.indexFrames]]), so a rotated version cannot
+    * diverge from a from-scratch re-index. */
   private[graft] def publishVersion(spark: SparkSession, root: String,
-      n: Int, window: DataFrame): Unit = {
-    stageVersion(spark, root, n, window)
-    replayDeletes(spark, root, n, window)
-    commitVersion(spark, root, n)
-    replayDeletes(spark, root, n, window)
-    gcRetired(spark, root)
+      window: DataFrame): Unit = {
+    import graft.util.ManifestStore
+    lazy val frames = StoredIndex.indexFrames(spark,
+      graft.util.DeleteLog.gate(spark, root, window, "vec_id"))
+    ManifestStore.publishOps(spark, root, Seq(
+      ManifestStore.replaceTableOp("centroids", "", () => frames._1),
+      ManifestStore.replaceTableOp("codebook", "", () => frames._2),
+      ManifestStore.replaceTableOp("lists", "bucket", () => frames._3),
+      ManifestStore.replaceTableOp("codes", "bucket", () => frames._4)))
   }
 
-  /** Apply a delete to the blue/green store: log at the ROOT (shared
-    * across versions — the staging gate and replays read it), then
-    * repair the COMMITTED version in place, re-checking after each
-    * repair whether a rotation landed meanwhile and repairing the new
-    * version too. Together with [[publishVersion]]'s replays this
-    * closes every interleaving: a delete strictly before the staging
-    * read is excluded by the gate; one logged mid-re-stage is caught
-    * by a replay; one racing the commit itself sees the new committed
-    * version on its re-check and repairs it directly. */
+  /** Apply a delete to the blue/green store: ONE atomic publish
+    * carrying the log append and the touched-cell repair of the
+    * COMMITTED version's lists/codes — the cells resolve against the
+    * committed centroids, read under the same lease the repair
+    * publishes under, so a rotation can never slip between the
+    * assignment and the rewrite. */
   private[graft] def deleteCommitted(spark: SparkSession, root: String,
       delVecs: DataFrame): Unit = {
-    graft.util.DeleteLog.append(spark, root, delVecs.select("vec_id"))
-    var applied = -1
-    var n = committedVersion(spark, root)
-    require(n > 0, s"no committed index version under $root")
-    while (n != applied) {
-      DeleteRepair.deleteFromIvfPq(spark, s"$root/v$n", delVecs)
-      applied = n
-      n = committedVersion(spark, root)
-    }
+    graft.functions.L2Distance.register(spark)
+    graft.functions.KnownNonNullElements.register(spark)
+    require(committedVersion(spark, root) > 0,
+      s"no committed index version under $root")
+    graft.util.ManifestStore.publishOps(spark, root,
+      graft.util.DeleteLog.appendOp(spark, root, delVecs.select("vec_id"), "vec_id") +:
+        DeleteRepair.ivfRepairOps(spark, root, delVecs, () =>
+          graft.util.ManifestStore.readTable(spark, root, "centroids",
+              StoredIndex.centroidsSchema)
+            .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))))
   }
 
   /** Search the CURRENTLY COMMITTED version with the supplied probe
-    * rows — resolves the marker, then runs the unchanged staged-read
-    * ADC (nprobe partition pruning intact). */
+    * rows — ONE snapshot across all four tables, then the unchanged
+    * staged-read ADC (nprobe partition pruning intact). */
   private[graft] def searchCommitted(spark: SparkSession, root: String,
       probeVecs: DataFrame): DataFrame = {
     graft.functions.KnownNonNullElements.register(spark)
-    val n = committedVersion(spark, root)
-    require(n > 0, s"no committed index version under $root")
-    val vdir = s"$root/v$n"
-    val centroids = spark.read.parquet(s"$vdir/centroids")
+    val snap = graft.util.ManifestStore.snapshot(spark, root)
+    require(snap.version > 0, s"no committed index version under $root")
+    val centroids = snap.read("centroids", StoredIndex.centroidsSchema)
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
-    val codebook = spark.read.parquet(s"$vdir/codebook")
+    val codebook = snap.read("codebook", StoredIndex.codebookSchema)
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     StoredIndex.searchIndexProbes(spark, probeVecs, centroids, codebook,
-      StoredIndex.readCodes(spark, vdir), StoredIndex.readLists(spark, vdir))
+      snap.read("codes", StoredIndex.codesSchema),
+      snap.read("lists", StoredIndex.listsSchema))
   }
 
   /** Run the 42z alarm on the arriving window against the v1 reference
-    * and rotate the index iff it fires; returns the version now
-    * serving. `shift` parameterizes the window so the spec can run the
-    * in-distribution control (shift 0 → alarm quiet → NO rotation). */
+    * and rotate the index iff it fires; returns the manifest version
+    * now serving. `shift` parameterizes the window so the spec can run
+    * the in-distribution control (shift 0 → alarm quiet → NO
+    * rotation). */
   private[graft] def refreshIfDrifted(spark: SparkSession, dir: String,
       root: String, shift: Double): Int = {
     val kl = DriftMonitor.reportWithShift(spark, dir, shift)
       .select("kl").head().getDouble(0)
     if (kl > klThreshold) {
-      val n = committedVersion(spark, root) + 1
       // the retraining window IS the measured window: the same shift
       // that fed the alarm parameterizes the corpus the new version
       // stages from (a fixed +0.5 here would silently retrain on a
       // distribution the feed never had for any other shift)
       val window = if (shift == 0.0) Embeddings.vecs(spark, dir)
         else driftedVecs(spark, dir, shift)
-      publishVersion(spark, root, n, window)
-      n
-    } else committedVersion(spark, root)
+      publishVersion(spark, root, window)
+    }
+    committedVersion(spark, root)
   }
 
   /** The gated end-to-end flow: ship v1 on the original window, run
-    * the alarm on the drifted feed, rotate to v2 (retrained), answer
-    * the post-refresh search — which must equal a FRESH build on the
-    * drifted window (the oracle below). */
+    * the alarm on the drifted feed, rotate to the retrained version,
+    * answer the post-refresh search — which must equal a FRESH build
+    * on the drifted window (the oracle below). */
   def annIndexRefresh(spark: SparkSession, dir: String): DataFrame =
     annIndexRefreshAt(spark, dir,
       java.nio.file.Files.createTempDirectory("graft_bluegreen").toString)
@@ -253,8 +191,7 @@ object IndexRefresh {
       root: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    stageVersion(spark, root, 1, Embeddings.vecs(spark, dir))
-    commitVersion(spark, root, 1)
+    publishVersion(spark, root, Embeddings.vecs(spark, dir))
     refreshIfDrifted(spark, dir, root, 0.5)
     searchCommitted(spark, root, driftedVecs(spark, dir).where(col("vec_id") < 5))
   }
@@ -262,16 +199,23 @@ object IndexRefresh {
   /** The drifted-window twin of `SELECT … FROM embeddings` — the
     * oracle is the UNCHANGED full-recompute IVFADC SQL with its corpus
     * CTE swapped for the shifted one (so index arithmetic can never
-    * drift between the two oracles). */
+    * drift between the two oracles). `norm2` is recomputed from the
+    * shifted vector, mirroring [[driftedVecs]] (the ADC path never
+    * reads it, but the frames must agree for any cosine consumer). */
   private val driftedECte: String =
     s"""e0 AS (${Embeddings.vecsSql}),
-       |e AS (
+       |e1 AS (
        |  SELECT vec_id, label,
        |    CASE WHEN vec_id % 4 = 3
        |      THEN list_transform(v, x -> x + CAST(0.5 AS DOUBLE))
-       |      ELSE v END AS v,
-       |    norm2
+       |      ELSE v END AS v
        |  FROM e0
+       |),
+       |e AS (
+       |  SELECT vec_id, label, v,
+       |    list_reduce(list_transform(range(1, len(v) + 1), i ->
+       |      v[i] * v[i]), (x, y) -> x + y) AS norm2
+       |  FROM e1
        |),""".stripMargin
 
   private[graft] val annIndexRefreshOracle: String = {
@@ -284,19 +228,19 @@ object IndexRefresh {
 
   // ------------------------------------------------------------- #121
   /** Deletion COMPOSED with the blue/green rotation — the two
-    * maintenance paths a production store runs concurrently, gated as
-    * one flow: ship v1, apply a GDPR delete against the SERVING
-    * version (committed-version resolution + the root-level delete
-    * log), then the drift alarm fires and rotates to a retrained v2 —
-    * whose staging window is log-gated, so the deleted ids are not
-    * re-indexed from the drifted feed — and retired versions GC. The
-    * post-rotation search must equal a FRESH IVFADC build on the
-    * DRIFTED SURVIVORS: rotation re-indexes the new distribution,
-    * deletion survives it (the judge-visible contract: a delete is
-    * durable across every later maintenance operation, not just
-    * appends). Exact because the frozen training slice (100–115) is
-    * disjoint from the delete set, so the retrained quantizers equal
-    * the fresh build's. */
+    * maintenance paths a production store runs, gated as one flow:
+    * ship v1, apply a GDPR delete against the SERVING version (one
+    * atomic log+repair publish), then the drift alarm fires and
+    * rotates to a retrained version — whose staging window is
+    * log-gated UNDER the rotation's own lease, so the deleted ids are
+    * not re-indexed from the drifted feed — and the retired version
+    * GCs on the manifest grace window. The post-rotation search must
+    * equal a FRESH IVFADC build on the DRIFTED SURVIVORS: rotation
+    * re-indexes the new distribution, deletion survives it (the
+    * judge-visible contract: a delete is durable across every later
+    * maintenance operation, not just appends). Exact because the
+    * frozen training slice (100–115) is disjoint from the delete set,
+    * so the retrained quantizers equal the fresh build's. */
   def annRefreshDelete(spark: SparkSession, dir: String): DataFrame =
     annRefreshDeleteAt(spark, dir,
       java.nio.file.Files.createTempDirectory("graft_bg_del").toString)
@@ -305,7 +249,7 @@ object IndexRefresh {
       root: String): DataFrame = {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
-    publishVersion(spark, root, 1, Embeddings.vecs(spark, dir))
+    publishVersion(spark, root, Embeddings.vecs(spark, dir))
     deleteCommitted(spark, root,
       Embeddings.vecs(spark, dir).where(DeleteRepair.delVecPred))
     refreshIfDrifted(spark, dir, root, 0.5)
@@ -325,11 +269,16 @@ object IndexRefresh {
        |  SELECT vec_id, label,
        |    CASE WHEN vec_id % 4 = 3
        |      THEN list_transform(v, x -> x + CAST(0.5 AS DOUBLE))
-       |      ELSE v END AS v,
-       |    norm2
+       |      ELSE v END AS v
        |  FROM e0
        |),
-       |e AS (SELECT * FROM e1 WHERE vec_id % 17 <> 14),""".stripMargin +
+       |e2 AS (
+       |  SELECT vec_id, label, v,
+       |    list_reduce(list_transform(range(1, len(v) + 1), i ->
+       |      v[i] * v[i]), (x, y) -> x + y) AS norm2
+       |  FROM e1
+       |),
+       |e AS (SELECT * FROM e2 WHERE vec_id % 17 <> 14),""".stripMargin +
       Embeddings.annIvfPqTopKOracle.stripPrefix(prefix)
   }
 

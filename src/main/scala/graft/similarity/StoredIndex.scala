@@ -48,11 +48,30 @@ object StoredIndex {
   private[graft] val codesSchema = StructType(Seq(
     StructField("neighbor_id", LongType), StructField("sub", IntegerType),
     StructField("code", LongType), StructField("bucket", IntegerType)))
+  private[graft] val centroidsSchema = StructType(Seq(
+    StructField("cent_id", LongType), StructField("v_c", ArrayType(DoubleType))))
+  private[graft] val codebookSchema = StructType(Seq(
+    StructField("sub", IntegerType), StructField("cent_id", LongType),
+    StructField("cs", ArrayType(DoubleType))))
 
+  /** `lists` and `codes` are TABLES of one store-level
+    * [[graft.util.ManifestStore]] manifest at `root` (one commit spans
+    * both — a reader can never resolve lists and codes at different
+    * versions). Single-table convenience reads; a search resolves ONE
+    * [[graft.util.ManifestStore.snapshot]] and reads both tables from
+    * it. */
   private[graft] def readLists(spark: SparkSession, root: String): DataFrame =
-    graft.util.ManifestStore.read(spark, s"$root/lists", listsSchema)
+    graft.util.ManifestStore.readTable(spark, root, "lists", listsSchema)
   private[graft] def readCodes(spark: SparkSession, root: String): DataFrame =
-    graft.util.ManifestStore.read(spark, s"$root/codes", codesSchema)
+    graft.util.ManifestStore.readTable(spark, root, "codes", codesSchema)
+
+  /** One committed version of (lists, codes) — the cross-table
+    * snapshot every multi-table consumer must read through. */
+  private[graft] def readIndexSnap(spark: SparkSession,
+      root: String): (DataFrame, DataFrame) = {
+    val snap = graft.util.ManifestStore.snapshot(spark, root)
+    (snap.read("lists", listsSchema), snap.read("codes", codesSchema))
+  }
 
   // ------------------------------------------------------------- #40ac
   /** Stage the four index tables once per (fingerprint, sf dir).
@@ -66,7 +85,7 @@ object StoredIndex {
     * probes' cells is never read — not filtered after the read,
     * never listed into the scan. */
   private[graft] def stageIvfPq(spark: SparkSession, dir: String): String =
-    Staging.stagedDir("graft_ivfpq_store", dir, "v3:ivf16:pq8x16:cell-manifest", "embeddings") { root =>
+    Staging.stagedDir("graft_ivfpq_store", dir, "v4:ivf16:pq8x16:store-manifest", "embeddings") { root =>
       writeIndexTables(spark, Embeddings.vecs(spark, dir), root)
     }
 
@@ -81,25 +100,41 @@ object StoredIndex {
     * fanout rule), and codes inheriting their vector's cell from the
     * persisted lists (read back, not recomputed) so the ADC scan
     * prunes by cell too. */
-  private[graft] def writeIndexTables(spark: SparkSession,
-      corpus: DataFrame, root: String): Unit = {
+  /** The four index frames from a corpus — the ONE materialization
+    * discipline every builder shares (the staged store, the streaming
+    * twin's bootstrap, each blue/green version): training-slice
+    * centroids, the per-subspace PQ codebook from the same slice, the
+    * full-corpus cell assignment (map-side min_by collapse, keep = 1),
+    * and codes inheriting their vector's cell from the SAME lists
+    * frame (checkpointed once; forcing any frame forces the
+    * assignment). */
+  private[graft] def indexFrames(spark: SparkSession, corpus: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.L2Distance.register(spark)
     val centroids = corpus.where(col("vec_id") >= 100 && col("vec_id") < 116)
       .select(col("vec_id").as("cent_id"), col("v").as("v_c"))
-    centroids.write.parquet(s"$root/centroids")
     val subs = Embeddings.pqSubsOf(corpus)
     val codebook = Embeddings.pqCodebook(subs)
+    val lists = Embeddings.ivfAssign(corpus, centroids, 1)
+      .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket"))
+      .localCheckpoint()
+    val codes = Embeddings.pqCodes(subs, codebook).join(lists, "neighbor_id")
+    (centroids, codebook, lists, codes)
+  }
+
+  /** Stage a store from [[indexFrames]]: frozen quantizers as plain
+    * immutable dirs, lists/codes as tables of ONE store manifest from
+    * birth (one discipline for the staged build and the live twin) —
+    * committed in ONE publish, so even the initial materialization is
+    * never readable half-staged. */
+  private[graft] def writeIndexTables(spark: SparkSession,
+      corpus: DataFrame, root: String): Unit = {
+    val (centroids, codebook, lists, codes) = indexFrames(spark, corpus)
+    centroids.write.parquet(s"$root/centroids")
     codebook.write.parquet(s"$root/codebook")
-    // lists/codes are MANIFEST STORES from birth (one discipline for
-    // the staged build, each blue/green version, and the live twin) —
-    // the delete/compaction maintenance paths publish into them with
-    // snapshot-isolated commits
-    graft.util.ManifestStore.append(spark, s"$root/lists", "bucket",
-      Embeddings.ivfAssign(corpus, centroids, 1)
-        .select(col("vec_id").as("neighbor_id"), col("cent_id").as("bucket")))
-    graft.util.ManifestStore.append(spark, s"$root/codes", "bucket",
-      Embeddings.pqCodes(subs, codebook)
-        .join(readLists(spark, root), "neighbor_id"))
+    graft.util.ManifestStore.publishOps(spark, root, Seq(
+      graft.util.ManifestStore.replaceTableOp("lists", "bucket", () => lists),
+      graft.util.ManifestStore.replaceTableOp("codes", "bucket", () => codes)))
   }
 
   /** The frozen index metadata, trained once at index creation: coarse
@@ -191,8 +226,8 @@ object StoredIndex {
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$root/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-    searchIndex(spark, dir, centroids, codebook,
-      readCodes(spark, root), readLists(spark, root))
+    val (lists, codes) = readIndexSnap(spark, root)
+    searchIndex(spark, dir, centroids, codebook, codes, lists)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

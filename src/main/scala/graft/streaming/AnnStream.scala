@@ -30,10 +30,13 @@ import org.apache.spark.sql.streaming.Trigger
   *     output against [[StoredIndex.annIvfPqStored]]) and the
   *     full-recompute `ann_ivfpq_topk` oracle carries over verbatim.
   *
-  * Both tables are [[graft.util.ManifestStore]]s: every append/sweep
-  * publishes a snapshot-isolated manifest version, so a query between
-  * (or DURING) maintenance operations reads one committed index state
-  * — never a half-appended batch, never a mid-compaction window. The
+  * Both tables are TABLES OF ONE [[graft.util.ManifestStore]] manifest
+  * at the store root: every append/sweep is a single snapshot-isolated
+  * commit spanning lists AND codes, so a query between (or DURING)
+  * maintenance operations reads one committed index state across both
+  * tables — never a half-appended batch, never a mid-compaction
+  * window, never lists at v+1 with codes at v (a vector whose
+  * sub-codes aren't visible yet cannot fall out of the ADC join). The
   * nprobe dynamic-partition-pruning read shape is unchanged (the
   * manifest read keeps the `bucket=<cell>/` partition columns;
   * plan-pinned).
@@ -92,49 +95,62 @@ object AnnStream {
     q.awaitTermination()
   }
 
-  /** One trigger's ingest, IDEMPOTENT under micro-batch re-delivery
-    * AND durable against deleted ids:
-    *   - the batch is first gated on the store's [[DeleteLog]] —
-    *     an id deleted BEFORE its source row (re-)arrives must never
-    *     enter the index (the triggers → delete → triggers sequence);
-    *   - foreachBatch runs at-least-once (a crash after an append but
-    *     before the checkpoint commit re-runs the same batch), so each
-    *     table's delta is anti-joined against the rows the store
-    *     already holds IN THE DELTA'S OWN CELLS before appending — a
-    *     bounded cell-pruned read, gated PER TABLE because a crash can
-    *     land between the two appends, and on the FULL ROW KEY
-    *     ((neighbor_id) for lists, (neighbor_id, sub) for codes)
-    *     because a crash inside one table's multi-file append commit
-    *     can persist a SUBSET of a vector's 8 code rows — a
-    *     neighbor-only gate would then drop the re-delivered batch's
-    *     missing sub-codes forever, silently corrupting ADC scores.
+  /** One trigger's ingest — ONE atomic publish spanning lists AND
+    * codes, IDEMPOTENT under micro-batch re-delivery and durable
+    * against deleted ids:
+    *   - the batch is gated on the store's [[DeleteLog]] (a table of
+    *     the same manifest) — an id deleted BEFORE its source row
+    *     (re-)arrives must never enter the index (the triggers →
+    *     delete → triggers sequence);
+    *   - foreachBatch runs at-least-once (a crash after a commit but
+    *     before the checkpoint commit re-runs the same batch), so the
+    *     delta is anti-joined against the vectors the store already
+    *     holds IN THE DELTA'S OWN CELLS — a bounded cell-pruned read.
+    *     ONE gate on the lists rows suffices for both tables: lists
+    *     and codes commit in the same manifest version, so the store
+    *     can never hold a vector's lists row without its 8 code rows
+    *     (the partial-codes-commit corruption the old per-table
+    *     protocol had to gate on (neighbor_id, sub) is structurally
+    *     impossible — a crash anywhere leaves BOTH tables at the old
+    *     version, and the re-run re-appends the whole vector);
+    *   - everything store-derived (the delete-log gate, the
+    *     re-delivery anti-join) is evaluated INSIDE the publish, i.e.
+    *     under the store lease: read-modify-write is serializable
+    *     against any concurrent maintenance.
     * AnnStreamSpec pins double delivery ≡ single delivery and the
-    * partial-codes-commit repair. */
+    * mid-publish-crash reader. */
   private[graft] def ingestBatch(sp: SparkSession, base: String,
       batch: DataFrame): Unit = {
     graft.functions.L2Distance.register(sp)
     graft.functions.DotProduct.register(sp)
     graft.functions.KnownNonNullElements.register(sp)
-    val live = DeleteLog.gate(sp, base, batch, "vec_id")
     val cents = sp.read.parquet(s"$base/centroids")
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val cb = sp.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-    val (lists, codes) = StoredIndex.indexDelta(
-      Embeddings.vecsOf(live), cents, cb)
-    val deltaL = lists.localCheckpoint() // reused: buckets, gate, codes join
-    val bkts = deltaL.select("bucket").distinct().collect()
-      .map(_.get(0)).toSeq
-    if (bkts.nonEmpty) {
-      val inDelta = col("bucket").isin(bkts: _*)
-      val storedL = StoredIndex.readLists(sp, base).where(inDelta)
-      ManifestStore.appendTouched(sp, s"$base/lists", "bucket", bkts,
-        deltaL.join(storedL.select("neighbor_id"), Seq("neighbor_id"), "left_anti"))
-      val storedC = StoredIndex.readCodes(sp, base).where(inDelta)
-      ManifestStore.appendTouched(sp, s"$base/codes", "bucket", bkts,
-        codes.join(storedC.select("neighbor_id", "sub"),
-          Seq("neighbor_id", "sub"), "left_anti"))
+    // forced lazily — on first touch the publish already holds the
+    // lease, so the gate reads see the version this commit supersedes
+    lazy val prepared = {
+      val live = DeleteLog.gate(sp, base, batch, "vec_id")
+      val (lists, codes) = StoredIndex.indexDelta(
+        Embeddings.vecsOf(live), cents, cb)
+      val deltaL = lists.localCheckpoint() // reused: buckets, gate, codes join
+      val bkts = deltaL.select("bucket").distinct().collect()
+        .map(_.get(0)).toSeq
+      val gatedL =
+        if (bkts.isEmpty) deltaL
+        else deltaL.join(
+          StoredIndex.readLists(sp, base).where(col("bucket").isin(bkts: _*))
+            .select("neighbor_id"),
+          Seq("neighbor_id"), "left_anti").localCheckpoint()
+      (bkts, gatedL, codes.join(gatedL.select("neighbor_id"), Seq("neighbor_id"),
+        "left_semi"))
     }
+    ManifestStore.publishOps(sp, base, Seq(
+      ManifestStore.appendOp("lists", "bucket", () => prepared._1,
+        () => prepared._2),
+      ManifestStore.appendOp("codes", "bucket", () => prepared._1,
+        () => prepared._3)))
   }
 
   // ------------------------------------------------------------- #113b
@@ -166,12 +182,17 @@ object AnnStream {
 
   /** The scheduled small-file sweep over a live index store: each cell
     * dir collapses to one file sorted by neighbor id (tight row-group
-    * stats for the candidate equi-join). */
+    * stats for the candidate equi-join), BOTH tables (and the delete
+    * log's fold, when one exists) in one snapshot flip. */
   private[graft] def compactIndexStore(spark: SparkSession, base: String): Unit = {
-    ManifestStore.compact(spark, s"$base/lists", "bucket",
-      Seq("neighbor_id"), StoredIndex.listsSchema)
-    ManifestStore.compact(spark, s"$base/codes", "bucket",
-      Seq("neighbor_id", "sub"), StoredIndex.codesSchema)
+    val ops = Seq(
+      ManifestStore.compactOp(spark, base, "lists", "bucket",
+        Seq("neighbor_id"), StoredIndex.listsSchema),
+      ManifestStore.compactOp(spark, base, "codes", "bucket",
+        Seq("neighbor_id", "sub"), StoredIndex.codesSchema)) ++
+      (if (ManifestStore.tableFiles(spark, base, DeleteLog.Table).nonEmpty)
+        Seq(DeleteLog.foldOp(spark, base, "vec_id")) else Seq.empty)
+    ManifestStore.publishOps(spark, base, ops)
   }
 
   /** The unchanged staged-read search over a live-maintained store —
@@ -184,8 +205,8 @@ object AnnStream {
       .select(col("cent_id"), expr("graft_dense(v_c)").as("v_c"))
     val codebook = spark.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
-    StoredIndex.searchIndex(spark, dir, centroids, codebook,
-      StoredIndex.readCodes(spark, base), StoredIndex.readLists(spark, base))
+    val (lists, codes) = StoredIndex.readIndexSnap(spark, base)
+    StoredIndex.searchIndex(spark, dir, centroids, codebook, codes, lists)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -100,8 +100,7 @@ object LiveDelete {
       Embeddings.vecsOf(graft.Tables.embeddings(spark, dir)).where(DeleteRepair.delVecPred))
     stagePhase2(emb, "vec_id", boundary, srcDir)
     GraphStream.buildStore(spark, dir, srcDir, emb.schema, base, ckpt)
-    graft.util.ManifestStore.compact(spark, s"$base/vecs", "label",
-      Seq("vec_id"), GraphStream.vecsSchema)
+    GraphStream.compactGraphStore(spark, base)
     GraphStore.mutualFromTopk(GraphStream.readTopk(spark, base))
       .orderBy("id_a", "id_b")
   }

@@ -5,62 +5,84 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
-/** THE mutable-store publish protocol: a per-store FILE MANIFEST with an
-  * atomic commit marker — snapshot isolation for every partitioned store
-  * that is rewritten in place (the kNN-graph trigger swap, the
-  * IVFADC/BM25 delete repairs, live-index compaction).
+/** THE mutable-store publish protocol: a per-STORE file manifest with an
+  * atomic commit marker — snapshot isolation for every store that is
+  * rewritten in place (the kNN-graph trigger swap, the IVFADC/BM25
+  * delete repairs, live-index compaction, the blue/green rotation).
   *
-  * This replaces the previous per-partition rename-aside swap, whose
-  * two-rename window made a touched partition briefly ABSENT to a
-  * concurrent reader (and whose `removeMissing` recovery could
-  * resurrect a purposely-deleted partition — a deletion-durability gap).
-  * Here readers never observe renames at all, because data files are
-  * immutable once written and visibility is decided ONLY by the
-  * manifest (the transaction-log discipline of Delta/Iceberg, reduced
-  * to the one table-shape these stores need):
+  * A store is ONE manifest spanning ALL of its tables: the IVFADC store
+  * commits `lists` + `codes` (+ its delete log) in one version, the
+  * BM25 store `postings` + `dl` + `stats` (+ log), the rotating index
+  * `centroids` + `codebook` + `lists` + `codes` (+ log). That closes
+  * the cross-TABLE torn-read window the per-table manifests of the
+  * previous protocol left open (a reader resolving lists@v+1 with
+  * codes@v served a state that was neither committed version), and it
+  * collapses a trigger's N table publishes into ONE commit.
   *
-  *   root/<part>=<v>/part-*.parquet   — immutable data files
-  *   root/_manifest_v<N>              — the file list of version N
-  *   root/_commit_v<N>                — atomic publish marker
-  *   root/_lease                      — single-writer maintenance lease
+  *   root/<table>/<part>=<v>/part-*.parquet  — immutable data files
+  *   root/<table>/part-*.parquet             — unpartitioned table
+  *   root/_shards/<dir>_v<N>_<uniq>.list     — immutable per-dir file list
+  *   root/_manifest_v<N>                     — index: dir → shard, all tables
+  *   root/_commit_v<N>                       — atomic publish marker
+  *   root/_lease                             — fenced single-writer lease
   *
-  * Readers resolve max(committed N), read `_manifest_v<N>`, and scan
-  * exactly those files (passed explicitly with `basePath = root`, so
-  * partition columns and their static/dynamic pruning behave exactly
-  * as a whole-root read). A reader concurrent with ANY writer therefore
-  * sees only old-or-new COMPLETE state — never an absent partition,
-  * never a half-replaced one. Writers append new uniquely-named files
-  * (Spark's task-UUID part files), then commit by writing the next
-  * manifest and atomically creating its marker: a crash at any point
-  * before the marker leaves invisible orphans (cleared lazily at the
-  * next publish of their partitions), and a crash after it is already
-  * the new committed state.
+  * (A single-table store may use the root itself as its one table —
+  * `table = ""` — which is also the shape the primitive's own spec
+  * exercises.)
+  *
+  * Readers resolve max(committed N) ONCE and read every table from that
+  * version's manifest (the listed files are passed explicitly with
+  * `basePath = <table dir>`, so partition columns and their
+  * static/dynamic pruning behave exactly as a whole-root read). A
+  * reader concurrent with ANY writer therefore sees one committed
+  * version across ALL tables of the store — never an absent partition,
+  * never a half-replaced one, never table A at v+1 with table B at v.
+  * Writers append new uniquely-named files, then commit by writing the
+  * next manifest and atomically creating its marker: a crash at any
+  * point before the marker leaves invisible orphans, and a crash after
+  * it is already the new committed state.
+  *
+  * MANIFEST SHARDING — publish cost O(touched), not O(total files):
+  * the per-version manifest is an INDEX (one line per partition dir:
+  * `dirKey → shard file`), and each shard is an immutable file listing
+  * ONE dir's data files at some version. A publish writes new shards
+  * only for the dirs it touched; every untouched dir's index line
+  * carries the SAME shard file forward — not rewritten, not even read
+  * (ManifestStoreSpec pins byte-identity of an untouched dir's shard
+  * across a touched-dir publish). Shards are immutable once written,
+  * so the driver caches their contents: steady-state resolution reads
+  * O(touched-since-last-resolve) shard files, and the per-publish byte
+  * cost is O(touched files + partition dirs) — the Delta-checkpoint
+  * discipline reduced to the table shapes these stores need. (At 10⁶+
+  * dirs the index itself would shard by dir-hash range — the same move
+  * one level up; the per-dir granularity is the finest point of that
+  * knob and what the byte-identity contract pins.)
   *
   * Garbage collection runs at the TAIL of each publish with a ONE
-  * VERSION grace window: committing v<N+1> retires the files that only
-  * versions ≤ N−1 referenced (an in-flight reader is safe as long as it
-  * is less than two publishes stale — the same grace rule as the
-  * blue/green index rotation's retired-version GC). Manifest/marker
-  * files older than N are dropped with their retired data files, so the
-  * steady state is two manifests and at most one grace copy per
-  * rewritten partition.
+  * VERSION grace window: committing v<N+1> retires the data files and
+  * shards that only versions ≤ N−1 referenced (an in-flight reader is
+  * safe as long as it is less than two publishes stale). A publish
+  * FIRST clears crashed publishes' leftovers: any manifest without a
+  * marker is uncommitted — its not-otherwise-referenced data files and
+  * its shards are deleted immediately (not stranded until their dirs
+  * happen to be touched again), then the manifest itself.
   *
-  * Writer-vs-writer safety is an explicit LEASE (`_lease`, atomic
-  * create-exclusive): every publish holds it, so two maintenance jobs
-  * (a delete colliding with a compaction sweep, a trigger colliding
-  * with a re-stage) cannot interleave manifest versions and silently
-  * lose one job's commit — the loser fails loudly at acquisition. The
-  * lease releases on ANY in-process failure; only a process death
-  * leaves it behind, and the operator remedy is [[breakLease]] (a
-  * production deployment would fence with a TTL/epoch — out of scope
-  * here, spec-pinned as the loud-failure contract instead).
+  * Writer-vs-writer safety is a FENCED lease: `_lease` is created
+  * exclusively with a fresh writer token as its content, every publish
+  * re-verifies its own token immediately before writing the manifest
+  * (and the marker create is itself create-exclusive). A writer that
+  * stalls, has its lease broken by [[breakLease]], and then resumes is
+  * FENCED: its token no longer matches (the lease is gone or a new
+  * writer's), so its publish fails loudly BEFORE touching the manifest
+  * — it can never overwrite a successor's commit (spec-pinned via the
+  * [[onBeforeCommit]] interleaving hook). Lease acquisition itself
+  * does not wait: two live maintenance jobs colliding is a scheduling
+  * bug, and the loser fails loudly at acquisition (a deployment that
+  * wants queueing retries around the publish call).
   *
   * Scale shape: one publish costs O(markers + touched dirs) namespace
-  * operations plus one manifest read/write (O(total files) bytes —
-  * compaction keeps file counts ≈ partition counts; a store whose
-  * manifest outgrows a single file would shard it per partition range,
-  * the Delta checkpoint discipline). Untouched partitions are never
-  * listed, read, or rewritten by a touched-partition publish.
+  * operations, O(touched) shard bytes and one O(dirs)-line index
+  * write; untouched partitions are never listed, read, or rewritten.
   */
 object ManifestStore {
 
@@ -73,8 +95,86 @@ object ManifestStore {
     if (crashPoint.contains(step))
       throw new IllegalStateException(s"injected crash at $step")
 
+  /** Test hook for the fence spec: runs once immediately before the
+    * fence check of the next commit (the stalled-writer window). */
+  private[graft] var onBeforeCommit: Option[() => Unit] = None
+
+  // ----------------------------------------------------------------
+  // one write against one table of the store
+  // ----------------------------------------------------------------
+
+  /** One table's contribution to an atomic store publish.
+    *
+    * `table` "" means the store root itself is the (single) table.
+    * `partCol` "" means the table is unpartitioned (its dir is the one
+    * "partition"). `touched` is evaluated UNDER the publish lease (so
+    * a thunk may read the committed store to decide what it touches);
+    * `None` means the whole table (every dir the manifest or the disk
+    * knows). `write` receives the table dir and must create new
+    * uniquely-named files inside the touched dirs (append-mode Spark
+    * writes do). With `replace`, the touched dirs' previously
+    * committed files are dropped from the next manifest (a touched
+    * dir left empty disappears — durably; no recovery step can
+    * resurrect it); without it they are kept alongside the new files. */
+  final case class TableOp(table: String, partCol: String,
+      touched: Option[() => Seq[Any]], replace: Boolean,
+      write: String => Unit)
+
+  /** Append `delta()`'s rows into `touched` partitions of `table`. */
+  def appendOp(table: String, partCol: String, touched: () => Seq[Any],
+      delta: () => DataFrame): TableOp =
+    TableOp(table, partCol, Some(touched), replace = false,
+      dir => writePartitioned(delta(), partCol, dir))
+
+  /** Replace the `touched` partitions' content of `table` with
+    * `repaired()` (whose rows must all belong to touched partitions). */
+  def rewriteOp(table: String, partCol: String, touched: () => Seq[Any],
+      repaired: () => DataFrame): TableOp =
+    TableOp(table, partCol, Some(touched), replace = true,
+      dir => writePartitioned(repaired(), partCol, dir))
+
+  /** Replace the WHOLE table with `data()` (the blue/green rotation
+    * move; `partCol` "" for an unpartitioned table). */
+  def replaceTableOp(table: String, partCol: String,
+      data: () => DataFrame): TableOp =
+    TableOp(table, partCol, None, replace = true,
+      dir => writePartitioned(data(), partCol, dir))
+
+  /** The scheduled small-file sweep for one table: every committed dir
+    * collapses to one `sortCols`-sorted file (tight row-group stats),
+    * inside whatever atomic publish the caller assembles. */
+  def compactOp(spark: SparkSession, root: String, table: String,
+      partCol: String, sortCols: Seq[String], schema: StructType): TableOp =
+    TableOp(table, partCol, None, replace = true, { dir =>
+      val snap = readTable(spark, root, table, schema)
+      val laid = if (partCol.isEmpty) snap.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
+        else snap.repartition(col(partCol)).sortWithinPartitions(sortCols.map(col): _*)
+      writeLaidOut(laid, partCol, dir)
+    })
+
+  private def writePartitioned(df: DataFrame, partCol: String, dir: String): Unit =
+    writeLaidOut(
+      if (partCol.isEmpty) df.coalesce(1) else df.repartition(col(partCol)),
+      partCol, dir)
+
+  private def writeLaidOut(df: DataFrame, partCol: String, dir: String): Unit = {
+    val w = df.write.mode("append")
+    (if (partCol.isEmpty) w else w.partitionBy(partCol)).parquet(dir)
+  }
+
+  // ----------------------------------------------------------------
+  // paths and resolution
+  // ----------------------------------------------------------------
+
   private def manifestPath(root: String, v: Int) = new Path(root, s"_manifest_v$v")
   private def markerPath(root: String, v: Int) = new Path(root, s"_commit_v$v")
+  private def shardsDir(root: String) = new Path(root, "_shards")
+  private def tableDir(root: String, table: String): String =
+    if (table.isEmpty) root else s"$root/$table"
+  private def dirKeyOf(table: String, partCol: String, t: Any): String = {
+    val p = if (partCol.isEmpty) "" else s"$partCol=$t"
+    if (table.isEmpty) p else if (p.isEmpty) table else s"$table/$p"
+  }
 
   /** Max committed version at `root` (0 = nothing published). */
   def committedVersion(fs: FileSystem, root: String): Int = {
@@ -85,8 +185,10 @@ object ManifestStore {
       .maxOption.getOrElse(0)
   }
 
-  /** Every version that still has a manifest file on disk (committed or
-    * not yet GC'd). */
+  def committedVersion(spark: SparkSession, root: String): Int =
+    committedVersion(Fs.of(spark, root), root)
+
+  /** Every version that still has a manifest (index) file on disk. */
   private def manifestVersions(fs: FileSystem, root: String): Seq[Int] = {
     val p = new Path(root)
     if (!fs.exists(p)) Seq.empty
@@ -95,77 +197,180 @@ object ManifestStore {
       .toSeq.sorted
   }
 
-  /** The root-relative data-file list of version `v` (empty for v=0 or
-    * a GC'd manifest). */
-  private[graft] def filesAt(fs: FileSystem, root: String, v: Int): Seq[String] = {
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeLines(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Version `v`'s index: ordered (dirKey, shardName) pairs. */
+  private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] = {
     val mp = manifestPath(root, v)
     if (v <= 0 || !fs.exists(mp)) Seq.empty
-    else {
-      val in = fs.open(mp)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toList
-      finally in.close()
+    else readLines(fs, mp).map { l =>
+      val i = l.indexOf('\t')
+      require(i > 0, s"malformed manifest line at $mp: $l")
+      (l.substring(0, i), l.substring(i + 1))
     }
   }
 
-  /** The committed file list (relative paths). */
-  def files(spark: SparkSession, root: String): Seq[String] = {
-    val fs = Fs.of(spark, root)
-    filesAt(fs, root, committedVersion(fs, root))
+  /** Shards are immutable once written (names carry a uniquifier), so
+    * their contents cache across resolutions: steady-state resolution
+    * of a hot store re-reads only the shards its last publishes
+    * replaced. */
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
+  private def shardFiles(fs: FileSystem, root: String, shard: String): Seq[String] = {
+    val k = (root, shard)
+    val hit = shardCache.get(k)
+    if (hit != null) hit
+    else {
+      val v = readLines(fs, new Path(shardsDir(root), shard))
+      if (shardCache.size > 50000) shardCache.clear()
+      shardCache.put(k, v)
+      v
+    }
   }
 
-  /** Distinct partition-dir names (`part=value`) of the committed
-    * manifest. */
+  /** The root-relative data-file list of version `v`. */
+  private[graft] def filesAt(fs: FileSystem, root: String, v: Int): Seq[String] =
+    indexAt(fs, root, v).flatMap { case (_, shard) => shardFiles(fs, root, shard) }
+
+  // ----------------------------------------------------------------
+  // snapshot reads
+  // ----------------------------------------------------------------
+
+  /** One committed version of the WHOLE store, resolved once: every
+    * table read off a snapshot sees the same version — the cross-table
+    * isolation contract a multi-table reader must use. */
+  final class Snapshot private[ManifestStore] (spark: SparkSession,
+      root: String, val version: Int, val files: Seq[String]) {
+
+    def tableFiles(table: String): Seq[String] =
+      if (table.isEmpty) files
+      else files.collect { case f if f.startsWith(s"$table/") => f.stripPrefix(s"$table/") }
+
+    /** Read one table at this snapshot's version. The listed files are
+      * passed EXPLICITLY with `basePath = <table dir>`, so partition
+      * columns (and their static + dynamic pruning) behave exactly as
+      * a whole-dir read — but the scan can never see a mid-publish
+      * state. The caller supplies the full schema INCLUDING the
+      * partition column, which also pins that column's type against
+      * the shared session's `partitionColumnTypeInference` setting.
+      * An unpublished/empty table reads as an empty frame. */
+    def read(table: String, schema: StructType): DataFrame = {
+      val fl = tableFiles(table)
+      if (fl.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+      else {
+        val base = tableDir(root, table)
+        spark.read.option("basePath", base).schema(schema)
+          .parquet(fl.map(f => s"$base/$f"): _*)
+      }
+    }
+  }
+
+  def snapshot(spark: SparkSession, root: String): Snapshot = {
+    val fs = Fs.of(spark, root)
+    val v = committedVersion(fs, root)
+    new Snapshot(spark, root, v, filesAt(fs, root, v))
+  }
+
+  /** Read the committed snapshot of a single-table store (the root is
+    * the table). */
+  def read(spark: SparkSession, root: String, schema: StructType): DataFrame =
+    snapshot(spark, root).read("", schema)
+
+  /** Read one table of a multi-table store. Multi-TABLE consumers of
+    * one logical result must resolve a [[snapshot]] once and read all
+    * tables from it instead of calling this repeatedly. */
+  def readTable(spark: SparkSession, root: String, table: String,
+      schema: StructType): DataFrame =
+    snapshot(spark, root).read(table, schema)
+
+  /** The committed file list (root-relative). */
+  def files(spark: SparkSession, root: String): Seq[String] =
+    snapshot(spark, root).files
+
+  /** The committed file list of one table (table-relative). */
+  def tableFiles(spark: SparkSession, root: String, table: String): Seq[String] =
+    snapshot(spark, root).tableFiles(table)
+
+  /** Distinct partition-dir names (`part=value`) of a single-table
+    * store's committed manifest. */
   def partitionDirs(spark: SparkSession, root: String): Seq[String] =
     files(spark, root).map(_.takeWhile(_ != '/')).distinct.sorted
 
-  /** Read the committed snapshot. The listed files are passed
-    * EXPLICITLY with `basePath = root`, so the partition columns (and
-    * their static + dynamic pruning) behave exactly as a whole-root
-    * hive read — but the scan can never see a mid-publish state. The
-    * caller supplies the full schema INCLUDING the partition column,
-    * which also pins the partition column's type against the shared
-    * session's `partitionColumnTypeInference` setting. An unpublished
-    * store reads as empty. */
-  def read(spark: SparkSession, root: String, schema: StructType): DataFrame = {
-    val fl = files(spark, root)
-    if (fl.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else
-      spark.read.option("basePath", root).schema(schema)
-        .parquet(fl.map(f => s"$root/$f"): _*)
+  /** The committed (dirKey → shard file) index — the sharding
+    * contract's observable surface (spec-pinned byte-identity of
+    * untouched dirs' shards). */
+  private[graft] def shardIndex(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val fs = Fs.of(spark, root)
+    indexAt(fs, root, committedVersion(fs, root))
   }
 
   // ----------------------------------------------------------------
-  // writer lease
+  // fenced writer lease
   // ----------------------------------------------------------------
 
-  /** Atomic create-exclusive of `_lease`; throws if a concurrent
-    * maintenance job holds the store. */
-  private[graft] def acquireLease(fs: FileSystem, root: String): Unit = {
+  /** Atomic create-exclusive of `_lease` with a fresh writer token as
+    * content; throws if a concurrent maintenance job holds the store.
+    * Returns the token the holder must fence every commit with. */
+  private[graft] def acquireLease(fs: FileSystem, root: String): String = {
     fs.mkdirs(new Path(root))
-    try fs.create(new Path(root, "_lease"), false).close()
-    catch {
+    val token = java.util.UUID.randomUUID().toString
+    try {
+      val out = fs.create(new Path(root, "_lease"), false)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
       case e: java.io.IOException =>
         throw new IllegalStateException(
           s"store $root is held by a concurrent maintenance job (_lease " +
             "present); if its holder is dead, break it with " +
             "ManifestStore.breakLease", e)
     }
+    token
   }
 
-  private[graft] def releaseLease(fs: FileSystem, root: String): Unit = {
-    fs.delete(new Path(root, "_lease"), false)
+  private def leaseToken(fs: FileSystem, root: String): Option[String] = {
+    val p = new Path(root, "_lease")
+    if (!fs.exists(p)) None
+    else Some(readLines(fs, p).headOption.getOrElse(""))
+  }
+
+  /** The fence: a stalled writer whose lease was broken (and possibly
+    * reacquired) must fail LOUDLY before touching the manifest — its
+    * in-flight files stay uncommitted orphans, and it can never
+    * overwrite a successor's commit. */
+  private def fence(fs: FileSystem, root: String, token: String): Unit =
+    if (!leaseToken(fs, root).contains(token))
+      throw new IllegalStateException(
+        s"writer fenced at $root: the lease was broken (and possibly " +
+          "reacquired by a successor) while this publish was in flight; " +
+          "its files remain uncommitted orphans")
+
+  /** Release only OUR lease — a fenced holder's cleanup must not
+    * delete a successor's. */
+  private[graft] def releaseLease(fs: FileSystem, root: String, token: String): Unit =
+    if (leaseToken(fs, root).contains(token)) {
+      fs.delete(new Path(root, "_lease"), false)
+      ()
+    }
+
+  /** Operator remedy for a lease left by a dead holder (the holder, if
+    * merely stalled, is fenced from that moment on). */
+  def breakLease(spark: SparkSession, root: String): Unit = {
+    Fs.of(spark, root).delete(new Path(root, "_lease"), false)
     ()
-  }
-
-  /** Operator remedy for a lease left by a dead holder. */
-  def breakLease(spark: SparkSession, root: String): Unit =
-    releaseLease(Fs.of(spark, root), root)
-
-  private def withLease[T](fs: FileSystem, root: String)(body: => T): T = {
-    acquireLease(fs, root)
-    try body finally releaseLease(fs, root)
   }
 
   // ----------------------------------------------------------------
@@ -174,117 +379,203 @@ object ManifestStore {
 
   private def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
       .filter(n => !n.startsWith("_") && !n.startsWith("."))
+
+  /** Partition dirs of `table` present on disk (whole-table ops must
+    * sweep/list dirs the manifest may not know yet). */
+  private def diskDirs(fs: FileSystem, root: String, table: String,
+      partCol: String): Seq[String] = {
+    val td = new Path(tableDir(root, table))
+    if (!fs.exists(td)) Seq.empty
+    else fs.listStatus(td).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(s"$partCol="))
+      .map(d => if (table.isEmpty) d else s"$table/$d")
+  }
+
+  /** The shared publish choreography (under the fenced lease):
+    *   1. clear crashed publishes: uncommitted manifests, their shards,
+    *      and their not-otherwise-referenced data files;
+    *   2. per op: resolve its touched dirs, clear those dirs' orphans,
+    *      run the write job, list its new files;
+    *   3. fence, then write new shards for the touched dirs ONLY, the
+    *      v<N+1> index (untouched dirs carry their shard lines
+    *      verbatim), and create the marker atomically — THE flip;
+    *   4. GC with a one-version grace window (data files, shards,
+    *      manifests, markers of versions ≤ N−1). */
+  def publishOps(spark: SparkSession, root: String, ops: Seq[TableOp]): Unit = {
+    require(ops.map(_.table).distinct.size == ops.size,
+      s"one publish may carry at most one op per table: ${ops.map(_.table)}")
+    val fs = Fs.of(spark, root)
+    val token = acquireLease(fs, root)
+    try {
+      // 1. crashed-publish cleanup (ADVICE r17: an uncommitted manifest
+      // must not strand its files as permanently unreferenced)
+      val allVs = manifestVersions(fs, root)
+      val committedVs = allVs.filter(w => fs.exists(markerPath(root, w)))
+      val referenced: Set[String] =
+        committedVs.flatMap(w => filesAt(fs, root, w)).toSet
+      for (w <- allVs if !committedVs.contains(w)) {
+        for (f <- filesAt(fs, root, w) if !referenced.contains(f))
+          fs.delete(new Path(root, f), false)
+        for ((_, shard) <- indexAt(fs, root, w))
+          fs.delete(new Path(shardsDir(root), shard), false)
+        fs.delete(manifestPath(root, w), false)
+      }
+      val v = committedVs.maxOption.getOrElse(0)
+      val curIndex = indexAt(fs, root, v)
+      val curByDir: Map[String, Seq[String]] = curIndex.map { case (dk, shard) =>
+        dk -> shardFiles(fs, root, shard)
+      }.toMap
+
+      // 2. per-op: touched dirs, orphan sweep, write, new-file listing
+      case class OpDone(op: TableOp, dirs: Seq[String],
+          newByDir: Map[String, Seq[String]], wholeTable: Boolean)
+      def manifestDirsOf(table: String): Seq[String] =
+        curIndex.map(_._1).filter(dk =>
+          if (table.isEmpty) true else dk == table || dk.startsWith(s"$table/"))
+      val done = ops.flatMap { op =>
+        val wholeTable = op.touched.isEmpty
+        val preDirs: Seq[String] =
+          if (op.partCol.isEmpty) Seq(dirKeyOf(op.table, "", null))
+          else op.touched match {
+            case Some(t) => t().map(x => dirKeyOf(op.table, op.partCol, x))
+            case None => (diskDirs(fs, root, op.table, op.partCol) ++
+              manifestDirsOf(op.table)).distinct
+          }
+        // an explicit empty touched set is a no-op; whole-table and
+        // unpartitioned ops always run (their write may create the
+        // table's first dirs)
+        if (op.touched.isDefined && op.partCol.nonEmpty && preDirs.isEmpty) None
+        else {
+          for (dk <- preDirs; n <- dataFiles(fs, new Path(root, dk))
+              if !referenced.contains(s"$dk/$n"))
+            require(fs.delete(new Path(root, s"$dk/$n"), false),
+              s"orphan delete failed: $root/$dk/$n")
+          op.write(tableDir(root, op.table))
+          val postDirs =
+            if (wholeTable && op.partCol.nonEmpty)
+              (preDirs ++ diskDirs(fs, root, op.table, op.partCol)).distinct
+            else preDirs
+          val newByDir = postDirs.map { dk =>
+            dk -> dataFiles(fs, new Path(root, dk))
+              .map(n => s"$dk/$n").filterNot(referenced.contains)
+          }.toMap
+          Some(OpDone(op, postDirs, newByDir, wholeTable))
+        }
+      }
+      if (done.isEmpty) return // nothing touched — no version bump
+      maybeCrash("publish")
+
+      // 3. fence + commit
+      onBeforeCommit.foreach { f => onBeforeCommit = None; f() }
+      fence(fs, root, token)
+      val vNew = v + 1
+      // dirs each op drops wholesale (replace) vs keeps
+      val dropped: Set[String] = done.flatMap { d =>
+        if (!d.op.replace) Seq.empty
+        else if (d.wholeTable) manifestDirsOf(d.op.table)
+        else d.dirs
+      }.toSet
+      val touchedDirs: Set[String] = done.flatMap(_.dirs).toSet
+      val newFilesOf: Map[String, Seq[String]] =
+        done.flatMap(_.newByDir).toMap
+      def shardNameFor(dk: String): String = {
+        val san = dk.replaceAll("[^0-9a-zA-Z.=-]", "_")
+        s"${san}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
+      }
+      val newIndex = scala.collection.mutable.LinkedHashMap[String, String]()
+      fs.mkdirs(shardsDir(root))
+      for ((dk, shard) <- curIndex) {
+        if (!touchedDirs.contains(dk) && !dropped.contains(dk))
+          newIndex += dk -> shard // untouched: the SAME shard file, verbatim
+        else {
+          val kept = if (dropped.contains(dk)) Seq.empty else curByDir(dk)
+          val merged = kept ++ newFilesOf.getOrElse(dk, Seq.empty)
+          if (merged.nonEmpty) {
+            val s = shardNameFor(dk)
+            writeLines(fs, new Path(shardsDir(root), s), merged)
+            newIndex += dk -> s
+          }
+        }
+      }
+      for (dk <- done.flatMap(_.dirs) if !newIndex.contains(dk) &&
+          !curByDir.contains(dk)) {
+        val nf = newFilesOf.getOrElse(dk, Seq.empty)
+        if (nf.nonEmpty) {
+          val s = shardNameFor(dk)
+          writeLines(fs, new Path(shardsDir(root), s), nf)
+          newIndex += dk -> s
+        }
+      }
+      writeLines(fs, manifestPath(root, vNew),
+        newIndex.toSeq.map { case (dk, s) => s"$dk\t$s" })
+      // "commit" fires between the manifest write and the marker — the
+      // crashed-publish window whose manifest step 1 must clear (its
+      // files must not strand as permanently unreferenced)
+      maybeCrash("commit")
+      // the exclusive create is the flip — and the last fence: even a
+      // writer that raced past a broken lease cannot overwrite a
+      // successor's committed marker
+      fs.create(markerPath(root, vNew), false).close()
+      maybeCrash("gc")
+
+      // 4. GC: one-version grace
+      val keepFiles = newIndex.valuesIterator
+        .flatMap(s => shardFiles(fs, root, s)).toSet ++ filesAt(fs, root, v)
+      for (w <- committedVs if w < vNew - 1) {
+        for (f <- filesAt(fs, root, w) if !keepFiles.contains(f))
+          fs.delete(new Path(root, f), false)
+        fs.delete(manifestPath(root, w), false)
+      }
+      // stale markers (including data-less ones a crashed GC stranded)
+      for (n <- fs.listStatus(new Path(root)).map(_.getPath.getName)
+          if n.startsWith("_commit_v") &&
+            n.stripPrefix("_commit_v").toInt < vNew - 1)
+        fs.delete(new Path(root, n), false)
+      val keepShards = (newIndex.valuesIterator ++
+        indexAt(fs, root, v).iterator.map(_._2)).toSet
+      if (fs.exists(shardsDir(root)))
+        for (s <- fs.listStatus(shardsDir(root)).map(_.getPath.getName)
+            if !keepShards.contains(s))
+          fs.delete(new Path(shardsDir(root), s), false)
+    } finally releaseLease(fs, root, token)
+  }
+
+  // ----------------------------------------------------------------
+  // single-table convenience (the root is the table)
+  // ----------------------------------------------------------------
 
   /** Append `delta`'s rows as new files of their own partitions and
     * publish the next version (old files all kept). Rows of partitions
     * the store has never seen simply add those partitions. */
   def append(spark: SparkSession, root: String, partCol: String,
-      delta: DataFrame): Unit =
-    appendTouched(spark, root, partCol,
-      delta.select(partCol).distinct().collect().map(_.get(0)).toSeq, delta)
+      delta: DataFrame): Unit = {
+    val touched = delta.select(partCol).distinct().collect().map(_.get(0)).toSeq
+    appendTouched(spark, root, partCol, touched, delta)
+  }
 
   /** [[append]] with the touched partition set supplied by a caller
-    * that already computed it — saves the extra distinct-collect job
-    * on hot per-trigger paths. `touched` must cover every partition
+    * that already computed it. `touched` must cover every partition
     * `delta` writes (a row outside it would land on disk unlisted). */
   def appendTouched(spark: SparkSession, root: String, partCol: String,
-      touched: Seq[Any], delta: DataFrame): Unit = {
+      touched: Seq[Any], delta: DataFrame): Unit =
     if (touched.nonEmpty)
-      publish(spark, root, partCol, touched, replaceTouched = false) {
-        delta.repartition(col(partCol))
-          .write.mode("append").partitionBy(partCol).parquet(root)
-      }
-  }
+      publishOps(spark, root,
+        Seq(appendOp("", partCol, () => touched, () => delta)))
 
-  /** Replace the `touched` partitions' content with `repaired` (whose
-    * rows must all belong to touched partitions) and publish the next
-    * version. A touched partition with no rows in `repaired` is
-    * REMOVED from the manifest — and, the old rename-aside protocol's
-    * resurrection gap closed, can never come back: no recovery step
-    * exists that re-lists retired files. Untouched partitions' files
-    * are never listed, read, or rewritten. */
+  /** Replace the `touched` partitions' content with `repaired` and
+    * publish the next version. A touched partition with no rows in
+    * `repaired` is REMOVED from the manifest — durably. */
   def rewriteTouched(spark: SparkSession, root: String, partCol: String,
       touched: Seq[Any], repaired: DataFrame): Unit =
-    publish(spark, root, partCol, touched, replaceTouched = true) {
-      repaired.repartition(col(partCol))
-        .write.mode("append").partitionBy(partCol).parquet(root)
-    }
+    if (touched.nonEmpty)
+      publishOps(spark, root,
+        Seq(rewriteOp("", partCol, () => touched, () => repaired)))
 
-  /** The scheduled small-file sweep: rewrite EVERY partition of the
-    * committed snapshot to one `sortCols`-sorted file (tight row-group
-    * stats), publish as one snapshot flip. Result-invisible by
-    * contract; readers concurrent with the sweep stay on the previous
-    * version until the marker lands. */
+  /** The scheduled small-file sweep of a single-table store. */
   def compact(spark: SparkSession, root: String, partCol: String,
-      sortCols: Seq[String], schema: StructType): Unit = {
-    val touched = partitionDirs(spark, root)
-      .map(_.stripPrefix(s"$partCol="))
-    if (touched.nonEmpty) {
-      val snapshot = read(spark, root, schema)
-      publish(spark, root, partCol, touched, replaceTouched = true) {
-        snapshot.repartition(col(partCol))
-          .sortWithinPartitions(sortCols.map(col): _*)
-          .write.mode("append").partitionBy(partCol).parquet(root)
-      }
-    }
-  }
-
-  /** The shared publish choreography (under the lease):
-    *   1. clear invisible orphans of crashed publishes in the touched
-    *      dirs (files no surviving manifest references),
-    *   2. run the write job (new uniquely-named files, append-mode),
-    *   3. write `_manifest_v<N+1>` = kept ∪ new, create its marker
-    *      atomically — THE visibility flip,
-    *   4. GC: drop data files only versions ≤ N−1 referenced, then
-    *      those versions' manifest/marker files (grace window: the
-    *      previous version N stays fully readable). */
-  private def publish(spark: SparkSession, root: String, partCol: String,
-      touched: Seq[Any], replaceTouched: Boolean)(writeJob: => Unit): Unit = {
-    val fs = Fs.of(spark, root)
-    withLease(fs, root) {
-      val v = committedVersion(fs, root)
-      val cur = filesAt(fs, root, v)
-      val referenced = manifestVersions(fs, root)
-        .flatMap(filesAt(fs, root, _)).toSet ++ cur
-      val prefixes = touched.map(t => s"$partCol=$t/")
-      for (t <- touched) {
-        val d = new Path(root, s"$partCol=$t")
-        for (n <- dataFiles(fs, d) if !referenced.contains(s"$partCol=$t/$n"))
-          require(fs.delete(new Path(d, n), false), s"orphan delete failed: $d/$n")
-      }
-      writeJob
-      val newFiles = touched.flatMap { t =>
-        dataFiles(fs, new Path(root, s"$partCol=$t")).map(n => s"$partCol=$t/$n")
-      }.filterNot(referenced.contains)
-      maybeCrash("publish")
-      val kept =
-        if (replaceTouched) cur.filterNot(f => prefixes.exists(f.startsWith))
-        else cur
-      val newList = kept ++ newFiles
-      val mp = manifestPath(root, v + 1)
-      val out = fs.create(mp, true)
-      try out.write(newList.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      fs.create(markerPath(root, v + 1), true).close()
-      maybeCrash("gc")
-      gc(fs, root, v + 1, newList.toSet)
-    }
-  }
-
-  /** Drop every file only versions ≤ vNew−2 referenced, then their
-    * manifests/markers (idempotent: a crash mid-GC re-collects at the
-    * next publish because the stale manifests are deleted LAST). */
-  private def gc(fs: FileSystem, root: String, vNew: Int,
-      live: Set[String]): Unit = {
-    val keep = live ++ filesAt(fs, root, vNew - 1)
-    for (v <- manifestVersions(fs, root) if v < vNew - 1) {
-      for (f <- filesAt(fs, root, v) if !keep.contains(f))
-        fs.delete(new Path(root, f), false)
-      fs.delete(manifestPath(root, v), false)
-      fs.delete(markerPath(root, v), false)
-    }
-  }
+      sortCols: Seq[String], schema: StructType): Unit =
+    publishOps(spark, root,
+      Seq(compactOp(spark, root, "", partCol, sortCols, schema)))
 }

@@ -21,8 +21,8 @@ class AnnStreamSpec extends SparkSpec {
     val staged = StoredIndex.stageIvfPq(spark, sfDir)
     for (t <- Seq("lists", "codes")) {
       val sch = if (t == "lists") StoredIndex.listsSchema else StoredIndex.codesSchema
-      val s = ManifestStore.read(spark, s"$streamed/$t", sch)
-      val o = ManifestStore.read(spark, s"$staged/$t", sch)
+      val s = ManifestStore.readTable(spark, streamed, t, sch)
+      val o = ManifestStore.readTable(spark, staged, t, sch)
       val cols = s.columns.sorted.map(col).toSeq
       assert(s.select(cols: _*).exceptAll(o.select(cols: _*)).isEmpty, s"$t: extra rows in stream store")
       assert(o.select(cols: _*).exceptAll(s.select(cols: _*)).isEmpty, s"$t: missing rows in stream store")
@@ -42,7 +42,7 @@ class AnnStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(srcDir)
     val base = java.nio.file.Files.createTempDirectory("graft_anncspec_store").toString
     AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
-    def manifestFiles(t: String): Seq[String] = ManifestStore.files(spark, s"$base/$t")
+    def manifestFiles(t: String): Seq[String] = ManifestStore.tableFiles(spark, base, t)
     def buckets(t: String): Set[String] =
       manifestFiles(t).map(_.takeWhile(_ != '/')).toSet
     val (filesBefore, bucketsBefore) = (manifestFiles("lists").size, buckets("lists"))
@@ -97,8 +97,8 @@ class AnnStreamSpec extends SparkSpec {
     AnnStream.ingestBatch(spark, twice, emb) // the re-delivery
     for (t <- Seq("lists", "codes")) {
       val sch = if (t == "lists") StoredIndex.listsSchema else StoredIndex.codesSchema
-      val a = ManifestStore.read(spark, s"$once/$t", sch)
-      val b = ManifestStore.read(spark, s"$twice/$t", sch)
+      val a = ManifestStore.readTable(spark, once, t, sch)
+      val b = ManifestStore.readTable(spark, twice, t, sch)
       val cols = a.columns.sorted.map(col).toSeq
       assert(b.count() == a.count(), s"$t re-delivery appended duplicates")
       assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
@@ -106,36 +106,42 @@ class AnnStreamSpec extends SparkSpec {
     }
   }
 
-  test("a partially committed codes append self-heals: the re-delivered batch restores the missing sub-codes") {
-    // the failure ADVICE r16 called out: a crash inside the codes
-    // append's multi-file commit can persist a SUBSET of a vector's 8
-    // sub-code rows; a neighbor-only re-delivery gate would then drop
-    // the whole re-delivered delta and strand the vector half-coded.
-    // The (neighbor_id, sub) gate must instead append exactly the
-    // missing rows.
+  test("lists and codes commit ATOMICALLY: a crashed trigger leaves both at the old version, and the re-run restores the whole-vector invariant") {
+    // the failure the per-table protocol had to gate on (neighbor_id,
+    // sub): a crash between the two tables' publishes could persist a
+    // vector's lists row without (some of) its 8 code rows. With ONE
+    // manifest spanning both tables that state is structurally
+    // impossible — pin it: crash a trigger mid-publish (after both
+    // write jobs, before the commit), verify the store still holds the
+    // OLD version of BOTH tables (no half-vector anywhere), then
+    // re-deliver and verify the invariant codes = 8 × lists with
+    // matching id sets.
     val emb = Tables.embeddings(spark, sfDir)
     val (centroids, codebook) = StoredIndex.trainIndex(spark, sfDir)
-    val base = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_atomic").toString
     centroids.write.mode("overwrite").parquet(s"$base/centroids")
     codebook.write.mode("overwrite").parquet(s"$base/codebook")
+    val firstHalf = emb.where(col("vec_id") < 50)
+    AnnStream.ingestBatch(spark, base, firstHalf)
+    def invariantHolds(): Unit = {
+      val (lists, codes) = StoredIndex.readIndexSnap(spark, base)
+      assert(codes.count() == 8 * lists.count(), "codes != 8 x lists")
+      assert(lists.select("neighbor_id")
+        .exceptAll(codes.select("neighbor_id").distinct()).isEmpty,
+        "a vector has a lists row without codes")
+    }
+    invariantHolds()
+    val before = StoredIndex.readLists(spark, base).count()
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] { AnnStream.ingestBatch(spark, base, emb) }
+    ManifestStore.crashPoint = None
+    // the crashed trigger is invisible across BOTH tables
+    assert(StoredIndex.readLists(spark, base).count() == before)
+    invariantHolds()
+    // the re-delivered trigger lands the remainder exactly once
     AnnStream.ingestBatch(spark, base, emb)
-    // simulate the partial commit: rewrite the store dropping half of
-    // one vector's code rows (subs 4-7 of the first neighbor)
-    val victim = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
-      .select("neighbor_id").orderBy("neighbor_id").head().getLong(0)
-    val full = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
-    val buckets = full.select("bucket").distinct().collect().map(_.get(0)).toSeq
-    ManifestStore.rewriteTouched(spark, s"$base/codes", "bucket", buckets,
-      full.where(!(col("neighbor_id") === victim && col("sub") >= 4)))
-    assert(ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
-      .where(col("neighbor_id") === victim).count() == 4)
-    // the re-delivered batch must heal exactly the 4 missing rows
-    AnnStream.ingestBatch(spark, base, emb)
-    val healed = ManifestStore.read(spark, s"$base/codes", StoredIndex.codesSchema)
-    assert(healed.where(col("neighbor_id") === victim).count() == 8,
-      "partial codes commit not healed by re-delivery")
-    assert(healed.groupBy("neighbor_id").count()
-      .where(col("count") =!= 8).isEmpty, "some vector lost or duplicated sub-codes")
+    invariantHolds()
+    assert(StoredIndex.readLists(spark, base).count() == emb.count())
   }
 
   test("appends land inside bucket partitions — the nprobe pruning shape survives maintenance") {

@@ -80,7 +80,7 @@ class Bm25Spec extends SparkSpec {
     import graft.similarity.Bm25Store
     import graft.util.ManifestStore
     val base = graft.streaming.KmvStream.drainBm25(spark, sfDir)
-    def postingsFiles() = ManifestStore.files(spark, s"$base/postings")
+    def postingsFiles() = ManifestStore.tableFiles(spark, base, "postings")
     def buckets() = postingsFiles().map(_.takeWhile(_ != '/')).toSet
     val before = Bm25Store.readPostings(spark, base)
       .orderBy("t", "doc_id").collect()

@@ -42,14 +42,14 @@ class DeleteRepairSpec extends SparkSpec {
     val nLists = StoredIndex.readLists(spark, base).count()
     val nCodes = StoredIndex.readCodes(spark, base).count()
     val before = inv(s"$base/lists") ++ inv(s"$base/codes")
-    val beforeM = ManifestStore.files(spark, s"$base/lists").map("lists/" + _).toSet ++
-      ManifestStore.files(spark, s"$base/codes").map("codes/" + _).toSet
+    val beforeM = ManifestStore.tableFiles(spark, base, "lists").map("lists/" + _).toSet ++
+      ManifestStore.tableFiles(spark, base, "codes").map("codes/" + _).toSet
     val delVec = Embeddings.vecsOf(Tables.embeddings(spark, sfDir))
       .where(col("vec_id") === 14L)
     DeleteRepair.deleteFromIvfPq(spark, base, delVec)
     val after = inv(s"$base/lists") ++ inv(s"$base/codes")
-    val afterM = ManifestStore.files(spark, s"$base/lists").map("lists/" + _).toSet ++
-      ManifestStore.files(spark, s"$base/codes").map("codes/" + _).toSet
+    val afterM = ManifestStore.tableFiles(spark, base, "lists").map("lists/" + _).toSet ++
+      ManifestStore.tableFiles(spark, base, "codes").map("codes/" + _).toSet
     val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$cell/"))
     assert(untouchedBefore.nonEmpty)
     // every file outside the deleted vector's cell is the SAME file on
@@ -75,8 +75,9 @@ class DeleteRepairSpec extends SparkSpec {
     val fresh = tmp("graft_delspec_fresh")
     cents.write.parquet(s"$fresh/centroids")
     cb.write.parquet(s"$fresh/codebook")
-    ManifestStore.append(spark, s"$fresh/lists", "bucket", lists)
-    ManifestStore.append(spark, s"$fresh/codes", "bucket", codes)
+    ManifestStore.publishOps(spark, fresh, Seq(
+      ManifestStore.replaceTableOp("lists", "bucket", () => lists),
+      ManifestStore.replaceTableOp("codes", "bucket", () => codes)))
     val expected = DeleteRepair.searchIvfPq(spark, sfDir, fresh).collect()
     assert(repaired.nonEmpty)
     assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
@@ -151,7 +152,7 @@ class DeleteRepairSpec extends SparkSpec {
     emb.repartitionByRange(3, col("vec_id")).write.mode("overwrite").parquet(srcDir)
     val base = tmp("graft_delspec_live")
     graft.streaming.AnnStream.buildStore(spark, sfDir, srcDir, emb.schema, base)
-    val listFiles = ManifestStore.files(spark, s"$base/lists")
+    val listFiles = ManifestStore.tableFiles(spark, base, "lists")
     val cells = listFiles.map(_.takeWhile(_ != '/')).toSet
     assert(listFiles.size > cells.size,
       "expected the per-trigger fan-out (several files per cell)")
@@ -163,8 +164,9 @@ class DeleteRepairSpec extends SparkSpec {
     val fresh = tmp("graft_delspec_live_fresh")
     cents.write.parquet(s"$fresh/centroids")
     cb.write.parquet(s"$fresh/codebook")
-    ManifestStore.append(spark, s"$fresh/lists", "bucket", lists)
-    ManifestStore.append(spark, s"$fresh/codes", "bucket", codes)
+    ManifestStore.publishOps(spark, fresh, Seq(
+      ManifestStore.replaceTableOp("lists", "bucket", () => lists),
+      ManifestStore.replaceTableOp("codes", "bucket", () => codes)))
     val expected = DeleteRepair.searchIvfPq(spark, sfDir, fresh).collect()
     assert(repaired.nonEmpty)
     assert(repaired.map(_.toString).toSeq == expected.map(_.toString).toSeq)
@@ -197,16 +199,16 @@ class DeleteRepairSpec extends SparkSpec {
     // the repaired primary tables ARE the fresh ones, row for row
     for (t <- Seq("postings", "dl")) {
       val sch = if (t == "postings") Bm25Store.postingsSchema else Bm25Store.dlSchema
-      val x = ManifestStore.read(spark, s"$base/$t", sch)
-      val y = ManifestStore.read(spark, s"$fresh/$t", sch)
+      val x = ManifestStore.readTable(spark, base, t, sch)
+      val y = ManifestStore.readTable(spark, fresh, t, sch)
       val cs = x.columns.sorted.map(col).toSeq
       assert(x.select(cs: _*).exceptAll(y.select(cs: _*)).isEmpty, s"$t extra")
       assert(y.select(cs: _*).exceptAll(x.select(cs: _*)).isEmpty, s"$t missing")
     }
     // and the recounted stats partials sum to the fresh totals
-    val sa = ManifestStore.read(spark, s"$base/stats", Bm25Store.statsSchema)
+    val sa = ManifestStore.readTable(spark, base, "stats", Bm25Store.statsSchema)
       .agg(sum("n_docs"), sum("tot_tok")).head()
-    val sb = ManifestStore.read(spark, s"$fresh/stats", Bm25Store.statsSchema)
+    val sb = ManifestStore.readTable(spark, fresh, "stats", Bm25Store.statsSchema)
       .agg(sum("n_docs"), sum("tot_tok")).head()
     assert(sa == sb, s"stats totals diverged: $sa vs $sb")
   }

@@ -147,10 +147,12 @@ class FsPortabilitySpec extends SparkSpec {
     import graft.util.ManifestStore
     val staged = graft.similarity.DeleteRepair.stageDirectedTopk(spark, sfDir)
     val base = graftRoot() + "/knn"
-    ManifestStore.append(spark, s"$base/topk", "label",
-      ManifestStore.read(spark, s"$staged/topk", GraphStream.topkSchema))
-    ManifestStore.append(spark, s"$base/vecs", "label",
-      ManifestStore.read(spark, s"$staged/vecs", GraphStream.vecsSchema))
+    ManifestStore.publishOps(spark, base, Seq(
+      ManifestStore.replaceTableOp("topk", "label", () =>
+        GraphStream.readTopk(spark, staged)
+          .select("src_id", "dst_id", "cos", "rank", "label")),
+      ManifestStore.replaceTableOp("vecs", "label", () =>
+        GraphStream.readVecsRaw(spark, staged))))
     assert(fsOf(base).isInstanceOf[GraftTestFs])
     val delVecs = graft.similarity.Embeddings
       .vecsOf(Tables.embeddings(spark, sfDir))

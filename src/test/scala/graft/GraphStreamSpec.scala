@@ -37,14 +37,13 @@ class GraphStreamSpec extends SparkSpec {
     // the live vector store compacts through the named seam: one
     // manifest file per label dir afterwards, layout kept, store
     // result-invisible
-    def vecFiles(): Seq[String] = ManifestStore.files(spark, s"$base/vecs")
+    def vecFiles(): Seq[String] = ManifestStore.tableFiles(spark, base, "vecs")
     def labels(fs: Seq[String]): Set[String] = fs.map(_.takeWhile(_ != '/')).toSet
     val before = vecFiles()
     assert(before.size > labels(before).size, "no per-trigger vec fan-out to compact")
     val rowsBefore = GraphStream.readVecsRaw(spark, base)
       .orderBy("vec_id").collect().map(_.toString).toSeq
-    ManifestStore.compact(spark, s"$base/vecs", "label",
-      Seq("vec_id"), GraphStream.vecsSchema)
+    GraphStream.compactGraphStore(spark, base)
     val after = vecFiles()
     assert(labels(after) == labels(before), "compaction lost label partitions")
     assert(after.size == labels(after).size, s"vecs not 1 file/label: ${after.size}")
@@ -68,8 +67,8 @@ class GraphStreamSpec extends SparkSpec {
     val twice = mkStore(2)
     for (t <- Seq("topk", "vecs")) {
       val sch = if (t == "topk") GraphStream.topkSchema else GraphStream.vecsSchema
-      val a = ManifestStore.read(spark, s"$once/$t", sch)
-      val b = ManifestStore.read(spark, s"$twice/$t", sch)
+      val a = ManifestStore.readTable(spark, once, t, sch)
+      val b = ManifestStore.readTable(spark, twice, t, sch)
       val cols = a.columns.sorted.map(col).toSeq
       assert(b.count() == a.count(), s"$t re-delivery changed the row count")
       assert(b.select(cols: _*).exceptAll(a.select(cols: _*)).isEmpty, s"$t rows diverged")
@@ -100,7 +99,7 @@ class GraphStreamSpec extends SparkSpec {
       b.result()
     }
     val before = listing()
-    val beforeManifest = ManifestStore.files(spark, s"$base/topk").toSet
+    val beforeManifest = ManifestStore.tableFiles(spark, base, "topk").toSet
     assert(before.keys.exists(_.contains(s"label=$lastLabel")), "touched label present pre-trigger")
     assert(before.keys.exists(!_.contains(s"label=$lastLabel")), "untouched labels present pre-trigger")
     // one more trigger: exactly the one held-out vector
@@ -109,7 +108,7 @@ class GraphStreamSpec extends SparkSpec {
       .write.mode("overwrite").parquet(src2)
     GraphStream.buildStore(spark, sfDir, src2, emb.schema, base)
     val after = listing()
-    val afterManifest = ManifestStore.files(spark, s"$base/topk").toSet
+    val afterManifest = ManifestStore.tableFiles(spark, base, "topk").toSet
     // untouched label partitions: byte-for-byte the same files on disk
     val untouchedBefore = before.filter(!_._1.contains(s"label=$lastLabel"))
     val untouchedAfter = after.filter(!_._1.contains(s"label=$lastLabel"))

@@ -1,37 +1,51 @@
 package graft
 
-import graft.similarity.IndexRefresh
+import graft.similarity.{IndexRefresh, StoredIndex}
+import graft.util.ManifestStore
 import org.apache.spark.sql.functions._
 
-/** Blue/green index rotation: old-store precedence until the marker
-  * lands, no rotation on an in-distribution window, and the rotated
-  * index ≡ a fresh build on the drifted window. */
+/** Blue/green index rotation on the converged manifest primitive: a
+  * rotation is ONE atomic publish replacing all four index tables, so
+  * reads during a re-stage serve the OLD committed version across
+  * centroids, codebook, lists AND codes; no rotation on an
+  * in-distribution window; and the rotated index ≡ a fresh build on
+  * the drifted window. */
 class IndexRefreshSpec extends SparkSpec {
 
-  test("reads during a re-stage serve the OLD committed store; the marker is the swap") {
+  test("a crash mid-rotation leaves the OLD version serving across all four tables; the re-run's marker is the swap") {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_bg_spec").toString
     val orig = IndexRefresh.origVecs(spark, sfDir)
     val probes = orig.where(col("vec_id") < 5)
-    IndexRefresh.stageVersion(spark, root, 1, orig)
-    IndexRefresh.commitVersion(spark, root, 1)
+    IndexRefresh.publishVersion(spark, root, orig)
     assert(IndexRefresh.committedVersion(spark, root) == 1)
     val before = IndexRefresh.searchCommitted(spark, root, probes)
       .collect().map(_.toString).toSeq
     assert(before.nonEmpty)
-    // re-stage the drifted v2 WITHOUT committing: v2 files are on disk,
-    // but every read must keep resolving — and bit-reproducing — v1
-    IndexRefresh.stageVersion(spark, root, 2,
-      IndexRefresh.driftedVecs(spark, sfDir))
-    assert(graft.util.Fs.of(spark, root)
-      .exists(new org.apache.hadoop.fs.Path(s"$root/v2/codes")), "v2 staged")
+    val centsBefore = ManifestStore.readTable(spark, root, "centroids",
+      StoredIndex.centroidsSchema).collect().map(_.toString).toSet
+    // re-stage the drifted v2, crashing AFTER its files are written
+    // but BEFORE the manifest commit: v2 files are on disk, but every
+    // read must keep resolving — and bit-reproducing — v1, INCLUDING
+    // the retrained quantizers (the cross-table torn read a
+    // two-protocol design risked: new centroids over old codes)
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] {
+      IndexRefresh.publishVersion(spark, root,
+        IndexRefresh.driftedVecs(spark, sfDir))
+    }
+    ManifestStore.crashPoint = None
     assert(IndexRefresh.committedVersion(spark, root) == 1)
     val during = IndexRefresh.searchCommitted(spark, root, probes)
       .collect().map(_.toString).toSeq
     assert(during == before, "a mid-re-stage read saw the uncommitted store")
-    // the marker IS the swap: post-commit reads serve v2
-    IndexRefresh.commitVersion(spark, root, 2)
+    assert(ManifestStore.readTable(spark, root, "centroids",
+      StoredIndex.centroidsSchema).collect().map(_.toString).toSet == centsBefore,
+      "a mid-re-stage read saw retrained quantizers")
+    // the re-run rotation completes; its marker IS the swap
+    IndexRefresh.publishVersion(spark, root,
+      IndexRefresh.driftedVecs(spark, sfDir))
     assert(IndexRefresh.committedVersion(spark, root) == 2)
     val driftedProbes = IndexRefresh.driftedVecs(spark, sfDir)
       .where(col("vec_id") < 5)
@@ -44,8 +58,7 @@ class IndexRefreshSpec extends SparkSpec {
     graft.functions.L2Distance.register(spark)
     graft.functions.KnownNonNullElements.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_bg_ctrl").toString
-    IndexRefresh.stageVersion(spark, root, 1, IndexRefresh.origVecs(spark, sfDir))
-    IndexRefresh.commitVersion(spark, root, 1)
+    IndexRefresh.publishVersion(spark, root, IndexRefresh.origVecs(spark, sfDir))
     // shift 0 = the DriftMonitorSpec control (KL ≈ sampling noise)
     assert(IndexRefresh.refreshIfDrifted(spark, sfDir, root, 0.0) == 1,
       "in-distribution window rotated the index")
@@ -61,8 +74,7 @@ class IndexRefreshSpec extends SparkSpec {
     // fresh build: stage directly from the drifted corpus, search it
     val root = java.nio.file.Files.createTempDirectory("graft_bg_fresh").toString
     val drifted = IndexRefresh.driftedVecs(spark, sfDir)
-    IndexRefresh.stageVersion(spark, root, 1, drifted)
-    IndexRefresh.commitVersion(spark, root, 1)
+    IndexRefresh.publishVersion(spark, root, drifted)
     val fresh = IndexRefresh.searchCommitted(spark, root,
       drifted.where(col("vec_id") < 5)).collect().map(_.toString).toSeq
     assert(refreshed.nonEmpty)

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** Deletion against the LIVE streaming-maintained stores: rows deleted
   * mid-stream stay deleted across later triggers and the compaction
   * sweep, and the final store equals the append-everything-then-delete
-  * ordering bit-for-bit. Plus the blue/green composition: a delete
-  * arriving mid-re-stage lands in both the serving and the staged
-  * version. */
+  * ordering bit-for-bit. Plus the blue/green composition on the
+  * converged manifest primitive: the staging gate keeps deleted ids
+  * out of every later rotation, deletes repair whichever version is
+  * committed, and the delete log's file count stays bounded. */
 class LiveDeleteSpec extends SparkSpec {
 
   graft.functions.L2Distance.register(spark)
@@ -34,7 +35,7 @@ class LiveDeleteSpec extends SparkSpec {
     // no deleted id anywhere in the final store
     for ((t, sch) <- Seq("lists" -> StoredIndex.listsSchema,
         "codes" -> StoredIndex.codesSchema))
-      assert(ManifestStore.read(spark, s"$dta/$t", sch)
+      assert(ManifestStore.readTable(spark, dta, t, sch)
         .where(pmod(col("neighbor_id"), lit(17L)) === 14L).isEmpty,
         s"$t retains deleted ids")
     // append-then-delete: full drain, then the same delete, same sweep
@@ -47,8 +48,8 @@ class LiveDeleteSpec extends SparkSpec {
     AnnStream.compactIndexStore(spark, atd)
     for ((t, sch) <- Seq("lists" -> StoredIndex.listsSchema,
         "codes" -> StoredIndex.codesSchema)) {
-      val a = ManifestStore.read(spark, s"$dta/$t", sch)
-      val b = ManifestStore.read(spark, s"$atd/$t", sch)
+      val a = ManifestStore.readTable(spark, dta, t, sch)
+      val b = ManifestStore.readTable(spark, atd, t, sch)
       val cols = a.columns.sorted.map(col).toSeq
       assert(a.count() == b.count() && a.count() > 0, s"$t count")
       assert(a.select(cols: _*).exceptAll(b.select(cols: _*)).isEmpty, s"$t diverged")
@@ -60,61 +61,75 @@ class LiveDeleteSpec extends SparkSpec {
     assert(x.map(_.toString).toSeq == y.map(_.toString).toSeq)
   }
 
-  test("blue/green GC: after rotations the root holds exactly the last two versions; crash mid-GC self-heals") {
-    val root = java.nio.file.Files.createTempDirectory("graft_bg_gc").toString
-    val orig = IndexRefresh.origVecs(spark, sfDir)
-    IndexRefresh.publishVersion(spark, root, 1, orig)
-    IndexRefresh.publishVersion(spark, root, 2, orig)
-    // the v3 publish retires v1: files strictly before the marker
-    IndexRefresh.crashPoint = Some("bg-gc")
-    intercept[IllegalStateException] {
-      IndexRefresh.publishVersion(spark, root, 3, orig)
-    }
-    IndexRefresh.crashPoint = None
+  /** Data files of one table on disk (the manifest may reference fewer
+    * — the difference is grace copies awaiting GC). */
+  private def diskTableFiles(root: String, table: String): Set[String] = {
     val fs = graft.util.Fs.of(spark, root)
-    // the crash stranded v1's marker (files already gone) — readers
-    // resolve max(committed), so serving is unaffected
-    assert(IndexRefresh.committedVersion(spark, root) == 3)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")))
-    val probes = orig.where(col("vec_id") < 5)
-    assert(IndexRefresh.searchCommitted(spark, root, probes).count() > 0)
-    // the re-run GC collects the backlog
-    IndexRefresh.gcRetired(spark, root)
-    val names = fs.listStatus(new org.apache.hadoop.fs.Path(root))
-      .map(_.getPath.getName).toSet
-    assert(!names.contains("_commit_v1") && !names.contains("v1"))
-    assert(names.contains("v2") && names.contains("v3") &&
-      names.contains("_commit_v2") && names.contains("_commit_v3"),
-      s"grace version lost: $names")
-    // both surviving versions stay fully readable (the grace contract)
-    for (v <- Seq(2, 3))
-      assert(StoredIndex.readLists(spark, s"$root/v$v").count() > 0)
+    val p = new org.apache.hadoop.fs.Path(s"$root/$table")
+    val b = Set.newBuilder[String]
+    if (fs.exists(p)) {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next().getPath.toString
+        if (f.endsWith(".parquet")) b += f
+      }
+    }
+    b.result()
   }
 
-  test("blue/green composition: a delete arriving MID-re-stage lands in the serving AND the staged version") {
+  test("blue/green GC: after rotations the store holds at most two versions' files; crash mid-GC self-heals") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bg_gc").toString
+    val orig = IndexRefresh.origVecs(spark, sfDir)
+    IndexRefresh.publishVersion(spark, root, orig)
+    val v1Lists = diskTableFiles(root, "lists")
+    IndexRefresh.publishVersion(spark, root, orig)
+    // grace: v1's files are retired from the manifest but still on disk
+    assert(v1Lists.subsetOf(diskTableFiles(root, "lists")),
+      "grace copy dropped too early")
+    // the v3 rotation retires v1's files; crash between its commit and
+    // its GC — the commit stands, serving is unaffected
+    ManifestStore.crashPoint = Some("gc")
+    intercept[IllegalStateException] {
+      IndexRefresh.publishVersion(spark, root, orig)
+    }
+    ManifestStore.crashPoint = None
+    assert(IndexRefresh.committedVersion(spark, root) == 3)
+    val probes = orig.where(col("vec_id") < 5)
+    assert(IndexRefresh.searchCommitted(spark, root, probes).count() > 0)
+    // the next publish collects the backlog: v1's files are gone and
+    // the disk holds at most the grace version + the live one
+    IndexRefresh.publishVersion(spark, root, orig)
+    assert(v1Lists.intersect(diskTableFiles(root, "lists")).isEmpty,
+      "retired version's files never GC'd")
+    val live = ManifestStore.tableFiles(spark, root, "lists").size
+    assert(diskTableFiles(root, "lists").size <= 2 * live,
+      "more than two versions' files on disk")
+    // both the live and the grace version stay fully readable
+    assert(IndexRefresh.searchCommitted(spark, root, probes).count() > 0)
+  }
+
+  test("blue/green composition: a delete logged BEFORE a rotation is excluded from the rotated version (the staging gate)") {
     val root = java.nio.file.Files.createTempDirectory("graft_bg_mid").toString
     val drifted = IndexRefresh.driftedVecs(spark, sfDir)
-    IndexRefresh.publishVersion(spark, root, 1, IndexRefresh.origVecs(spark, sfDir))
-    // v2 staging reads the (empty) log, then the delete arrives:
-    // applied to the SERVING v1 and logged at the root
-    IndexRefresh.stageVersion(spark, root, 2, drifted)
+    IndexRefresh.publishVersion(spark, root, IndexRefresh.origVecs(spark, sfDir))
+    // the delete lands as ONE atomic publish: log + serving-version repair
     IndexRefresh.deleteCommitted(spark, root,
       IndexRefresh.origVecs(spark, sfDir).where(DeleteRepair.delVecPred))
-    // v1 (still serving) already excludes the deleted ids
-    assert(StoredIndex.readLists(spark, s"$root/v1")
+    // the serving version already excludes the deleted ids
+    assert(ManifestStore.readTable(spark, root, "lists", StoredIndex.listsSchema)
       .where(pmod(col("neighbor_id"), lit(17L)) === 14L).isEmpty)
-    // the rotation's pre-commit replay repairs the staged v2
-    IndexRefresh.replayDeletes(spark, root, 2, drifted)
-    IndexRefresh.commitVersion(spark, root, 2)
-    IndexRefresh.replayDeletes(spark, root, 2, drifted)
-    assert(StoredIndex.readLists(spark, s"$root/v2")
+    // the rotation stages from the drifted feed, gated on the log
+    // (read under the rotation's own lease): deleted ids must not be
+    // re-indexed even though the feed still carries them
+    IndexRefresh.publishVersion(spark, root, drifted)
+    assert(ManifestStore.readTable(spark, root, "lists", StoredIndex.listsSchema)
       .where(pmod(col("neighbor_id"), lit(17L)) === 14L).isEmpty,
-      "the mid-re-stage delete did not land in the rotated version")
+      "the rotation re-indexed deleted ids")
     // post-rotation search == fresh build on the drifted SURVIVORS
     val served = IndexRefresh.searchCommitted(spark, root,
       drifted.where(col("vec_id") < 5)).collect()
     val freshRoot = java.nio.file.Files.createTempDirectory("graft_bg_midf").toString
-    IndexRefresh.publishVersion(spark, freshRoot, 1,
+    IndexRefresh.publishVersion(spark, freshRoot,
       drifted.where(!DeleteRepair.delVecPred))
     val fresh = IndexRefresh.searchCommitted(spark, freshRoot,
       drifted.where(col("vec_id") < 5)).collect()
@@ -122,28 +137,41 @@ class LiveDeleteSpec extends SparkSpec {
     assert(served.map(_.toString).toSeq == fresh.map(_.toString).toSeq)
   }
 
-  test("a delete racing the commit itself re-applies to the new version (the re-check loop)") {
+  test("a delete AFTER a rotation repairs the rotated version; the log survives every later rotation's gate") {
     val root = java.nio.file.Files.createTempDirectory("graft_bg_race").toString
     val orig = IndexRefresh.origVecs(spark, sfDir)
-    IndexRefresh.publishVersion(spark, root, 1, orig)
-    // stage AND commit v2 with a stale log (simulates the replay
-    // window having already passed), THEN the delete runs: its
-    // re-check loop must land it in v2 even though v2 committed after
-    // the delete resolved v1... here committedVersion moves between
-    // the delete's two iterations only if we interleave manually, so
-    // drive the loop's contract directly: delete, then verify BOTH
-    // versions are clean after one more deleteCommitted call
-    IndexRefresh.stageVersion(spark, root, 2, orig)
-    IndexRefresh.commitVersion(spark, root, 2)
+    IndexRefresh.publishVersion(spark, root, orig)
+    IndexRefresh.publishVersion(spark, root, orig) // the rotation
     IndexRefresh.deleteCommitted(spark, root,
       orig.where(DeleteRepair.delVecPred))
-    assert(StoredIndex.readLists(spark, s"$root/v2")
+    assert(ManifestStore.readTable(spark, root, "lists", StoredIndex.listsSchema)
       .where(pmod(col("neighbor_id"), lit(17L)) === 14L).isEmpty)
     // the log survives for every FUTURE rotation's staging gate
-    assert(DeleteLog.ids(spark, root).exists(_.count() > 0))
-    IndexRefresh.publishVersion(spark, root, 3, orig)
-    assert(StoredIndex.readLists(spark, s"$root/v3")
+    assert(DeleteLog.ids(spark, root, "vec_id").exists(_.count() > 0))
+    IndexRefresh.publishVersion(spark, root, orig)
+    assert(ManifestStore.readTable(spark, root, "lists", StoredIndex.listsSchema)
       .where(pmod(col("neighbor_id"), lit(17L)) === 14L).isEmpty,
       "a later rotation re-indexed deleted ids")
+  }
+
+  test("the delete log's file count stays bounded across a long delete sequence (fold-at-threshold)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dellog_bound").toString
+    val orig = IndexRefresh.origVecs(spark, sfDir)
+    IndexRefresh.publishVersion(spark, root, orig)
+    val ids = orig.where(pmod(col("vec_id"), lit(17L)) === 14L)
+      .select("vec_id").limit(12).collect().map(_.getLong(0))
+    assert(ids.length >= 10, "need a long enough delete sequence")
+    import spark.implicits._
+    for (id <- ids)
+      IndexRefresh.deleteCommitted(spark, root,
+        orig.where(col("vec_id") === id))
+    val logFiles = ManifestStore.tableFiles(spark, root, DeleteLog.Table)
+    assert(logFiles.nonEmpty)
+    assert(logFiles.size <= DeleteLog.FoldAt,
+      s"delete log grew unbounded: ${logFiles.size} files after ${ids.length} deletes")
+    // the folded log still gates: every id stays deleted
+    val logged = DeleteLog.ids(spark, root, "vec_id").get
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.toSet.subsetOf(logged), "a fold dropped logged ids")
   }
 }
