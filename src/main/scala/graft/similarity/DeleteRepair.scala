@@ -23,16 +23,18 @@ import org.apache.hadoop.fs.Path
   *     (touched cells, touched labels, touched term buckets) is
   *     delete-batch-sized — the corpus-scale store is never scanned,
   *     only its touched partitions are listed, read and rewritten;
-  *   - each rewrite publishes through [[graft.util.ManifestStore]]
-  *     (snapshot-isolated manifest commit): readers concurrent with
-  *     the repair see the old or the new committed store in full,
-  *     never a partial partition, and a crashed delete re-runs
-  *     idempotently (the delete set is a pure predicate; re-deleting
-  *     already-deleted rows is a no-op, and the crashed attempt's
+  *   - each delete is ONE atomic [[graft.util.ManifestStore]] publish
+  *     spanning the store's [[graft.util.DeleteLog]] append and every
+  *     touched table's rewrite: readers concurrent with the repair
+  *     see the old or the new committed store in full — across ALL
+  *     tables, never lists repaired ahead of codes — and a crashed
+  *     delete leaves the whole operation un-happened (the delete set
+  *     is a pure predicate; the re-run redoes it, re-deleting
+  *     already-absent rows as no-ops, and the crashed attempt's
   *     uncommitted files are invisible orphans the re-run clears);
-  *   - every delete is RECORDED in the store's [[graft.util.DeleteLog]]
-  *     so the live ingest path ([[graft.streaming.AnnStream]],
-  *     [[graft.streaming.GraphStream]]) gates later-arriving batches —
+  *   - the logged ids gate the live ingest path
+  *     ([[graft.streaming.AnnStream]], [[graft.streaming.GraphStream]],
+  *     [[Bm25Store.appendBatch]]) against later-arriving batches —
   *     a deleted id stays deleted even if its source row re-arrives;
   *   - repair is EXACT, not tombstoning: the contract (and the
   *     oracle) is that every post-delete answer equals a FRESH build

@@ -169,6 +169,117 @@ class ManifestStoreSpec extends SparkSpec {
     assert(pruned.count() == 3)
   }
 
+  test("a multi-table publish is ATOMIC: a mid-publish crash leaves a reader on ONE version across every table") {
+    val root = tmp()
+    def pub(k: Long, x: Double): Unit =
+      ManifestStore.publishOps(spark, root, Seq(
+        ManifestStore.appendOp("a", "b", () => Seq(0), () => df((k, x, 0))),
+        ManifestStore.appendOp("c", "b", () => Seq(0), () => df((k, x, 0)))))
+    pub(1L, 1.0)
+    def both(): (Set[String], Set[String]) = {
+      val snap = ManifestStore.snapshot(spark, root)
+      (snap.read("a", schema).collect().map(_.toString).toSet,
+        snap.read("c", schema).collect().map(_.toString).toSet)
+    }
+    val before = both()
+    assert(before._1 == before._2 && before._1.nonEmpty)
+    // crash AFTER table a's and c's files are written, BEFORE the one
+    // commit: the exact window where per-table manifests could expose
+    // a@v+1 with c@v — here a reader must see v across BOTH tables
+    ManifestStore.crashPoint = Some("publish")
+    intercept[IllegalStateException] { pub(2L, 2.0) }
+    ManifestStore.crashPoint = None
+    assert(both() == before, "a reader saw a torn multi-table state")
+    // the re-run commits both tables in one flip
+    pub(2L, 2.0)
+    val after = both()
+    assert(after._1 == after._2 && after._1.size == 2,
+      s"tables diverged after the re-run: $after")
+  }
+
+  test("manifest sharding: an untouched dir's shard file is carried VERBATIM across a touched-dir publish (O(touched) bytes)") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b",
+      df((1L, 1.0, 0), (2L, 2.0, 1), (3L, 3.0, 2)))
+    val fs = graft.util.Fs.of(spark, root)
+    def shardBytes(name: String): Seq[Byte] = {
+      val p = new Path(root, s"_shards/$name")
+      val in = fs.open(p)
+      try Iterator.continually(in.read()).takeWhile(_ >= 0).map(_.toByte).toSeq
+      finally in.close()
+    }
+    val before = ManifestStore.shardIndex(spark, root).toMap
+    val beforeBytes = before.map { case (dk, s) => dk -> shardBytes(s) }
+    val beforeMtime = before.map { case (dk, s) =>
+      dk -> fs.getFileStatus(new Path(root, s"_shards/$s")).getModificationTime }
+    // touch ONLY b=1
+    ManifestStore.rewriteTouched(spark, root, "b", Seq(1), df((2L, 20.0, 1)))
+    val after = ManifestStore.shardIndex(spark, root).toMap
+    for (dk <- Seq("b=0", "b=2")) {
+      assert(after(dk) == before(dk),
+        s"untouched dir $dk got a NEW shard file on a b=1 publish")
+      assert(shardBytes(after(dk)) == beforeBytes(dk), s"$dk shard bytes changed")
+      assert(fs.getFileStatus(new Path(root, s"_shards/${after(dk)}"))
+        .getModificationTime == beforeMtime(dk), s"$dk shard was rewritten in place")
+    }
+    assert(after("b=1") != before("b=1"), "touched dir kept its old shard")
+    // publish write cost: exactly ONE new shard + the index file — not
+    // one per dir, not one per file
+    val newShards = after.values.toSet -- before.values.toSet
+    assert(newShards.size == 1, s"a 1-dir publish wrote ${newShards.size} shards")
+    // and the index is one line per dir (dirs), not one per file
+    assert(ManifestStore.shardIndex(spark, root).size == 3)
+  }
+
+  test("a crashed commit (manifest written, marker absent) is cleared IMMEDIATELY by the next publish — even of other partitions") {
+    // the r17 ADVICE leak: files referenced only by an uncommitted
+    // manifest were neither orphan-cleared nor re-listed — a permanent
+    // disk leak for partitions never touched again. Now publish start
+    // deletes marker-less manifests and their not-otherwise-referenced
+    // files, whatever partitions they touched.
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    ManifestStore.crashPoint = Some("commit")
+    intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((9L, 9.0, 5)))
+    }
+    ManifestStore.crashPoint = None
+    // the crashed files are invisible...
+    assert(rows(root) == Set("[1,1.0,0]"))
+    // ...and the next publish — touching a DIFFERENT partition —
+    // clears them (no b=5 file left on disk, no stale manifest)
+    ManifestStore.append(spark, root, "b", df((2L, 2.0, 1)))
+    assert(diskFiles(root).forall(!_.contains("b=5/")),
+      "a crashed commit's files leaked on disk")
+    assert(diskFiles(root).size == ManifestStore.files(spark, root).size)
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,1]"))
+  }
+
+  test("a stalled writer whose lease was broken is FENCED: it fails before the manifest and cannot overwrite its successor's commit") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    // writer A stalls just before its commit; the operator breaks the
+    // lease and writer B lands a full publish. When A resumes, its
+    // token no longer matches: A must fail loudly, leaving B's commit
+    // untouched (A's files stay uncommitted orphans).
+    ManifestStore.onBeforeCommit = Some(() => {
+      ManifestStore.breakLease(spark, root)
+      ManifestStore.append(spark, root, "b", df((3L, 3.0, 0))) // writer B
+    })
+    val e = intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((2L, 2.0, 0))) // writer A
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    // B's commit stands; A's rows never became visible
+    assert(rows(root) == Set("[1,1.0,0]", "[3,3.0,0]"))
+    // the store is not wedged: A's orphans are cleared by the next
+    // publish and the history continues
+    ManifestStore.append(spark, root, "b", df((4L, 4.0, 0)))
+    assert(rows(root) == Set("[1,1.0,0]", "[3,3.0,0]", "[4,4.0,0]"))
+    assert(diskFiles(root).size == ManifestStore.files(spark, root).size,
+      "the fenced writer's files were never cleared")
+  }
+
   test("dynamic partition pruning reaches a manifest-read scan joined on its partition column") {
     val root = tmp()
     ManifestStore.append(spark, root, "b",

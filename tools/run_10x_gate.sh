@@ -78,5 +78,22 @@ python3 tools/oracle_check.py "$SLICE" "$SOUT" | tee /tmp/v10x_slice_oracle.log 
   | tail -3 | tee -a "$ART"
 grep -q " 0 fail" /tmp/v10x_slice_oracle.log || fail=1
 
+# Per-addition addenda (auditability — the r17 verdict's ask): name the
+# round's touched/added queries' individual 10x verdicts in the artifact
+# instead of burying them in the anonymous pass count. Override the set
+# with TENX_ADDENDA=q1,q2,...
+ADDENDA="${TENX_ADDENDA:-ann_ivfpq_stored,stream_ann_ivfpq,stream_ann_ivfpq_compacted,stream_ann_ivfpq_deleted,stream_knn_graph,stream_knn_graph_deleted,embed_knn_graph_stored,graph_pagerank_stored,graph_components_stored,retrieve_bm25_stored,stream_bm25_postings,stream_bm25_compacted,stream_bm25_deleted,store_delete_ivfpq,store_delete_knn,store_delete_bm25,ann_index_refresh,ann_refresh_delete}"
+note "== addenda: per-query 10x verdicts for this round's touched set =="
+for q in $(echo "$ADDENDA" | tr ',' ' '); do
+  line=$(grep -E "^(PASS|FAIL|SKIP) $q[ :(]" /tmp/v10x_oracle.log | head -1)
+  if [ -n "$line" ]; then note "  $line"
+  else
+    # timed-out quadratic queries surface through step 3a/3b instead
+    if echo ",$SKIPPED," | grep -q ",$q,"; then
+      note "  $q: quadratic-oracle budget skip -> covered by replication + sampled-slice steps above"
+    else note "  $q: NOT FOUND in oracle log"; fail=1; fi
+  fi
+done
+
 if [ "$fail" = 0 ]; then note "== 10x GATE: ALL GREEN =="; else note "== 10x GATE: FAILURES (see logs) =="; fi
 exit $fail
