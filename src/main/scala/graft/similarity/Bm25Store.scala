@@ -146,39 +146,40 @@ object Bm25Store {
     * gate read. */
   private[graft] def appendBatch(sp: SparkSession, base: String,
       batchDocs: DataFrame, batchKey: Long): Unit = {
+    // the ONE re-delivery gate: dl is the presence table (atomic
+    // commits guarantee a doc's postings/stats landed iff its dl row
+    // did), so docs the store already holds drop out here — and
+    // everything below derives from the gated set, which is what
+    // keeps stats exact even for a duplicate doc_id under a fresh
+    // batch_key. Deliberately NOT checkpointed: the three write jobs
+    // run in parallel and each re-derives this batch-sized frame —
+    // cheaper than an extra materialization job on the per-trigger
+    // hot path.
+    def gated = {
+      val live = DeleteLog.gate(sp, base, batchDocs, "doc_id")
+      // the gate read prunes to the batch's own db buckets (static
+      // partition pruning on the dl store's db column)
+      live.join(readDl(sp, base).where(col("db").isin(prepared._1: _*))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+        .select("doc_id", "text")
+    }
     // forced lazily — on first touch the publish already holds the
     // lease, so every store read sees the version this commit
-    // supersedes
-    lazy val prepared = {
-      val live = DeleteLog.gate(sp, base, batchDocs, "doc_id")
-      // ONE driver pass collects both touched-bucket sets (the only
-      // data-dependent facts the choreography needs); tb/db of deleted
-      // or re-delivered docs are a harmless superset
-      val touched = live
+    // supersedes. ONE driver pass collects both touched-bucket sets
+    // (the only data-dependent facts the choreography needs); tb/db of
+    // deleted or re-delivered docs are a harmless superset.
+    lazy val prepared: (Seq[Any], Seq[Any]) = {
+      val touched = DeleteLog.gate(sp, base, batchDocs, "doc_id")
         .select(col("doc_id"), split(col("text"), " ").as("ts"))
         .select(dbOf(col("doc_id")).as("db"),
           array_distinct(transform(col("ts"), t => pmod(hash(t), lit(Buckets)))).as("tbs"))
         .groupBy("db").agg(array_distinct(flatten(collect_list("tbs"))).as("tbs"))
         .collect()
-      val dbs = touched.map(_.getInt(0)).toSeq.sorted.map(v => v: Any)
-      val tbs = touched.flatMap(_.getSeq[Int](1)).distinct.sorted.toSeq.map(v => v: Any)
-      // the ONE re-delivery gate: dl is the presence table (atomic
-      // commits guarantee a doc's postings/stats landed iff its dl row
-      // did), so docs the store already holds drop out here — and
-      // everything below derives from the gated set, which is what
-      // keeps stats exact even for a duplicate doc_id under a fresh
-      // batch_key
-      val gated = (if (dbs.isEmpty) live else
-        live.join(readDl(sp, base).where(col("db").isin(dbs: _*))
-          .select("doc_id"), Seq("doc_id"), "left_anti"))
-        .select("doc_id", "text").localCheckpoint()
-      (dbs, tbs, gated)
+      (touched.map(_.getInt(0)).toSeq.sorted.map(v => v: Any),
+        touched.flatMap(_.getSeq[Int](1)).distinct.sorted.toSeq.map(v => v: Any))
     }
-    // batch-sized frames, deliberately re-derived from the checkpointed
-    // gated batch inside each table's single write job — cheaper than
-    // extra materialization jobs on this per-trigger hot path
-    def toks = tokensOf(prepared._3)
-    def dl = dlOf(prepared._3, toks, batchKey)
+    def toks = tokensOf(gated)
+    def dl = dlOf(gated, toks, batchKey)
     ManifestStore.publishOps(sp, base, Seq(
       ManifestStore.appendOp("postings", "tb", () => prepared._2, () => toks),
       ManifestStore.appendOp("dl", "db", () => prepared._1, () => dl),

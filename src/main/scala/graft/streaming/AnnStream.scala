@@ -129,7 +129,11 @@ object AnnStream {
     val cb = sp.read.parquet(s"$base/codebook")
       .select(col("sub"), col("cent_id"), expr("graft_dense(cs)").as("cs"))
     // forced lazily — on first touch the publish already holds the
-    // lease, so the gate reads see the version this commit supersedes
+    // lease, so the gate reads see the version this commit supersedes.
+    // The assignment is checkpointed ONCE; the re-delivery anti-join
+    // is deliberately not (the two write jobs run in parallel and each
+    // re-derives it from the checkpointed delta — cheaper than another
+    // materialization job on the per-trigger hot path).
     lazy val prepared = {
       val live = DeleteLog.gate(sp, base, batch, "vec_id")
       val (lists, codes) = StoredIndex.indexDelta(
@@ -137,20 +141,20 @@ object AnnStream {
       val deltaL = lists.localCheckpoint() // reused: buckets, gate, codes join
       val bkts = deltaL.select("bucket").distinct().collect()
         .map(_.get(0)).toSeq
-      val gatedL =
-        if (bkts.isEmpty) deltaL
-        else deltaL.join(
-          StoredIndex.readLists(sp, base).where(col("bucket").isin(bkts: _*))
-            .select("neighbor_id"),
-          Seq("neighbor_id"), "left_anti").localCheckpoint()
-      (bkts, gatedL, codes.join(gatedL.select("neighbor_id"), Seq("neighbor_id"),
-        "left_semi"))
+      (bkts, deltaL, codes)
     }
+    def gatedL =
+      if (prepared._1.isEmpty) prepared._2
+      else prepared._2.join(
+        StoredIndex.readLists(sp, base)
+          .where(col("bucket").isin(prepared._1: _*)).select("neighbor_id"),
+        Seq("neighbor_id"), "left_anti")
     ManifestStore.publishOps(sp, base, Seq(
       ManifestStore.appendOp("lists", "bucket", () => prepared._1,
-        () => prepared._2),
+        () => gatedL),
       ManifestStore.appendOp("codes", "bucket", () => prepared._1,
-        () => prepared._3)))
+        () => prepared._3.join(gatedL.select("neighbor_id"),
+          Seq("neighbor_id"), "left_semi"))))
   }
 
   // ------------------------------------------------------------- #113b

@@ -428,13 +428,18 @@ object ManifestStore {
         dk -> shardFiles(fs, root, shard)
       }.toMap
 
-      // 2. per-op: touched dirs, orphan sweep, write, new-file listing
+      // 2. per-op: touched dirs + orphan sweep (sequential — touched
+      // thunks may force shared store reads under the lease), then the
+      // WRITE JOBS IN PARALLEL (the tables' writes are independent —
+      // only the commit must be atomic; on toy-scale triggers the
+      // sequential-job latency, not the write work, was the cost of a
+      // multi-table trigger), then new-file listing
       case class OpDone(op: TableOp, dirs: Seq[String],
           newByDir: Map[String, Seq[String]], wholeTable: Boolean)
       def manifestDirsOf(table: String): Seq[String] =
         curIndex.map(_._1).filter(dk =>
           if (table.isEmpty) true else dk == table || dk.startsWith(s"$table/"))
-      val done = ops.flatMap { op =>
+      val staged = ops.flatMap { op =>
         val wholeTable = op.touched.isEmpty
         val preDirs: Seq[String] =
           if (op.partCol.isEmpty) Seq(dirKeyOf(op.table, "", null))
@@ -452,19 +457,35 @@ object ManifestStore {
               if !referenced.contains(s"$dk/$n"))
             require(fs.delete(new Path(root, s"$dk/$n"), false),
               s"orphan delete failed: $root/$dk/$n")
-          op.write(tableDir(root, op.table))
-          val postDirs =
-            if (wholeTable && op.partCol.nonEmpty)
-              (preDirs ++ diskDirs(fs, root, op.table, op.partCol)).distinct
-            else preDirs
-          val newByDir = postDirs.map { dk =>
-            dk -> dataFiles(fs, new Path(root, dk))
-              .map(n => s"$dk/$n").filterNot(referenced.contains)
-          }.toMap
-          Some(OpDone(op, postDirs, newByDir, wholeTable))
+          Some((op, preDirs, wholeTable))
         }
       }
-      if (done.isEmpty) return // nothing touched — no version bump
+      if (staged.isEmpty) return // nothing touched — no version bump
+      if (staged.size == 1) staged.head._1.write(tableDir(root, staged.head._1.table))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        // every write runs to COMPLETION (success or failure) before we
+        // proceed or abort — a straggler still writing after the lease
+        // released could leak its files into a successor publish's
+        // new-file listing
+        val jobs = staged.map { case (op, _, _) =>
+          Future(scala.util.Try(op.write(tableDir(root, op.table))))
+        }
+        Await.result(Future.sequence(jobs), scala.concurrent.duration.Duration.Inf)
+          .foreach(_.get)
+      }
+      val done = staged.map { case (op, preDirs, wholeTable) =>
+        val postDirs =
+          if (wholeTable && op.partCol.nonEmpty)
+            (preDirs ++ diskDirs(fs, root, op.table, op.partCol)).distinct
+          else preDirs
+        val newByDir = postDirs.map { dk =>
+          dk -> dataFiles(fs, new Path(root, dk))
+            .map(n => s"$dk/$n").filterNot(referenced.contains)
+        }.toMap
+        OpDone(op, postDirs, newByDir, wholeTable)
+      }
       maybeCrash("publish")
 
       // 3. fence + commit
