@@ -54,7 +54,10 @@ private[graft] object Staging {
     val sfTag = dir.replaceAll("[^0-9a-zA-Z]", "_")
     val root = new java.io.File(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"${name}_$sfTag")
-    val fp = layout + "|" + sourceFingerprint(dir, srcTable)
+    // the manifest-store protocol version rides every fingerprint: a
+    // store-format change restages instead of serving a stale layout
+    val fp = layout + "|mfl" + graft.util.ManifestStore.LayoutVersion +
+      "|" + sourceFingerprint(dir, srcTable)
     def isFresh: Boolean = {
       val marker = new java.io.File(root, "_STAGED")
       marker.exists() &&

@@ -55,21 +55,24 @@ object DeleteLog {
   /** The log's contribution to a delete's atomic publish: append
     * `delIds` (a single-column frame) as one new file — or, when the
     * log has reached [[FoldAt]] files, FOLD stored ∪ new into one
-    * (replace), keeping the file count bounded. The fold decision
-    * reads the committed count up front; the store lease serializes
-    * writers, so it cannot go stale against a concurrent publish. */
+    * (replace), keeping the file count bounded. The op is DEFERRED:
+    * the fold decision reads the committed count under the publish
+    * lease (not at op-construction time), so a publish by another
+    * process slipping in between cannot stale it — the [[FoldAt]]
+    * bound is exact, cross-process included. */
   def appendOp(spark: SparkSession, store: String, delIds: DataFrame,
-      idCol: String): ManifestStore.TableOp = {
-    val nFiles = ManifestStore.tableFiles(spark, store, Table).size
-    if (nFiles + 1 > FoldAt)
-      ManifestStore.replaceTableOp(Table, "", () =>
-        ManifestStore.readTable(spark, store, Table, schemaOf(idCol))
-          .unionByName(delIds.toDF(idCol)).distinct())
-    else
-      ManifestStore.TableOp(Table, "", None, replace = false,
-        dir => delIds.toDF(idCol).distinct().coalesce(1)
-          .write.mode("append").parquet(dir))
-  }
+      idCol: String): ManifestStore.TableOp =
+    ManifestStore.deferredOp(Table) { () =>
+      val nFiles = ManifestStore.tableFiles(spark, store, Table).size
+      if (nFiles + 1 > FoldAt)
+        ManifestStore.replaceTableOp(Table, "", () =>
+          ManifestStore.readTable(spark, store, Table, schemaOf(idCol))
+            .unionByName(delIds.toDF(idCol)).distinct())
+      else
+        ManifestStore.TableOp(Table, "", None, replace = false,
+          dir => delIds.toDF(idCol).distinct().coalesce(1)
+            .write.mode("append").parquet(dir))
+    }
 
   /** The sweep's fold op (include in a store compaction publish when
     * the log is nonempty). */

@@ -86,6 +86,12 @@ import org.apache.spark.sql.types.StructType
   */
 object ManifestStore {
 
+  /** On-disk protocol format version. Folded into every staged store's
+    * fingerprint ([[graft.sources.Staging.stagedDir]]): a protocol
+    * format change restages automatically instead of silently serving
+    * a stale-layout store from a previous JVM. */
+  private[graft] val LayoutVersion = 2
+
   /** Injected crash points for the crash-window specs:
     * "publish" fires after the data files are written but before the
     * manifest commit (the window a reader must see OLD state across);
@@ -98,6 +104,11 @@ object ManifestStore {
   /** Test hook for the fence spec: runs once immediately before the
     * fence check of the next commit (the stalled-writer window). */
   private[graft] var onBeforeCommit: Option[() => Unit] = None
+
+  /** Test hook for the late-fence spec: runs once AFTER the manifest
+    * write, immediately before the re-fence that guards the marker
+    * create (the post-manifest stall window). */
+  private[graft] var onBeforeMarker: Option[() => Unit] = None
 
   // ----------------------------------------------------------------
   // one write against one table of the store
@@ -118,7 +129,20 @@ object ManifestStore {
     * resurrect it); without it they are kept alongside the new files. */
   final case class TableOp(table: String, partCol: String,
       touched: Option[() => Seq[Any]], replace: Boolean,
-      write: String => Unit)
+      write: String => Unit, defer: Option[() => TableOp] = None)
+
+  /** An op whose concrete SHAPE (append vs replace, its write) is
+    * decided UNDER the publish lease: `make` runs after acquisition,
+    * so a decision that reads the committed store (the delete log's
+    * fold-vs-append threshold) cannot go stale against a publish that
+    * slips between op construction and lease acquisition. */
+  def deferredOp(table: String)(make: () => TableOp): TableOp =
+    TableOp(table, "", None, replace = false, _ => (), Some(() => {
+      val op = make()
+      require(op.table == table,
+        s"deferred op for table '$table' resolved to '${op.table}'")
+      op
+    }))
 
   /** Append `delta()`'s rows into `touched` partitions of `table`. */
   def appendOp(table: String, partCol: String, touched: () => Seq[Any],
@@ -176,13 +200,22 @@ object ManifestStore {
     if (table.isEmpty) p else if (p.isEmpty) table else s"$table/$p"
   }
 
-  /** Max committed version at `root` (0 = nothing published). */
+  /** Max committed version at `root` (0 = nothing published). A
+    * version counts as committed only when its marker AND its manifest
+    * both exist: a marker whose manifest is gone (a fenced straggler
+    * that raced a successor's cleanup, or a GC crash window) must
+    * resolve to the predecessor — never to a silently EMPTY store. */
   def committedVersion(fs: FileSystem, root: String): Int = {
     val p = new Path(root)
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("_commit_v")).map(_.stripPrefix("_commit_v").toInt)
-      .maxOption.getOrElse(0)
+    else {
+      val names = fs.listStatus(p).map(_.getPath.getName)
+      val manifests = names.filter(_.startsWith("_manifest_v"))
+        .map(_.stripPrefix("_manifest_v").toInt).toSet
+      names.filter(_.startsWith("_commit_v"))
+        .map(_.stripPrefix("_commit_v").toInt)
+        .filter(manifests.contains).maxOption.getOrElse(0)
+    }
   }
 
   def committedVersion(spark: SparkSession, root: String): Int =
@@ -204,8 +237,9 @@ object ManifestStore {
     finally in.close()
   }
 
-  private def writeLines(fs: FileSystem, p: Path, lines: Seq[String]): Unit = {
-    val out = fs.create(p, true)
+  private def writeLines(fs: FileSystem, p: Path, lines: Seq[String],
+      overwrite: Boolean = true): Unit = {
+    val out = fs.create(p, overwrite)
     try out.write(lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -224,18 +258,39 @@ object ManifestStore {
   /** Shards are immutable once written (names carry a uniquifier), so
     * their contents cache across resolutions: steady-state resolution
     * of a hot store re-reads only the shards its last publishes
-    * replaced. */
-  private val shardCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+    * replaced. The cache is PER STORE and LRU-bounded: one store
+    * overflowing its bound evicts only its own coldest entries — never
+    * a wholesale clear, never another store's working set (the r18
+    * global clear-at-50k turned one overflow into a re-read storm
+    * across every live store in the JVM). */
+  private[graft] var shardCachePerStore = 4096
+  private val shardCaches = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.Map[String, Seq[String]]]()
+
+  private def cacheFor(root: String): java.util.Map[String, Seq[String]] =
+    shardCaches.computeIfAbsent(root, _ =>
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+            size() > shardCachePerStore
+        }))
+
+  /** Cold-cache hook for the crash-recovery specs: on-disk integrity,
+    * not cache contents, is what the suite must pin. */
+  private[graft] def clearShardCache(): Unit = shardCaches.clear()
+
+  /** Cache size of one store (spec surface for the LRU bound). */
+  private[graft] def shardCacheSize(root: String): Int =
+    Option(shardCaches.get(root)).map(_.size).getOrElse(0)
 
   private def shardFiles(fs: FileSystem, root: String, shard: String): Seq[String] = {
-    val k = (root, shard)
-    val hit = shardCache.get(k)
+    val c = cacheFor(root)
+    val hit = c.get(shard)
     if (hit != null) hit
     else {
       val v = readLines(fs, new Path(shardsDir(root), shard))
-      if (shardCache.size > 50000) shardCache.clear()
-      shardCache.put(k, v)
+      c.put(shard, v)
       v
     }
   }
@@ -323,20 +378,34 @@ object ManifestStore {
 
   /** Atomic create-exclusive of `_lease` with a fresh writer token as
     * content; throws if a concurrent maintenance job holds the store.
-    * Returns the token the holder must fence every commit with. */
-  private[graft] def acquireLease(fs: FileSystem, root: String): String = {
+    * Returns the token the holder must fence every commit with.
+    *
+    * `waitMs` > 0 is the bounded-queue option for scheduled jobs whose
+    * collision with a live trigger is a normal event (a compaction
+    * sweep firing mid-trigger): acquisition retries until the holder
+    * releases or the bound expires — then the loud failure stands
+    * (a DEAD holder's lease never releases; waiting on one must end
+    * in the breakLease remedy, not an infinite queue). */
+  private[graft] def acquireLease(fs: FileSystem, root: String,
+      waitMs: Long = 0L): String = {
     fs.mkdirs(new Path(root))
+    val deadline = System.nanoTime() + waitMs * 1000000L
     val token = java.util.UUID.randomUUID().toString
-    try {
-      val out = fs.create(new Path(root, "_lease"), false)
-      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"store $root is held by a concurrent maintenance job (_lease " +
-            "present); if its holder is dead, break it with " +
-            "ManifestStore.breakLease", e)
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(new Path(root, "_lease"), false)
+        try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        acquired = true
+      } catch {
+        case e: java.io.IOException =>
+          if (System.nanoTime() < deadline) Thread.sleep(50)
+          else throw new IllegalStateException(
+            s"store $root is held by a concurrent maintenance job (_lease " +
+              "present); if its holder is dead, break it with " +
+              "ManifestStore.breakLease", e)
+      }
     }
     token
   }
@@ -403,25 +472,41 @@ object ManifestStore {
     *      verbatim), and create the marker atomically — THE flip;
     *   4. GC with a one-version grace window (data files, shards,
     *      manifests, markers of versions ≤ N−1). */
-  def publishOps(spark: SparkSession, root: String, ops: Seq[TableOp]): Unit = {
-    require(ops.map(_.table).distinct.size == ops.size,
-      s"one publish may carry at most one op per table: ${ops.map(_.table)}")
+  def publishOps(spark: SparkSession, root: String, ops0: Seq[TableOp],
+      leaseWaitMs: Long = 0L): Unit = {
+    require(ops0.map(_.table).distinct.size == ops0.size,
+      s"one publish may carry at most one op per table: ${ops0.map(_.table)}")
     val fs = Fs.of(spark, root)
-    val token = acquireLease(fs, root)
+    val token = acquireLease(fs, root, leaseWaitMs)
     try {
+      // deferred ops resolve their shape HERE, under the lease
+      val ops = ops0.map(o => o.defer.map(_()).getOrElse(o))
       // 1. crashed-publish cleanup (ADVICE r17: an uncommitted manifest
-      // must not strand its files as permanently unreferenced)
+      // must not strand its files as permanently unreferenced). An
+      // uncommitted manifest carries untouched dirs' COMMITTED shard
+      // files forward verbatim, so its cleanup may delete only shards
+      // no committed manifest references (ADVICE r18: deleting them
+      // all broke every untouched dir for any cold reader). Markers
+      // whose manifest is gone (a fenced straggler's leftovers) are
+      // dangling — readers already ignore them; delete them so the
+      // version they squatted on publishes cleanly.
       val allVs = manifestVersions(fs, root)
       val committedVs = allVs.filter(w => fs.exists(markerPath(root, w)))
       val referenced: Set[String] =
         committedVs.flatMap(w => filesAt(fs, root, w)).toSet
+      val committedShards: Set[String] =
+        committedVs.flatMap(w => indexAt(fs, root, w).map(_._2)).toSet
       for (w <- allVs if !committedVs.contains(w)) {
         for (f <- filesAt(fs, root, w) if !referenced.contains(f))
           fs.delete(new Path(root, f), false)
-        for ((_, shard) <- indexAt(fs, root, w))
+        for ((_, shard) <- indexAt(fs, root, w) if !committedShards.contains(shard))
           fs.delete(new Path(shardsDir(root), shard), false)
         fs.delete(manifestPath(root, w), false)
       }
+      for (n <- fs.listStatus(new Path(root)).map(_.getPath.getName)
+          if n.startsWith("_commit_v") &&
+            !allVs.contains(n.stripPrefix("_commit_v").toInt))
+        fs.delete(new Path(root, n), false)
       val v = committedVs.maxOption.getOrElse(0)
       val curIndex = indexAt(fs, root, v)
       val curByDir: Map[String, Seq[String]] = curIndex.map { case (dk, shard) =>
@@ -529,12 +614,26 @@ object ManifestStore {
           newIndex += dk -> s
         }
       }
+      // the manifest create is EXCLUSIVE: a legitimate writer always
+      // targets a fresh version (step 1 removed uncommitted leftovers
+      // under its own lease), so a fenced straggler that stalls after
+      // its fence and resumes after a successor committed the same
+      // vNew fails LOUDLY here instead of overwriting the successor's
+      // committed file list (ADVICE r18)
       writeLines(fs, manifestPath(root, vNew),
-        newIndex.toSeq.map { case (dk, s) => s"$dk\t$s" })
+        newIndex.toSeq.map { case (dk, s) => s"$dk\t$s" }, overwrite = false)
       // "commit" fires between the manifest write and the marker — the
       // crashed-publish window whose manifest step 1 must clear (its
       // files must not strand as permanently unreferenced)
       maybeCrash("commit")
+      onBeforeMarker.foreach { f => onBeforeMarker = None; f() }
+      // re-verify the fence between the manifest write and the marker:
+      // a writer broken-and-superseded INSIDE that window would
+      // otherwise win the marker create against a successor that
+      // legitimately cleaned its manifest away — committing a marker
+      // whose manifest is gone (readers ignore that state now, but the
+      // straggler must still fail loudly, not report success)
+      fence(fs, root, token)
       // the exclusive create is the flip — and the last fence: even a
       // writer that raced past a broken lease cannot overwrite a
       // successor's committed marker

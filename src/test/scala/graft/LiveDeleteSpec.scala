@@ -154,6 +154,36 @@ class LiveDeleteSpec extends SparkSpec {
       "a later rotation re-indexed deleted ids")
   }
 
+  test("the log's fold decision is made UNDER the publish lease: a publish slipping in after op construction cannot stale the FoldAt bound") {
+    // r18 ADVICE (low): appendOp used to read the committed file count
+    // at op-CONSTRUCTION time, before publishOps acquired the lease —
+    // a cross-process publish in between could stale the decision to
+    // FoldAt+1 files. The op is now deferred: its shape resolves under
+    // the lease, so the bound holds exactly.
+    val root = java.nio.file.Files.createTempDirectory("graft_dellog_defer").toString
+    import spark.implicits._
+    def one(x: Long) = Seq(x).toDF("doc_id")
+    for (i <- 1 to (DeleteLog.FoldAt - 1))
+      DeleteLog.append(spark, root, one(i.toLong), "doc_id")
+    assert(ManifestStore.tableFiles(spark, root, DeleteLog.Table).size ==
+      DeleteLog.FoldAt - 1)
+    // construct the op now (it would see FoldAt-1 committed files and
+    // choose APPEND if decided eagerly)...
+    val op = DeleteLog.appendOp(spark, root, one(100L), "doc_id")
+    // ...then another writer lands one more append in between
+    DeleteLog.append(spark, root, one(200L), "doc_id")
+    assert(ManifestStore.tableFiles(spark, root, DeleteLog.Table).size ==
+      DeleteLog.FoldAt)
+    // the staletly-constructed op re-decides under the lease: FOLD
+    ManifestStore.publishOps(spark, root, Seq(op))
+    assert(ManifestStore.tableFiles(spark, root, DeleteLog.Table).size == 1,
+      "the fold decision went stale against the interleaved publish")
+    val logged = DeleteLog.ids(spark, root, "doc_id").get
+      .collect().map(_.getLong(0)).toSet
+    assert(((1L until DeleteLog.FoldAt) ++ Seq(100L, 200L)).forall(logged.contains),
+      "the fold dropped logged ids")
+  }
+
   test("the delete log's file count stays bounded across a long delete sequence (fold-at-threshold)") {
     val root = java.nio.file.Files.createTempDirectory("graft_dellog_bound").toString
     val orig = IndexRefresh.origVecs(spark, sfDir)

@@ -280,6 +280,112 @@ class ManifestStoreSpec extends SparkSpec {
       "the fenced writer's files were never cleared")
   }
 
+  test("crashed-commit recovery keeps untouched dirs readable from DISK: committed shards carried by the uncommitted manifest survive cleanup (cold cache)") {
+    // r18 ADVICE (high): the uncommitted manifest carries untouched
+    // dirs' COMMITTED shard files forward verbatim; deleting every
+    // shard it names deleted files the committed manifest still
+    // references. The driver-side shard cache masked it in-process —
+    // so this spec clears the cache and re-reads from disk.
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0), (2L, 2.0, 1)))
+    ManifestStore.crashPoint = Some("commit")
+    intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((9L, 9.0, 0))) // touches only b=0
+    }
+    ManifestStore.crashPoint = None
+    // the recovery publish (touching yet another partition) must NOT
+    // delete b=1's committed shard, which the crashed manifest named
+    ManifestStore.append(spark, root, "b", df((3L, 3.0, 2)))
+    ManifestStore.clearShardCache()
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,1]", "[3,3.0,2]"),
+      "a committed shard was deleted by crashed-publish cleanup (visible only cold)")
+  }
+
+  test("a straggler fenced AFTER its manifest write cannot commit a marker over its successor: readers never resolve an empty store") {
+    // the r18 verdict's residual window: A passes the fence, writes
+    // _manifest_vN+1, stalls; the operator (mistakenly) breaks A's
+    // lease; B's cleanup deletes A's uncommitted manifest and commits
+    // its own vN+1. A resumes at the marker step. The re-fence between
+    // manifest write and marker create fails A loudly — and even a
+    // marker-without-manifest state, if ever formed, resolves to the
+    // predecessor version, never to silent emptiness.
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    ManifestStore.onBeforeMarker = Some(() => {
+      ManifestStore.breakLease(spark, root)
+      ManifestStore.append(spark, root, "b", df((3L, 3.0, 0))) // writer B
+    })
+    val e = intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((2L, 2.0, 0))) // writer A
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    // B's commit stands, A's rows never appear, the store is not empty
+    assert(rows(root) == Set("[1,1.0,0]", "[3,3.0,0]"))
+    // and the history continues cleanly past the fenced straggler
+    ManifestStore.append(spark, root, "b", df((4L, 4.0, 0)))
+    assert(rows(root) == Set("[1,1.0,0]", "[3,3.0,0]", "[4,4.0,0]"))
+    assert(diskFiles(root).size == ManifestStore.files(spark, root).size)
+  }
+
+  test("a dangling marker (no manifest) is ignored by readers and cleared by the next publish — which then commits that version itself") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    val fs = graft.util.Fs.of(spark, root)
+    // forge the squatter state directly: _commit_v2 with no manifest
+    fs.create(new Path(root, "_commit_v2"), false).close()
+    assert(ManifestStore.committedVersion(fs, root) == 1,
+      "a marker without a manifest was resolved as committed")
+    assert(rows(root) == Set("[1,1.0,0]"), "reader resolved an empty store")
+    // the next publish clears the squatter and takes v2 for itself
+    ManifestStore.append(spark, root, "b", df((2L, 2.0, 0)))
+    assert(ManifestStore.committedVersion(fs, root) == 2)
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,0]"))
+  }
+
+  test("the shard cache is per-store LRU bounded: overflow evicts only the coldest entries, never a wholesale clear") {
+    val saved = ManifestStore.shardCachePerStore
+    ManifestStore.shardCachePerStore = 4
+    try {
+      val root = tmp()
+      ManifestStore.append(spark, root, "b",
+        df((0 until 7).map(i => (i.toLong, i.toDouble, i)): _*))
+      ManifestStore.clearShardCache()
+      assert(rows(root).size == 7) // reads all 7 shards through the cache
+      val n = ManifestStore.shardCacheSize(root)
+      assert(n == 4, s"cache not LRU-bounded at 4: size $n")
+    } finally ManifestStore.shardCachePerStore = saved
+  }
+
+  test("bounded lease-wait: a publish colliding with a live holder queues within the bound; zero-wait keeps the loud failure") {
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0)))
+    val fs = graft.util.Fs.of(spark, root)
+    val tok = ManifestStore.acquireLease(fs, root) // the colliding holder
+    // zero-wait (the default): loud, immediate
+    intercept[IllegalStateException] {
+      ManifestStore.append(spark, root, "b", df((2L, 2.0, 0)))
+    }
+    // bounded wait: the holder releases mid-wait and the publish lands
+    val releaser = new Thread(() => {
+      Thread.sleep(300); ManifestStore.releaseLease(fs, root, tok)
+    })
+    releaser.start()
+    ManifestStore.publishOps(spark, root,
+      Seq(ManifestStore.appendOp("", "b", () => Seq(0), () => df((2L, 2.0, 0)))),
+      leaseWaitMs = 10000)
+    releaser.join()
+    assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,0]"))
+    // a bound that expires against a still-held lease stays loud
+    ManifestStore.acquireLease(fs, root)
+    val e = intercept[IllegalStateException] {
+      ManifestStore.publishOps(spark, root,
+        Seq(ManifestStore.appendOp("", "b", () => Seq(0), () => df((3L, 3.0, 0)))),
+        leaseWaitMs = 200)
+    }
+    assert(e.getMessage.contains("concurrent maintenance"))
+    ManifestStore.breakLease(spark, root)
+  }
+
   test("dynamic partition pruning reaches a manifest-read scan joined on its partition column") {
     val root = tmp()
     ManifestStore.append(spark, root, "b",
