@@ -22,7 +22,8 @@ import org.apache.spark.sql.types.StructType
   *   root/<table>/<part>=<v>/part-*.parquet  — immutable data files
   *   root/<table>/part-*.parquet             — unpartitioned table
   *   root/_shards/<dir>_v<N>_<uniq>.list     — immutable per-dir file list
-  *   root/_manifest_v<N>                     — index: dir → shard, all tables
+  *   root/_shards/idx<B>_v<N>_<uniq>.list    — one dir-hash range's dir → shard lines
+  *   root/_manifest_v<N>                     — "#R <buckets>" + bucket → index shard
   *   root/_commit_v<N>                       — atomic publish marker
   *   root/_lease                             — fenced single-writer lease
   *
@@ -52,11 +53,16 @@ import org.apache.spark.sql.types.StructType
   * across a touched-dir publish). Shards are immutable once written,
   * so the driver caches their contents: steady-state resolution reads
   * O(touched-since-last-resolve) shard files, and the per-publish byte
-  * cost is O(touched files + partition dirs) — the Delta-checkpoint
-  * discipline reduced to the table shapes these stores need. (At 10⁶+
-  * dirs the index itself would shard by dir-hash range — the same move
-  * one level up; the per-dir granularity is the finest point of that
-  * knob and what the byte-identity contract pins.)
+  * cost is O(touched files + touched dirs) — the Delta-checkpoint
+  * discipline reduced to the table shapes these stores need. The
+  * INDEX itself is sharded the same way one level up: the manifest
+  * file is (dir-hash bucket → index shard), each index shard lists
+  * one range's (dir → shard) lines, and an untouched range's index
+  * shard is carried forward verbatim — so at 10⁶ dirs a publish
+  * rewrites O(touched ranges × bucket size) index lines, not one
+  * line per dir. The bucket count only grows (powers of two,
+  * ~[[indexBucketTarget]] dirs per bucket; a growth step rewrites
+  * every range once, amortized over the doublings).
   *
   * Garbage collection runs at the TAIL of each publish with a ONE
   * VERSION grace window: committing v<N+1> retires the data files and
@@ -90,7 +96,7 @@ object ManifestStore {
     * fingerprint ([[graft.sources.Staging.stagedDir]]): a protocol
     * format change restages automatically instead of silently serving
     * a stale-layout store from a previous JVM. */
-  private[graft] val LayoutVersion = 2
+  private[graft] val LayoutVersion = 3
 
   /** Injected crash points for the crash-window specs:
     * "publish" fires after the data files are written but before the
@@ -244,15 +250,71 @@ object ManifestStore {
     finally out.close()
   }
 
-  /** Version `v`'s index: ordered (dirKey, shardName) pairs. */
-  private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] = {
+  /** Dirs per index bucket before the bucket count doubles — the knob
+    * that keeps each index shard a bounded read and a publish's index
+    * rewrite O(touched ranges). Spec-overridable. */
+  private[graft] var indexBucketTarget = 256
+
+  /** The dir-hash-range bucket of a dir key at bucket count `r`.
+    * `String.hashCode` is a FIXED algorithm by the Java spec, so the
+    * assignment is stable across JVMs and releases. */
+  private def bucketOf(dk: String, r: Int): Int =
+    if (r <= 1) 0 else (dk.hashCode & 0x7fffffff) % r
+
+  /** Smallest power-of-two bucket count that keeps buckets at or under
+    * [[indexBucketTarget]] dirs. */
+  private def targetBuckets(dirCount: Int): Int = {
+    var r = 1
+    while (r.toLong * indexBucketTarget < dirCount) r <<= 1
+    r
+  }
+
+  /** One version's manifest file, parsed: the bucket count `r` and the
+    * (bucket → index-shard) lines. `r` == 0 marks a LEGACY single-level
+    * manifest whose lines are (dirKey → dir-shard) directly. */
+  private final case class ManifestIx(r: Int,
+      buckets: Seq[(Int, String)], legacy: Seq[(String, String)])
+
+  private def splitTab(l: String, mp: Path): (String, String) = {
+    val i = l.indexOf('\t')
+    require(i > 0, s"malformed manifest line at $mp: $l")
+    (l.substring(0, i), l.substring(i + 1))
+  }
+
+  private def readManifest(fs: FileSystem, root: String, v: Int): ManifestIx = {
     val mp = manifestPath(root, v)
-    if (v <= 0 || !fs.exists(mp)) Seq.empty
-    else readLines(fs, mp).map { l =>
-      val i = l.indexOf('\t')
-      require(i > 0, s"malformed manifest line at $mp: $l")
-      (l.substring(0, i), l.substring(i + 1))
+    if (v <= 0 || !fs.exists(mp)) ManifestIx(0, Seq.empty, Seq.empty)
+    else readLines(fs, mp) match {
+      case head +: rest if head.startsWith("#R\t") =>
+        ManifestIx(head.stripPrefix("#R\t").toInt,
+          rest.map(l => { val (b, s) = splitTab(l, mp); (b.toInt, s) }), Seq.empty)
+      case lines => // legacy single-level manifest: readable, never written
+        ManifestIx(0, Seq.empty, lines.map(splitTab(_, mp)))
     }
+  }
+
+  /** The index-shard names version `v`'s manifest references (its
+    * second level — the dir-shard names are [[indexAt]]'s values). */
+  private def indexShardsAt(fs: FileSystem, root: String, v: Int): Seq[String] =
+    readManifest(fs, root, v).buckets.map(_._2)
+
+  /** Version `v`'s index: ordered (dirKey, dirShardName) pairs,
+    * flattened through the bucket level. */
+  private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] = {
+    val m = readManifest(fs, root, v)
+    if (m.r == 0) m.legacy
+    else m.buckets.flatMap { case (_, idxShard) =>
+      shardFiles(fs, root, idxShard)
+        .map(splitTab(_, new Path(shardsDir(root), idxShard)))
+    }
+  }
+
+  /** The committed (bucket count, bucket → index shard) level — the
+    * index-sharding contract's observable surface. */
+  private[graft] def bucketIndex(spark: SparkSession, root: String): (Int, Seq[(Int, String)]) = {
+    val fs = Fs.of(spark, root)
+    val m = readManifest(fs, root, committedVersion(fs, root))
+    (m.r, m.buckets)
   }
 
   /** Shards are immutable once written (names carry a uniquifier), so
@@ -495,11 +557,13 @@ object ManifestStore {
       val referenced: Set[String] =
         committedVs.flatMap(w => filesAt(fs, root, w)).toSet
       val committedShards: Set[String] =
-        committedVs.flatMap(w => indexAt(fs, root, w).map(_._2)).toSet
+        committedVs.flatMap(w => indexAt(fs, root, w).map(_._2) ++
+          indexShardsAt(fs, root, w)).toSet
       for (w <- allVs if !committedVs.contains(w)) {
         for (f <- filesAt(fs, root, w) if !referenced.contains(f))
           fs.delete(new Path(root, f), false)
-        for ((_, shard) <- indexAt(fs, root, w) if !committedShards.contains(shard))
+        for (shard <- indexAt(fs, root, w).map(_._2) ++ indexShardsAt(fs, root, w)
+            if !committedShards.contains(shard))
           fs.delete(new Path(shardsDir(root), shard), false)
         fs.delete(manifestPath(root, w), false)
       }
@@ -614,6 +678,37 @@ object ManifestStore {
           newIndex += dk -> s
         }
       }
+      // INDEX-LEVEL sharding: the manifest file is (bucket → index
+      // shard), each index shard listing the (dir → dir-shard) lines
+      // of one dir-hash range. An untouched range's index shard is
+      // carried forward VERBATIM — a publish writes O(touched ranges)
+      // index lines, never one line per dir of the store (the last
+      // O(store) term in the publish path, now gone). The bucket count
+      // only grows (powers of two, ~indexBucketTarget dirs/bucket); a
+      // growth step rewrites every range once, amortized over the
+      // doublings.
+      val curM = readManifest(fs, root, v)
+      val newR = math.max(math.max(curM.r, 1), targetBuckets(newIndex.size))
+      val newByBucket: Map[Int, Seq[(String, String)]] =
+        newIndex.toSeq.groupBy { case (dk, _) => bucketOf(dk, newR) }
+      val curByBucket: Map[Int, Set[(String, String)]] =
+        if (newR == curM.r) curIndex.groupBy { case (dk, _) => bucketOf(dk, newR) }
+          .view.mapValues(_.toSet).toMap
+        else Map.empty
+      val curBucketShard: Map[Int, String] =
+        if (newR == curM.r) curM.buckets.toMap else Map.empty
+      val bucketLines: Seq[(Int, String)] = (0 until newR).flatMap { b =>
+        newByBucket.get(b).map { pairs =>
+          val carried = curBucketShard.get(b).filter(_ =>
+            curByBucket.getOrElse(b, Set.empty[(String, String)]) == pairs.toSet)
+          b -> carried.getOrElse {
+            val s = s"idx${b}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
+            writeLines(fs, new Path(shardsDir(root), s),
+              pairs.sortBy(_._1).map { case (dk, ds) => s"$dk\t$ds" })
+            s
+          }
+        }
+      }
       // the manifest create is EXCLUSIVE: a legitimate writer always
       // targets a fresh version (step 1 removed uncommitted leftovers
       // under its own lease), so a fenced straggler that stalls after
@@ -621,7 +716,8 @@ object ManifestStore {
       // vNew fails LOUDLY here instead of overwriting the successor's
       // committed file list (ADVICE r18)
       writeLines(fs, manifestPath(root, vNew),
-        newIndex.toSeq.map { case (dk, s) => s"$dk\t$s" }, overwrite = false)
+        s"#R\t$newR" +: bucketLines.map { case (b, s) => s"$b\t$s" },
+        overwrite = false)
       // "commit" fires between the manifest write and the marker — the
       // crashed-publish window whose manifest step 1 must clear (its
       // files must not strand as permanently unreferenced)
@@ -654,7 +750,9 @@ object ManifestStore {
             n.stripPrefix("_commit_v").toInt < vNew - 1)
         fs.delete(new Path(root, n), false)
       val keepShards = (newIndex.valuesIterator ++
-        indexAt(fs, root, v).iterator.map(_._2)).toSet
+        bucketLines.iterator.map(_._2) ++
+        indexAt(fs, root, v).iterator.map(_._2) ++
+        indexShardsAt(fs, root, v).iterator).toSet
       if (fs.exists(shardsDir(root)))
         for (s <- fs.listStatus(shardsDir(root)).map(_.getPath.getName)
             if !keepShards.contains(s))

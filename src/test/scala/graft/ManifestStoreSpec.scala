@@ -231,6 +231,62 @@ class ManifestStoreSpec extends SparkSpec {
     assert(ManifestStore.shardIndex(spark, root).size == 3)
   }
 
+  test("index-level sharding: an untouched dir-hash RANGE's index shard is carried byte-identical across a publish; index write cost is O(touched ranges)") {
+    // the byte-identity contract one level up: the manifest is
+    // (bucket → index shard); a publish touching one dir rewrites ONE
+    // bucket's index shard and carries every other bucket's file
+    // forward verbatim — O(touched ranges) index lines, not O(dirs).
+    val savedTarget = ManifestStore.indexBucketTarget
+    ManifestStore.indexBucketTarget = 2 // 8 dirs → 4 buckets
+    try {
+      val root = tmp()
+      ManifestStore.append(spark, root, "b",
+        df((0 until 8).map(i => (i.toLong, i.toDouble, i)): _*))
+      val fs = graft.util.Fs.of(spark, root)
+      val (r0, buckets0) = ManifestStore.bucketIndex(spark, root)
+      assert(r0 == 4, s"8 dirs at target 2 should bucket at R=4, got $r0")
+      assert(buckets0.size >= 2, "need >=2 nonempty buckets for a carry-forward check")
+      def idxBytes(name: String): Seq[Byte] = {
+        val in = fs.open(new Path(root, s"_shards/$name"))
+        try Iterator.continually(in.read()).takeWhile(_ >= 0).map(_.toByte).toSeq
+        finally in.close()
+      }
+      val bytes0 = buckets0.toMap.map { case (b, s) => b -> idxBytes(s) }
+      val mtime0 = buckets0.toMap.map { case (b, s) =>
+        b -> fs.getFileStatus(new Path(root, s"_shards/$s")).getModificationTime }
+      // touch exactly ONE dir (b=3)
+      ManifestStore.rewriteTouched(spark, root, "b", Seq(3), df((3L, 30.0, 3)))
+      val (r1, buckets1) = ManifestStore.bucketIndex(spark, root)
+      assert(r1 == 4, "bucket count moved on a same-size publish")
+      val m0 = buckets0.toMap
+      val m1 = buckets1.toMap
+      val touchedBucket = m0.keySet.intersect(m1.keySet)
+        .filter(b => m0(b) != m1(b))
+      assert(touchedBucket.size == 1,
+        s"a 1-dir publish rewrote ${touchedBucket.size} index shards")
+      for ((b, s) <- buckets1 if !touchedBucket.contains(b)) {
+        assert(s == m0(b), s"untouched range $b got a NEW index shard")
+        assert(idxBytes(s) == bytes0(b), s"untouched range $b index bytes changed")
+        assert(fs.getFileStatus(new Path(root, s"_shards/$s")).getModificationTime ==
+          mtime0(b), s"untouched range $b index shard rewritten in place")
+      }
+      // file-count assertion: the publish wrote exactly one new dir
+      // shard and one new index shard into _shards
+      val idxNew = buckets1.map(_._2).toSet -- buckets0.map(_._2).toSet
+      assert(idxNew.size == 1, s"expected 1 new index shard, got ${idxNew.size}")
+      // resolution still serves the full store
+      assert(rows(root).size == 8)
+      assert(rows(root).contains("[3,30.0,3]"))
+      // and the bucket count GROWS once the store does: enough new
+      // dirs forces a doubling, after which reads still resolve
+      ManifestStore.append(spark, root, "b",
+        df((8 until 20).map(i => (i.toLong, i.toDouble, i)): _*))
+      val (r2, _) = ManifestStore.bucketIndex(spark, root)
+      assert(r2 > r1, s"bucket count failed to grow: $r1 -> $r2")
+      assert(rows(root).size == 20)
+    } finally ManifestStore.indexBucketTarget = savedTarget
+  }
+
   test("a crashed commit (manifest written, marker absent) is cleared IMMEDIATELY by the next publish — even of other partitions") {
     // the r17 ADVICE leak: files referenced only by an uncommitted
     // manifest were neither orphan-cleared nor re-listed — a permanent
