@@ -60,7 +60,9 @@ object Bench {
     // (triggers → delete → triggers → compact → serve) and deletion
     // composed with the blue/green rotation
     "stream_ann_ivfpq_deleted", "stream_knn_graph_deleted",
-    "stream_bm25_deleted", "ann_refresh_delete")
+    "stream_bm25_deleted", "ann_refresh_delete",
+    // round-19 addition: two-stage rerank over the persisted stores
+    "retrieve_rerank_ce")
 
   /** (cpu ticks total, steal ticks) from /proc/stat — the counters
     * that make a contaminated measurement window MACHINE-detectable:

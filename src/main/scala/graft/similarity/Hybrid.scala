@@ -283,14 +283,200 @@ object Hybrid {
        |  doc_id, score
        |FROM scored QUALIFY rank <= $BmTopN ORDER BY probe_id, rank""".stripMargin
 
+  // -------------------------------------------------------------- #108
+  /** Cross-encoder-STYLE rerank over the persisted retrieval stores —
+    * the standard two-stage serving composition (retrieve cheap and
+    * wide from indexes, re-score the small fused candidate set with
+    * an expensive JOINT scorer that sees the (query, document) pair
+    * together — the role a cross-encoder model plays in a RAG stack).
+    * Stage 1 probes the two STORED indexes: the term-bucket-pruned
+    * [[Bm25Store]] (lexical top-10) and the cell-pruned IVFADC store
+    * ([[StoredIndex]], semantic top-5) — no corpus pass, no index
+    * rebuild. Stage 2 computes the joint features ONLY for the fused
+    * ≤15-candidate set per query: exact cosine over the raw vectors
+    * and exact query-term coverage (the native merge-walk
+    * [[graft.functions.OverlapCount]] over full token arrays) — work
+    * a first-stage index can NOT express precisely because it scores
+    * the pair jointly, affordable here because the candidate set is
+    * result-sized. The deterministic stand-in for a learned scorer is
+    * a fixed convex blend ce = 0.6·cos + 0.4·coverage (a model would
+    * slot in at exactly this seam via mapInPandas batches); a
+    * candidate outside the embedding corpus keeps its lexical
+    * evidence with cos = 0 rather than vanishing (LEFT join).
+    *
+    * Scale shape: stage 1 is the stores' own pruned probe shape;
+    * stage 2 broadcasts the tiny candidate list onto the documents /
+    * embeddings scans (corpus never shuffles, candidate rows are
+    * result-scale), and the final rank is a window over ≤15 rows per
+    * query. At 100 TB nothing changes but the candidate depth.
+    *
+    * Determinism: cos and coverage are 6-dp rounded in both engines
+    * (cos carries the −0.0 normalization, §5a #25), the blend
+    * multiplies/adds the SAME rounded doubles with exact-double
+    * constants (§5a #28) and re-rounds; ties break on doc_id. */
+  def rerankCe(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.OverlapCount.register(spark)
+    val bmCands = bm25Stored(spark, dir).select("probe_id", "doc_id")
+    val annCands = StoredIndex.annIvfPqStored(spark, dir)
+      .where(col("probe_id") < 3)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"))
+    val cands = bmCands.unionByName(annCands).distinct()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
+    val qToks = docs.where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("toks").as("q_toks"))
+    val e = Embeddings.vecs(spark, dir)
+    val qVecs = e.where(col("vec_id").isin(probeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("v").as("v_a"),
+        col("norm2").as("norm2_a"))
+    val cVecs = e.select(col("vec_id").as("doc_id"), col("v").as("v_b"),
+      col("norm2").as("norm2_b"))
+    val w = Window.partitionBy("probe_id").orderBy(col("ce").desc, col("doc_id"))
+    broadcast(cands)
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(qToks), Seq("probe_id"))
+      .join(cVecs, Seq("doc_id"), "left")
+      .join(broadcast(qVecs), Seq("probe_id"))
+      .withColumn("cos", coalesce(Embeddings.cosine, lit(0.0)))
+      .withColumn("coverage", r6(
+        call_function("graft_overlap", col("toks"), col("q_toks")).cast("double") /
+          size(col("q_toks")).cast("double")))
+      .withColumn("ce", r6(lit(0.6) * col("cos") + lit(0.4) * col("coverage")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= TopN)
+      .select("probe_id", "rank", "doc_id", "cos", "coverage", "ce")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Stage-1 candidates replicated from first principles (the stores
+    * are result-invisible, so the BM25 and IVFADC pipelines appear
+    * here exactly as in their own oracles, CTE-prefixed to compose),
+    * then the joint-feature rerank. */
+  val rerankCeOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), post AS MATERIALIZED (
+       |  SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY t, doc_id
+       |), dl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM post GROUP BY doc_id
+       |), nn AS (SELECT COUNT(*) AS n FROM documents),
+       |st AS (SELECT CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE)/(SELECT n FROM nn) AS avgdl FROM dl),
+       |idf AS MATERIALIZED (
+       |  SELECT t, ROUND(ln(
+       |    (CAST((SELECT n FROM nn) AS DOUBLE) - CAST(COUNT(*) AS DOUBLE) + 0.5) /
+       |      (CAST(COUNT(*) AS DOUBLE) + 0.5) + 1.0), 6) AS idf
+       |  FROM post GROUP BY t
+       |), q AS (
+       |  SELECT doc_id AS probe_id, unnest(list_distinct(string_split(text, ' '))) AS t
+       |  FROM documents WHERE doc_id IN (${probeIds.mkString(", ")})
+       |), bterms AS (
+       |  SELECT q.probe_id, po.doc_id,
+       |    ROUND((i.idf * (CAST(po.tf AS DOUBLE) * CAST(2.2 AS DOUBLE))) /
+       |      (CAST(po.tf AS DOUBLE) + CAST($BmK1 AS DOUBLE) *
+       |        (CAST(0.25 AS DOUBLE) + CAST($BmB AS DOUBLE) *
+       |          (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM st)))), 9) AS s
+       |  FROM q JOIN post po ON po.t = q.t AND po.doc_id <> q.probe_id
+       |  JOIN idf i ON i.t = q.t
+       |  JOIN dl d ON d.doc_id = po.doc_id
+       |), bscored AS (
+       |  SELECT probe_id, doc_id,
+       |    ROUND(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE), 6) AS score
+       |  FROM bterms GROUP BY probe_id, doc_id
+       |), btop AS (
+       |  SELECT probe_id, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS rnk
+       |  FROM bscored QUALIFY rnk <= $BmTopN
+       |), e AS (${Embeddings.vecsSql}),
+       |cent AS (
+       |  SELECT vec_id AS cent_id, v AS v_c
+       |  FROM e WHERE vec_id >= 100 AND vec_id < 116
+       |), assign AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 65),
+       |      i -> (e.v[i] - c.v_c[i]) * (e.v[i] - c.v_c[i])), (x, y) -> x + y), 6) AS cdist
+       |  FROM e CROSS JOIN cent c
+       |), ra AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cdist, cent_id) AS crank
+       |  FROM assign
+       |), alists AS (
+       |  SELECT vec_id AS neighbor_id, cent_id AS bucket FROM ra WHERE crank <= 1
+       |), pcells AS (
+       |  SELECT vec_id AS probe_id, cent_id AS bucket FROM ra WHERE vec_id < 3 AND crank <= 4
+       |), acand AS (
+       |  SELECT p.probe_id, l.neighbor_id
+       |  FROM pcells p JOIN alists l USING (bucket)
+       |  WHERE p.probe_id <> l.neighbor_id
+       |), subs AS (
+       |  SELECT vec_id, s.sub, list_slice(v, s.sub * 8 + 1, s.sub * 8 + 8) AS xs
+       |  FROM e, (SELECT unnest(range(0, 8)) AS sub) s
+       |), cb AS (
+       |  SELECT sub, vec_id - 100 AS cent_id, xs AS cs
+       |  FROM subs WHERE vec_id >= 100 AND vec_id < 116
+       |), ascored AS (
+       |  SELECT t.vec_id, t.sub, c.cent_id,
+       |    ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (t.xs[i] - c.cs[i]) * (t.xs[i] - c.cs[i])), (x, y) -> x + y), 6) AS dist2
+       |  FROM subs t JOIN cb c USING (sub)
+       |), acodes AS (
+       |  SELECT vec_id AS neighbor_id, sub, cent_id AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist2, cent_id) AS rnk
+       |    FROM ascored)
+       |  WHERE rnk = 1
+       |), aparts AS (
+       |  SELECT cd.probe_id, cd.neighbor_id,
+       |    CAST(ROUND(list_reduce(list_transform(range(1, 9),
+       |      i -> (p.xs[i] - c.cs[i]) * (p.xs[i] - c.cs[i])), (x, y) -> x + y), 6)
+       |      AS DECIMAL(18,6)) AS part
+       |  FROM acand cd
+       |  JOIN acodes k ON k.neighbor_id = cd.neighbor_id
+       |  JOIN cb c ON c.sub = k.sub AND c.cent_id = k.code
+       |  JOIN subs p ON p.sub = k.sub AND p.vec_id = cd.probe_id
+       |), adist AS (
+       |  SELECT probe_id, neighbor_id, CAST(SUM(part) AS DOUBLE) AS adist2
+       |  FROM aparts GROUP BY 1, 2
+       |), atop AS (
+       |  SELECT probe_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist2, neighbor_id) AS rnk
+       |  FROM adist QUALIFY rnk <= 5
+       |), cands AS (
+       |  SELECT probe_id, doc_id FROM btop
+       |  UNION
+       |  SELECT probe_id, neighbor_id AS doc_id FROM atop
+       |), d AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+       |), qt AS (
+       |  SELECT doc_id AS probe_id, toks AS q_toks FROM d
+       |  WHERE doc_id IN (${probeIds.mkString(", ")})
+       |), feat AS (
+       |  SELECT c.probe_id, c.doc_id,
+       |    COALESCE(${Embeddings.cosSql}, CAST(0.0 AS DOUBLE)) AS cos,
+       |    ROUND(CAST(len(list_intersect(dd.toks, qq.q_toks)) AS DOUBLE) /
+       |      CAST(len(qq.q_toks) AS DOUBLE), 6) AS coverage
+       |  FROM cands c
+       |  JOIN d dd ON dd.doc_id = c.doc_id
+       |  JOIN qt qq ON qq.probe_id = c.probe_id
+       |  LEFT JOIN e b ON b.vec_id = c.doc_id
+       |  JOIN e a ON a.vec_id = c.probe_id
+       |)
+       |SELECT probe_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ce DESC, doc_id) AS INT) AS rank,
+       |  doc_id, cos, coverage, ce
+       |FROM (
+       |  SELECT *, (ROUND(CAST(0.6 AS DOUBLE) * cos + CAST(0.4 AS DOUBLE) * coverage, 6) + 0.0) AS ce
+       |  FROM feat)
+       |QUALIFY rank <= $TopN
+       |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "retrieve_hybrid_rrf" -> (hybridRrf _),
     "retrieve_bm25" -> (bm25 _),
-    "retrieve_bm25_stored" -> (bm25Stored _))
+    "retrieve_bm25_stored" -> (bm25Stored _),
+    "retrieve_rerank_ce" -> (rerankCe _))
 
   val oracles: Map[String, String] = Map(
     "retrieve_hybrid_rrf" -> hybridRrfOracle,
     "retrieve_bm25" -> bm25Oracle,
     // the staged read path answers the SAME query - oracle verbatim
-    "retrieve_bm25_stored" -> bm25Oracle)
+    "retrieve_bm25_stored" -> bm25Oracle,
+    "retrieve_rerank_ce" -> rerankCeOracle)
 }

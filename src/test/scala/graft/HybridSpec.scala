@@ -42,6 +42,55 @@ class HybridSpec extends SparkSpec {
     both.foreach(r => assert(r.getInt(1) == 1))
   }
 
+  private lazy val rr = graft.similarity.Hybrid.rerankCe(spark, sfDir).collect()
+
+  test("rerank: dense top-10 per probe, candidates all from stage-1 store probes, ce consistent and ordered") {
+    assert(rr.nonEmpty)
+    val byProbe = rr.groupBy(_.getLong(0))
+    assert(byProbe.keySet == Set(0L, 1L, 2L))
+    // stage-1 candidate sets: the two STORE probes
+    val bm = graft.similarity.Hybrid.bm25Stored(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = graft.similarity.StoredIndex.annIvfPqStored(spark, sfDir).collect()
+      .filter(_.getLong(0) < 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10))
+      val cands = rows.map(_.getLong(2))
+      assert(cands.distinct.length == cands.length)
+      rows.foreach { r =>
+        val (doc, cos, cov, ce) =
+          (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(doc != p, "the probe reranked itself")
+        assert(bm.contains((p, doc)) || ann.contains((p, doc)),
+          s"candidate ($p,$doc) came from neither store probe")
+        assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+        assert(cov >= 0.0 && cov <= 1.0)
+        // the blend recomputes from the row's own rounded features
+        assert(math.abs(ce - (0.6 * cos + 0.4 * cov)) < 5e-7,
+          s"ce $ce drifted from 0.6*$cos + 0.4*$cov")
+      }
+      // rerank order is non-increasing in ce; ties ascend by doc_id
+      rows.sortBy(_.getInt(1)).sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getDouble(5) > lo.getDouble(5) ||
+            (hi.getDouble(5) == lo.getDouble(5) && hi.getLong(2) < lo.getLong(2)))
+        case _ =>
+      }
+    }
+  }
+
+  test("rerank stage broadcasts the candidate set — the corpora never shuffle for the joint scoring") {
+    val plan = graft.similarity.Hybrid.rerankCe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // joint features run over a result-scale candidate list: the only
+    // exchanges feeding the window are broadcast or the tiny
+    // candidate-distinct — the documents/embeddings corpus scans join
+    // broadcast-side only
+    assert(!plan.contains("SortMergeJoin"),
+      "a corpus-side sort-merge join appeared in the rerank stage:\n" + plan.take(3000))
+  }
+
   test("both corpora broadcast the probes — neither corpus shuffles for the join") {
     val plan = graft.similarity.Hybrid.hybridRrf(spark, sfDir)
       .queryExecution.executedPlan.toString
