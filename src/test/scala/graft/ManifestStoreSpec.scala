@@ -442,6 +442,85 @@ class ManifestStoreSpec extends SparkSpec {
     ManifestStore.breakLease(spark, root)
   }
 
+  test("shard GC stays bounded across a long publish history: _shards holds only the live + grace versions' files") {
+    // the two-level index must not leak either LEVEL: dir shards and
+    // index shards of versions older than the grace window are swept
+    // at each publish, so a hot store's _shards dir stays O(dirs +
+    // buckets), never O(history).
+    val savedTarget = ManifestStore.indexBucketTarget
+    ManifestStore.indexBucketTarget = 2
+    try {
+      val root = tmp()
+      ManifestStore.append(spark, root, "b",
+        df((0 until 8).map(i => (i.toLong, i.toDouble, i)): _*))
+      val fs = graft.util.Fs.of(spark, root)
+      for (k <- 1 to 10)
+        ManifestStore.rewriteTouched(spark, root, "b", Seq(k % 8),
+          df(((k % 8).toLong, k * 100.0, k % 8)))
+      val shards = fs.listStatus(new Path(root, "_shards")).map(_.getPath.getName)
+      // live + grace: at most 2 versions' worth of 8 dir shards and
+      // 4 bucket index shards each
+      assert(shards.length <= 2 * (8 + 4),
+        s"_shards leaked to ${shards.length} files after 11 publishes: " +
+          shards.sorted.mkString(", "))
+      // every shard still on disk is referenced by the live or grace
+      // manifest (nothing unreachable is retained)
+      assert(rows(root).size == 8)
+    } finally ManifestStore.indexBucketTarget = savedTarget
+  }
+
+  test("a reader looping snapshots through publishes that DOUBLE the bucket count never sees a torn or empty store") {
+    // the index-growth step rewrites every range in one publish; a
+    // concurrent reader must resolve either the old R or the new R —
+    // never a mixture, never emptiness.
+    val savedTarget = ManifestStore.indexBucketTarget
+    ManifestStore.indexBucketTarget = 2
+    try {
+      val root = tmp()
+      ManifestStore.append(spark, root, "b", df((0L, 0.0, 0)))
+      @volatile var stop = false
+      val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val reader = new Thread(() => {
+        while (!stop) {
+          // a single read may span >grace publishes and lose its files
+          // to GC — the documented remedy is re-resolving, so retry;
+          // only a read that fails repeatedly (or returns a non-prefix
+          // state) is a protocol violation
+          var attempt = 0
+          var done = false
+          while (!done && attempt < 3) {
+            attempt += 1
+            try {
+              val got = rows(root)
+              // every committed state is a dense prefix {0..n-1} of
+              // the appended rows — anything else is a torn read
+              if (got.isEmpty) bad.add("EMPTY")
+              else {
+                val n = got.size
+                val want = (0 until n).map(i => s"[$i,${i.toDouble},$i]").toSet
+                if (got != want) bad.add(s"torn: $got")
+              }
+              done = true
+            } catch {
+              case e: Throwable =>
+                if (attempt >= 3) bad.add(s"threw repeatedly: ${e.getMessage}")
+            }
+          }
+        }
+      })
+      reader.start()
+      // grow 1 → 24 dirs: R doubles 1→2→4→8→16 along the way
+      for (i <- 1 until 24)
+        ManifestStore.append(spark, root, "b", df((i.toLong, i.toDouble, i)))
+      stop = true
+      reader.join()
+      assert(bad.isEmpty, s"reader observations: ${bad.toArray.take(5).mkString("; ")}")
+      val (r, _) = ManifestStore.bucketIndex(spark, root)
+      assert(r >= 8, s"bucket count never grew: $r")
+      assert(rows(root).size == 24)
+    } finally ManifestStore.indexBucketTarget = savedTarget
+  }
+
   test("dynamic partition pruning reaches a manifest-read scan joined on its partition column") {
     val root = tmp()
     ManifestStore.append(spark, root, "b",
