@@ -56,7 +56,7 @@ object Graph2 {
       .unionByName(g.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    val edgesDeg = edges.join(deg, "src").localCheckpoint()
+    val edgesDeg = edges.join(deg, "src")
     pageRankIterate(edgesDeg, deg)
   }
 
@@ -66,24 +66,39 @@ object Graph2 {
     * tables read back from the staged store instead of rebuilt from
     * raw vectors; BIGINT/deg round-trip parquet losslessly, so the two
     * callers' trajectories are bit-identical. */
-  private[similarity] def pageRankIterate(edgesDeg: DataFrame, deg: DataFrame): DataFrame = {
+  private[graft] def pageRankIterate(edgesDeg0: DataFrame, deg: DataFrame): DataFrame = {
+    val edgesDeg = prepareEdges(edgesDeg0)
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("id"), rN(lit(1.0) / col("n"), 12).as("rank"))
       .localCheckpoint()
-    for (_ <- 1 to Iters) {
-      ranks = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
-        .groupBy(col("dst"))
-        .agg(dsum(rN(col("rank") / col("deg"), 12), 12).as("s"))
-        .crossJoin(broadcast(n))
-        .select(col("dst").as("id"),
-          rN(lit(1.0 - Damping) / col("n") + lit(Damping) * col("s"), 12).as("rank"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to Iters) ranks = prIteration(edgesDeg, ranks, n).localCheckpoint()
     ranks.join(deg, ranks("id") === deg("src"))
       .select(col("id"), col("deg"), col("rank").as("pagerank"))
       .orderBy("id")
   }
+
+  /** Establish the iteration join's partitioning ONCE (guide §2.4):
+    * the edge table is hash-partitioned and sorted on `src` before its
+    * checkpoint — localCheckpoint preserves partitioning AND ordering
+    * — so every iteration REUSES that exchange and sort, shuffling
+    * only the node-scale rank table. Previously the edge-scale side
+    * re-shuffled on every one of the 8 iterations (8 × edge bytes),
+    * the term that dominates at real graph scale (Graph2MarkovSpec
+    * pins the iteration plan: no src-side exchange). */
+  private[graft] def prepareEdges(edgesDeg0: DataFrame): DataFrame =
+    edgesDeg0.repartition(col("src")).sortWithinPartitions("src")
+      .localCheckpoint()
+
+  /** One rank-flow step over a [[prepareEdges]]-prepared edge table. */
+  private[graft] def prIteration(edgesDeg: DataFrame, ranks: DataFrame,
+      n: DataFrame): DataFrame =
+    edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
+      .groupBy(col("dst"))
+      .agg(dsum(rN(col("rank") / col("deg"), 12), 12).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("dst").as("id"),
+        rN(lit(1.0 - Damping) / col("n") + lit(Damping) * col("s"), 12).as("rank"))
 
   /** Oracle unrolls the same 8 iterations as chained CTEs — identical
     * decimal accumulation and 12-dp per-iteration rounding, so the

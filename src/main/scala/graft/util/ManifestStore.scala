@@ -87,16 +87,27 @@ import org.apache.spark.sql.types.StructType
   * wants queueing retries around the publish call).
   *
   * Scale shape: one publish costs O(markers + touched dirs) namespace
-  * operations, O(touched) shard bytes and one O(dirs)-line index
-  * write; untouched partitions are never listed, read, or rewritten.
+  * operations and O(touched) shard READS and WRITES at both manifest
+  * levels — the manifest header carries the dir count, untouched
+  * index ranges are carried forward without being read, orphan
+  * protection resolves per touched dir, and GC diffs the expiring
+  * version against the live one at SHARD level (only replaced shards
+  * get file-level reads). Untouched partitions are never listed,
+  * read, or rewritten, warm or COLD: a one-dir publish on a 10⁶-dir
+  * store reads a bounded handful of shard files (spec-pinned via the
+  * [[shardDiskReads]] counter). Cold snapshot RESOLUTION is
+  * O(dirs) by nature (every dir's shard must be read once) but runs
+  * on a small parallel fetch pool, not serially.
   */
 object ManifestStore {
 
   /** On-disk protocol format version. Folded into every staged store's
     * fingerprint ([[graft.sources.Staging.stagedDir]]): a protocol
     * format change restages automatically instead of silently serving
-    * a stale-layout store from a previous JVM. */
-  private[graft] val LayoutVersion = 3
+    * a stale-layout store from a previous JVM. (4: the manifest header
+    * gained the dir count — `#R <buckets> <dirs>` — so a publish can
+    * check index growth without flattening the index.) */
+  private[graft] val LayoutVersion = 4
 
   /** Injected crash points for the crash-window specs:
     * "publish" fires after the data files are written but before the
@@ -269,11 +280,16 @@ object ManifestStore {
     r
   }
 
-  /** One version's manifest file, parsed: the bucket count `r` and the
-    * (bucket → index-shard) lines. `r` == 0 marks a LEGACY single-level
-    * manifest whose lines are (dirKey → dir-shard) directly. */
-  private final case class ManifestIx(r: Int,
-      buckets: Seq[(Int, String)], legacy: Seq[(String, String)])
+  /** One version's manifest file, parsed: the bucket count `r`, the
+    * store's dir count (−1 when the header predates the count field),
+    * and the (bucket → index-shard) lines. `r` == 0 marks a LEGACY
+    * single-level manifest whose lines are (dirKey → dir-shard)
+    * directly (its count is exact: the line count). */
+  private final case class ManifestIx(r: Int, count: Int,
+      buckets: Seq[(Int, String)], legacy: Seq[(String, String)]) {
+    def exists: Boolean = r > 0 || legacy.nonEmpty
+  }
+  private val EmptyManifest = ManifestIx(0, 0, Seq.empty, Seq.empty)
 
   private def splitTab(l: String, mp: Path): (String, String) = {
     val i = l.indexOf('\t')
@@ -283,29 +299,47 @@ object ManifestStore {
 
   private def readManifest(fs: FileSystem, root: String, v: Int): ManifestIx = {
     val mp = manifestPath(root, v)
-    if (v <= 0 || !fs.exists(mp)) ManifestIx(0, Seq.empty, Seq.empty)
+    if (v <= 0 || !fs.exists(mp)) EmptyManifest
     else readLines(fs, mp) match {
       case head +: rest if head.startsWith("#R\t") =>
-        ManifestIx(head.stripPrefix("#R\t").toInt,
+        val hf = head.split('\t')
+        ManifestIx(hf(1).toInt, if (hf.length > 2) hf(2).toInt else -1,
           rest.map(l => { val (b, s) = splitTab(l, mp); (b.toInt, s) }), Seq.empty)
       case lines => // legacy single-level manifest: readable, never written
-        ManifestIx(0, Seq.empty, lines.map(splitTab(_, mp)))
+        ManifestIx(0, lines.size, Seq.empty, lines.map(splitTab(_, mp)))
     }
   }
 
-  /** The index-shard names version `v`'s manifest references (its
-    * second level — the dir-shard names are [[indexAt]]'s values). */
-  private def indexShardsAt(fs: FileSystem, root: String, v: Int): Seq[String] =
-    readManifest(fs, root, v).buckets.map(_._2)
+  /** The dir shard holding `dk` in manifest `m`, reading at most ONE
+    * index shard (the bucket `dk` hashes to) — the per-dir lookup the
+    * publish path uses instead of flattening the whole index. `lax`
+    * tolerates a missing index shard (below-grace or half-cleaned
+    * versions) as absent. */
+  private def dirShardOf(fs: FileSystem, root: String, m: ManifestIx,
+      dk: String, lax: Boolean = false): Option[String] =
+    if (m.r == 0) m.legacy.collectFirst { case (k, s) if k == dk => s }
+    else {
+      val b = bucketOf(dk, m.r)
+      m.buckets.collectFirst { case (`b`, ix) => ix }.flatMap { ix =>
+        val lines = if (lax) shardLinesLax(fs, root, ix)
+          else shardFiles(fs, root, ix)
+        lines.iterator.map(splitTab(_, new Path(shardsDir(root), ix)))
+          .collectFirst { case (k, s) if k == dk => s }
+      }
+    }
 
   /** Version `v`'s index: ordered (dirKey, dirShardName) pairs,
-    * flattened through the bucket level. */
+    * flattened through the bucket level. Full resolution — the READ
+    * path only; the publish path resolves per-dir via [[dirShardOf]]. */
   private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] = {
     val m = readManifest(fs, root, v)
     if (m.r == 0) m.legacy
-    else m.buckets.flatMap { case (_, idxShard) =>
-      shardFiles(fs, root, idxShard)
-        .map(splitTab(_, new Path(shardsDir(root), idxShard)))
+    else {
+      val fetched = fetchShards(fs, root, m.buckets.map(_._2))
+      m.buckets.flatMap { case (_, idxShard) =>
+        fetched(idxShard)
+          .map(splitTab(_, new Path(shardsDir(root), idxShard)))
+      }
     }
   }
 
@@ -326,40 +360,121 @@ object ManifestStore {
     * global clear-at-50k turned one overflow into a re-read storm
     * across every live store in the JVM). */
   private[graft] var shardCachePerStore = 4096
-  private val shardCaches = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.Map[String, Seq[String]]]()
+
+  /** The set of cached roots is itself LRU-bounded: a long-lived JVM
+    * touching many ephemeral stores (test suites, rotated staging
+    * dirs, blue/green clones) must not accumulate per-root caches
+    * forever — evicting a cold ROOT drops that store's whole cache,
+    * which a later read simply re-fills. */
+  private[graft] var shardCacheRoots = 256
+  private val shardCaches =
+    new java.util.LinkedHashMap[String, java.util.Map[String, Seq[String]]](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.Map[String, Seq[String]]]): Boolean =
+        size() > shardCacheRoots
+    }
 
   private def cacheFor(root: String): java.util.Map[String, Seq[String]] =
-    shardCaches.computeIfAbsent(root, _ =>
-      java.util.Collections.synchronizedMap(
-        new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, Seq[String]]): Boolean =
-            size() > shardCachePerStore
-        }))
+    shardCaches.synchronized {
+      val hit = shardCaches.get(root)
+      if (hit != null) hit
+      else {
+        val m = java.util.Collections.synchronizedMap(
+          new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+            override def removeEldestEntry(
+                e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+              size() > shardCachePerStore
+          })
+        shardCaches.put(root, m)
+        m
+      }
+    }
 
   /** Cold-cache hook for the crash-recovery specs: on-disk integrity,
     * not cache contents, is what the suite must pin. */
-  private[graft] def clearShardCache(): Unit = shardCaches.clear()
+  private[graft] def clearShardCache(): Unit =
+    shardCaches.synchronized { shardCaches.clear() }
 
   /** Cache size of one store (spec surface for the LRU bound). */
   private[graft] def shardCacheSize(root: String): Int =
-    Option(shardCaches.get(root)).map(_.size).getOrElse(0)
+    shardCaches.synchronized {
+      Option(shardCaches.get(root)).map(_.size).getOrElse(0)
+    }
 
-  private def shardFiles(fs: FileSystem, root: String, shard: String): Seq[String] = {
+  /** Count of cached roots (spec surface for the root-level bound). */
+  private[graft] def cachedRootCount: Int =
+    shardCaches.synchronized { shardCaches.size }
+
+  /** Test hook: actual shard-file DISK reads (cache misses) — the
+    * counter the O(touched)-publish spec pins against a cold cache. */
+  private[graft] val shardDiskReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** One shard's lines, through the per-store LRU cache. `lax`
+    * tolerates a MISSING shard file as `None` — the idempotent-cleanup
+    * contract for uncommitted or below-grace manifests, whose shards a
+    * crashed prior cleanup/GC may already have deleted; committed
+    * live/grace versions always read strictly (a missing shard there
+    * is real corruption and must fail loudly, never silently shrink a
+    * store). */
+  private def shardLinesOpt(fs: FileSystem, root: String, shard: String,
+      lax: Boolean): Option[Seq[String]] = {
     val c = cacheFor(root)
     val hit = c.get(shard)
-    if (hit != null) hit
+    if (hit != null) Some(hit)
     else {
-      val v = readLines(fs, new Path(shardsDir(root), shard))
-      c.put(shard, v)
-      v
+      shardDiskReads.incrementAndGet()
+      val read = try Some(readLines(fs, new Path(shardsDir(root), shard)))
+        catch { case e: java.io.FileNotFoundException => if (lax) None else throw e }
+      read.foreach(v => c.put(shard, v))
+      read
     }
   }
 
+  private def shardFiles(fs: FileSystem, root: String, shard: String): Seq[String] =
+    shardLinesOpt(fs, root, shard, lax = false).get
+
+  private def shardLinesLax(fs: FileSystem, root: String, shard: String): Seq[String] =
+    shardLinesOpt(fs, root, shard, lax = true).getOrElse(Seq.empty)
+
+  /** Cold-resolution fetch pool: a fresh reader of a large store pays
+    * one read per shard by nature, but pays them CONCURRENTLY, not as
+    * O(dirs) sequential round-trips. Bounded and daemon. */
+  private lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16, r => {
+      val t = new Thread(r, "manifest-io"); t.setDaemon(true); t
+    })
+
+  /** Read many shards, fetching cache misses in parallel. Returns a
+    * LOCAL map (immune to LRU eviction mid-resolution), preserving the
+    * caller's read order and strict-miss semantics. */
+  private def fetchShards(fs: FileSystem, root: String,
+      shards: Seq[String]): Map[String, Seq[String]] = {
+    val c = cacheFor(root)
+    val got = shards.distinct.map(s => s -> c.get(s))
+    val misses = got.collect { case (s, null) => s }
+    val fetched: Map[String, Seq[String]] =
+      if (misses.size <= 1)
+        misses.map(s => s -> shardFiles(fs, root, s)).toMap
+      else {
+        val futs = misses.map(s => s -> ioPool.submit(
+          new java.util.concurrent.Callable[Seq[String]] {
+            def call(): Seq[String] = shardLinesOpt(fs, root, s, lax = false).get
+          }))
+        futs.map { case (s, f) =>
+          s -> (try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+        }.toMap
+      }
+    got.map { case (s, hit) => s -> (if (hit != null) hit else fetched(s)) }.toMap
+  }
+
   /** The root-relative data-file list of version `v`. */
-  private[graft] def filesAt(fs: FileSystem, root: String, v: Int): Seq[String] =
-    indexAt(fs, root, v).flatMap { case (_, shard) => shardFiles(fs, root, shard) }
+  private[graft] def filesAt(fs: FileSystem, root: String, v: Int): Seq[String] = {
+    val ix = indexAt(fs, root, v)
+    val fetched = fetchShards(fs, root, ix.map(_._2))
+    ix.flatMap { case (_, shard) => fetched(shard) }
+  }
 
   // ----------------------------------------------------------------
   // snapshot reads
@@ -453,6 +568,21 @@ object ManifestStore {
     fs.mkdirs(new Path(root))
     val deadline = System.nanoTime() + waitMs * 1000000L
     val token = java.util.UUID.randomUUID().toString
+    // only an already-held lease is a retriable event; any OTHER
+    // IOException (permissions, connectivity) is a real FS error and
+    // must surface unchanged — retrying it for waitMs and then blaming
+    // a concurrent job steers operators toward breakLease for a
+    // problem that is not a stale lease
+    def leaseHeld(e: Throwable): Boolean = e match {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+      case _: java.nio.file.FileAlreadyExistsException => true
+      case e: java.io.IOException =>
+        Option(e.getMessage).exists(_.toLowerCase.contains("exist"))
+      case _ => false
+    }
+    var sleepMs = 50L // exponential backoff to a 500 ms cap: a 10 s
+    // bound must not hammer the namespace with 200 create-exclusive
+    // attempts (chatty and pointless against an object store)
     var acquired = false
     while (!acquired) {
       try {
@@ -461,9 +591,11 @@ object ManifestStore {
         finally out.close()
         acquired = true
       } catch {
-        case e: java.io.IOException =>
-          if (System.nanoTime() < deadline) Thread.sleep(50)
-          else throw new IllegalStateException(
+        case e: java.io.IOException if leaseHeld(e) =>
+          if (System.nanoTime() < deadline) {
+            Thread.sleep(sleepMs)
+            sleepMs = math.min(sleepMs * 2, 500L)
+          } else throw new IllegalStateException(
             s"store $root is held by a concurrent maintenance job (_lease " +
               "present); if its holder is dead, break it with " +
               "ManifestStore.breakLease", e)
@@ -525,15 +657,24 @@ object ManifestStore {
   }
 
   /** The shared publish choreography (under the fenced lease):
-    *   1. clear crashed publishes: uncommitted manifests, their shards,
-    *      and their not-otherwise-referenced data files;
+    *   1. clear crashed publishes: uncommitted manifests, their OWN
+    *      shards (found by diffing their index against the committed
+    *      manifests at SHARD level), and their not-otherwise-referenced
+    *      data files;
     *   2. per op: resolve its touched dirs, clear those dirs' orphans,
     *      run the write job, list its new files;
-    *   3. fence, then write new shards for the touched dirs ONLY, the
-    *      v<N+1> index (untouched dirs carry their shard lines
-    *      verbatim), and create the marker atomically — THE flip;
-    *   4. GC with a one-version grace window (data files, shards,
-    *      manifests, markers of versions ≤ N−1). */
+    *   3. fence, then write new shards for the touched dirs ONLY and
+    *      new index shards for the touched RANGES only (every other
+    *      range's index shard is carried verbatim — without being
+    *      read), and create the marker atomically — THE flip;
+    *   4. GC with a one-version grace window, diffing the expiring
+    *      version against the live one at SHARD level — only replaced
+    *      shards get file-level reads.
+    *
+    * Driver-side READ cost is O(touched + crashed-publish dirs) shard
+    * files per publish, warm or cold — never O(store). The one
+    * O(table) shape is a whole-table op (compaction, blue/green),
+    * whose touched set IS the table. */
   def publishOps(spark: SparkSession, root: String, ops0: Seq[TableOp],
       leaseWaitMs: Long = 0L): Unit = {
     require(ops0.map(_.table).distinct.size == ops0.size,
@@ -543,39 +684,66 @@ object ManifestStore {
     try {
       // deferred ops resolve their shape HERE, under the lease
       val ops = ops0.map(o => o.defer.map(_()).getOrElse(o))
-      // 1. crashed-publish cleanup (ADVICE r17: an uncommitted manifest
-      // must not strand its files as permanently unreferenced). An
-      // uncommitted manifest carries untouched dirs' COMMITTED shard
-      // files forward verbatim, so its cleanup may delete only shards
-      // no committed manifest references (ADVICE r18: deleting them
-      // all broke every untouched dir for any cold reader). Markers
-      // whose manifest is gone (a fenced straggler's leftovers) are
-      // dangling — readers already ignore them; delete them so the
-      // version they squatted on publishes cleanly.
+
+      // version state: one root listing, one manifest read per version
       val allVs = manifestVersions(fs, root)
       val committedVs = allVs.filter(w => fs.exists(markerPath(root, w)))
-      val referenced: Set[String] =
-        committedVs.flatMap(w => filesAt(fs, root, w)).toSet
-      val committedShards: Set[String] =
-        committedVs.flatMap(w => indexAt(fs, root, w).map(_._2) ++
-          indexShardsAt(fs, root, w)).toSet
+      val v = committedVs.maxOption.getOrElse(0)
+      val committedMs: Map[Int, ManifestIx] =
+        committedVs.map(w => w -> readManifest(fs, root, w)).toMap
+      val curM = committedMs.getOrElse(v, EmptyManifest)
+      // index-shard names every committed manifest references — known
+      // from the manifest files alone, no shard reads
+      val committedIdxShards: Set[String] =
+        committedMs.values.flatMap(_.buckets.map(_._2)).toSet
+      // strictness: live/grace versions read strictly; a below-grace
+      // committed version (a crashed GC's leftover) tolerates missing
+      // shards — its surviving references still protect their files,
+      // and this round's GC finishes the interrupted sweep
+      def laxFor(w: Int): Boolean = w < v - 1
+      // per-dir lookups into the committed versions: each reads at most
+      // one index shard + one dir shard per version, all LRU-cached
+      def committedDirShards(dk: String): Seq[(Int, String)] =
+        committedVs.flatMap(w =>
+          dirShardOf(fs, root, committedMs(w), dk, lax = laxFor(w)).map(w -> _))
+      val refCache = scala.collection.mutable.HashMap[String, Set[String]]()
+      def referencedIn(dk: String): Set[String] = refCache.getOrElseUpdate(dk,
+        committedDirShards(dk).flatMap { case (w, s) =>
+          if (laxFor(w)) shardLinesLax(fs, root, s) else shardFiles(fs, root, s)
+        }.toSet)
+
+      // 1. crashed-publish cleanup (ADVICE r17: an uncommitted manifest
+      // must not strand its files as permanently unreferenced), SCOPED:
+      // an uncommitted manifest carries untouched dirs' COMMITTED
+      // shards verbatim, so only the index shards no committed manifest
+      // references can hold its own work — read those, not the store
+      // (ADVICE r18: deleting carried shards broke every untouched dir;
+      // the per-line committed check below spares them). Reads are
+      // missing-tolerant, so a cleanup interrupted mid-delete re-runs
+      // idempotently instead of throwing on a half-cleaned manifest.
+      // Markers whose manifest is gone (a fenced straggler's leftovers)
+      // are dangling — readers already ignore them; delete them so the
+      // version they squatted on publishes cleanly.
       for (w <- allVs if !committedVs.contains(w)) {
-        for (f <- filesAt(fs, root, w) if !referenced.contains(f))
-          fs.delete(new Path(root, f), false)
-        for (shard <- indexAt(fs, root, w).map(_._2) ++ indexShardsAt(fs, root, w)
-            if !committedShards.contains(shard))
-          fs.delete(new Path(shardsDir(root), shard), false)
+        val mw = readManifest(fs, root, w)
+        val ownIdx = mw.buckets.map(_._2).filterNot(committedIdxShards.contains)
+        val ownLines: Seq[(String, String)] =
+          if (mw.r == 0) mw.legacy
+          else ownIdx.flatMap(ix => shardLinesLax(fs, root, ix)
+            .map(splitTab(_, new Path(shardsDir(root), ix))))
+        for ((dk, ds) <- ownLines
+            if !committedDirShards(dk).exists(_._2 == ds)) {
+          for (f <- shardLinesLax(fs, root, ds) if !referencedIn(dk).contains(f))
+            fs.delete(new Path(root, f), false)
+          fs.delete(new Path(shardsDir(root), ds), false)
+        }
+        ownIdx.foreach(ix => fs.delete(new Path(shardsDir(root), ix), false))
         fs.delete(manifestPath(root, w), false)
       }
       for (n <- fs.listStatus(new Path(root)).map(_.getPath.getName)
           if n.startsWith("_commit_v") &&
             !allVs.contains(n.stripPrefix("_commit_v").toInt))
         fs.delete(new Path(root, n), false)
-      val v = committedVs.maxOption.getOrElse(0)
-      val curIndex = indexAt(fs, root, v)
-      val curByDir: Map[String, Seq[String]] = curIndex.map { case (dk, shard) =>
-        dk -> shardFiles(fs, root, shard)
-      }.toMap
 
       // 2. per-op: touched dirs + orphan sweep (sequential — touched
       // thunks may force shared store reads under the lease), then the
@@ -585,8 +753,12 @@ object ManifestStore {
       // multi-table trigger), then new-file listing
       case class OpDone(op: TableOp, dirs: Seq[String],
           newByDir: Map[String, Seq[String]], wholeTable: Boolean)
+      // whole-table ops are the ONE shape whose touched set is the
+      // table itself; only they flatten the index (lazily, so every
+      // partition-scoped publish stays O(touched))
+      lazy val curIndexFull: Seq[(String, String)] = indexAt(fs, root, v)
       def manifestDirsOf(table: String): Seq[String] =
-        curIndex.map(_._1).filter(dk =>
+        curIndexFull.map(_._1).filter(dk =>
           if (table.isEmpty) true else dk == table || dk.startsWith(s"$table/"))
       val staged = ops.flatMap { op =>
         val wholeTable = op.touched.isEmpty
@@ -603,7 +775,7 @@ object ManifestStore {
         if (op.touched.isDefined && op.partCol.nonEmpty && preDirs.isEmpty) None
         else {
           for (dk <- preDirs; n <- dataFiles(fs, new Path(root, dk))
-              if !referenced.contains(s"$dk/$n"))
+              if !referencedIn(dk).contains(s"$dk/$n"))
             require(fs.delete(new Path(root, s"$dk/$n"), false),
               s"orphan delete failed: $root/$dk/$n")
           Some((op, preDirs, wholeTable))
@@ -631,7 +803,7 @@ object ManifestStore {
           else preDirs
         val newByDir = postDirs.map { dk =>
           dk -> dataFiles(fs, new Path(root, dk))
-            .map(n => s"$dk/$n").filterNot(referenced.contains)
+            .map(n => s"$dk/$n").filterNot(referencedIn(dk).contains)
         }.toMap
         OpDone(op, postDirs, newByDir, wholeTable)
       }
@@ -644,71 +816,113 @@ object ManifestStore {
       // dirs each op drops wholesale (replace) vs keeps
       val dropped: Set[String] = done.flatMap { d =>
         if (!d.op.replace) Seq.empty
-        else if (d.wholeTable) manifestDirsOf(d.op.table)
+        // an unpartitioned op's "whole table" IS its one dir — only a
+        // whole-PARTITIONED-table replace needs the table's dir list
+        else if (d.wholeTable && d.op.partCol.nonEmpty) manifestDirsOf(d.op.table)
         else d.dirs
       }.toSet
-      val touchedDirs: Set[String] = done.flatMap(_.dirs).toSet
       val newFilesOf: Map[String, Seq[String]] =
         done.flatMap(_.newByDir).toMap
+      // the dirs whose manifest entry actually changes: dropped, or
+      // carrying new files (a touched dir the write left untouched
+      // keeps its old shard — content-identical, zero writes)
+      val changedDirs: Seq[String] = (done.flatMap(_.dirs) ++ dropped).distinct
+        .filter(dk => dropped.contains(dk) ||
+          newFilesOf.getOrElse(dk, Seq.empty).nonEmpty)
       def shardNameFor(dk: String): String = {
         val san = dk.replaceAll("[^0-9a-zA-Z.=-]", "_")
         s"${san}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
       }
-      val newIndex = scala.collection.mutable.LinkedHashMap[String, String]()
       fs.mkdirs(shardsDir(root))
-      for ((dk, shard) <- curIndex) {
-        if (!touchedDirs.contains(dk) && !dropped.contains(dk))
-          newIndex += dk -> shard // untouched: the SAME shard file, verbatim
-        else {
-          val kept = if (dropped.contains(dk)) Seq.empty else curByDir(dk)
-          val merged = kept ++ newFilesOf.getOrElse(dk, Seq.empty)
-          if (merged.nonEmpty) {
-            val s = shardNameFor(dk)
-            writeLines(fs, new Path(shardsDir(root), s), merged)
-            newIndex += dk -> s
-          }
-        }
-      }
-      for (dk <- done.flatMap(_.dirs) if !newIndex.contains(dk) &&
-          !curByDir.contains(dk)) {
-        val nf = newFilesOf.getOrElse(dk, Seq.empty)
-        if (nf.nonEmpty) {
-          val s = shardNameFor(dk)
-          writeLines(fs, new Path(shardsDir(root), s), nf)
-          newIndex += dk -> s
-        }
+      // post-publish file list of every changed dir ("" = dir leaves)
+      def curFilesOf(dk: String): Seq[String] =
+        dirShardOf(fs, root, curM, dk).toSeq.flatMap(s => shardFiles(fs, root, s))
+      val mergedOf: Map[String, Seq[String]] = changedDirs.map { dk =>
+        val kept = if (dropped.contains(dk)) Seq.empty else curFilesOf(dk)
+        dk -> (kept ++ newFilesOf.getOrElse(dk, Seq.empty))
+      }.toMap
+      // dir-count bookkeeping WITHOUT flattening the index: the header
+      // carries the committed count; a pre-count manifest pays one full
+      // resolution and the count is written forward from here on
+      val curCount: Int =
+        if (!curM.exists) 0
+        else if (curM.r == 0 || curM.count < 0) curIndexFull.size
+        else curM.count
+      val dirWasThere: Map[String, Boolean] = changedDirs.map { dk =>
+        dk -> (curM.exists && dirShardOf(fs, root, curM, dk).isDefined)
+      }.toMap
+      val newCount = curCount +
+        changedDirs.count(dk => !dirWasThere(dk) && mergedOf(dk).nonEmpty) -
+        changedDirs.count(dk => dirWasThere(dk) && mergedOf(dk).isEmpty)
+      val newR = math.max(math.max(curM.r, 1), targetBuckets(newCount))
+      def idxShardName(b: Int): String =
+        s"idx${b}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
+      def writeIdxShard(b: Int, lines: Seq[(String, String)]): String = {
+        val s = idxShardName(b)
+        writeLines(fs, new Path(shardsDir(root), s),
+          lines.sortBy(_._1).map { case (dk, ds) => s"$dk\t$ds" })
+        s
       }
       // INDEX-LEVEL sharding: the manifest file is (bucket → index
-      // shard), each index shard listing the (dir → dir-shard) lines
-      // of one dir-hash range. An untouched range's index shard is
-      // carried forward VERBATIM — a publish writes O(touched ranges)
-      // index lines, never one line per dir of the store (the last
-      // O(store) term in the publish path, now gone). The bucket count
-      // only grows (powers of two, ~indexBucketTarget dirs/bucket); a
-      // growth step rewrites every range once, amortized over the
-      // doublings.
-      val curM = readManifest(fs, root, v)
-      val newR = math.max(math.max(curM.r, 1), targetBuckets(newIndex.size))
-      val newByBucket: Map[Int, Seq[(String, String)]] =
-        newIndex.toSeq.groupBy { case (dk, _) => bucketOf(dk, newR) }
-      val curByBucket: Map[Int, Set[(String, String)]] =
-        if (newR == curM.r) curIndex.groupBy { case (dk, _) => bucketOf(dk, newR) }
-          .view.mapValues(_.toSet).toMap
-        else Map.empty
-      val curBucketShard: Map[Int, String] =
-        if (newR == curM.r) curM.buckets.toMap else Map.empty
-      val bucketLines: Seq[(Int, String)] = (0 until newR).flatMap { b =>
-        newByBucket.get(b).map { pairs =>
-          val carried = curBucketShard.get(b).filter(_ =>
-            curByBucket.getOrElse(b, Set.empty[(String, String)]) == pairs.toSet)
-          b -> carried.getOrElse {
-            val s = s"idx${b}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
-            writeLines(fs, new Path(shardsDir(root), s),
-              pairs.sortBy(_._1).map { case (dk, ds) => s"$dk\t$ds" })
-            s
+      // shard). In the steady state (bucket count unchanged) only the
+      // buckets holding changed dirs are READ and rewritten; every
+      // other range's index shard is carried forward VERBATIM without
+      // being read — O(touched ranges) index reads AND writes. A
+      // growth step (powers of two, ~indexBucketTarget dirs/bucket)
+      // re-buckets everything once, amortized over the doublings.
+      val bucketLines: Seq[(Int, String)] =
+        if (curM.exists && curM.r == newR) {
+          val byBucket: Map[Int, Seq[String]] =
+            changedDirs.groupBy(dk => bucketOf(dk, newR))
+          val curBuckets: Map[Int, String] = curM.buckets.toMap
+          (curBuckets.keySet ++ byBucket.keySet).toSeq.sorted.flatMap { b =>
+            byBucket.get(b) match {
+              case None => Some(b -> curBuckets(b)) // untouched range: verbatim
+              case Some(change) =>
+                val changeSet = change.toSet
+                val curLines: Seq[(String, String)] = curBuckets.get(b)
+                  .map(ix => shardFiles(fs, root, ix)
+                    .map(splitTab(_, new Path(shardsDir(root), ix))))
+                  .getOrElse(Seq.empty)
+                val carried = curLines.filterNot { case (dk, _) => changeSet(dk) }
+                val rewritten = change.flatMap { dk =>
+                  val merged = mergedOf(dk)
+                  if (merged.isEmpty) None
+                  else {
+                    val s = shardNameFor(dk)
+                    writeLines(fs, new Path(shardsDir(root), s), merged)
+                    Some(dk -> s)
+                  }
+                }
+                val lines = carried ++ rewritten
+                if (lines.isEmpty) None
+                else if (rewritten.isEmpty && lines.size == curLines.size)
+                  Some(b -> curBuckets(b)) // only no-op drops: verbatim
+                else Some(b -> writeIdxShard(b, lines))
+            }
           }
+        } else {
+          // growth / first publish / legacy upgrade: one full re-bucket
+          val changedSet = changedDirs.toSet
+          val newIndex = scala.collection.mutable.LinkedHashMap[String, String]()
+          for ((dk, shard) <- curIndexFull if !changedSet(dk))
+            newIndex += dk -> shard
+          for (dk <- changedDirs) {
+            val merged = mergedOf(dk)
+            if (merged.nonEmpty) {
+              val s = shardNameFor(dk)
+              writeLines(fs, new Path(shardsDir(root), s), merged)
+              newIndex += dk -> s
+            }
+          }
+          require(newIndex.size == newCount,
+            s"dir-count bookkeeping diverged at $root: header says $newCount, " +
+              s"index holds ${newIndex.size}")
+          val byB = newIndex.toSeq.groupBy { case (dk, _) => bucketOf(dk, newR) }
+          (0 until newR).flatMap { b =>
+            byB.get(b).map(pairs => b -> writeIdxShard(b, pairs))
+          }.toSeq
         }
-      }
       // the manifest create is EXCLUSIVE: a legitimate writer always
       // targets a fresh version (step 1 removed uncommitted leftovers
       // under its own lease), so a fenced straggler that stalls after
@@ -716,7 +930,7 @@ object ManifestStore {
       // vNew fails LOUDLY here instead of overwriting the successor's
       // committed file list (ADVICE r18)
       writeLines(fs, manifestPath(root, vNew),
-        s"#R\t$newR" +: bucketLines.map { case (b, s) => s"$b\t$s" },
+        s"#R\t$newR\t$newCount" +: bucketLines.map { case (b, s) => s"$b\t$s" },
         overwrite = false)
       // "commit" fires between the manifest write and the marker — the
       // crashed-publish window whose manifest step 1 must clear (its
@@ -732,16 +946,43 @@ object ManifestStore {
       fence(fs, root, token)
       // the exclusive create is the flip — and the last fence: even a
       // writer that raced past a broken lease cannot overwrite a
-      // successor's committed marker
+      // successor's committed marker. Accepted residual (ADVICE r19):
+      // a straggler that stalls BETWEEN this re-fence and the create,
+      // across TWO operator breakLease mistakes, can win the marker
+      // over a successor's identical vNew manifest — the committed
+      // state is then the successor's (consistent); only the
+      // success/failure attribution between the two writers swaps.
       fs.create(markerPath(root, vNew), false).close()
       maybeCrash("gc")
 
-      // 4. GC: one-version grace
-      val keepFiles = newIndex.valuesIterator
-        .flatMap(s => shardFiles(fs, root, s)).toSet ++ filesAt(fs, root, v)
+      // 4. GC with one-version grace, DIFFED at shard level against the
+      // live version v: vNew's shards are v's carried + this publish's
+      // FRESH names, and its files are v's kept + this publish's new
+      // (never present in an expiring w — the new-file listing filtered
+      // every committed reference) — so diffing an expiring w against v
+      // alone is sufficient, and only the shards w does NOT share with
+      // v are read at file level. Reads are missing-tolerant: a GC
+      // interrupted mid-delete re-runs idempotently on the next publish
+      // (the manifest is deleted LAST, so w stays discoverable).
       for (w <- committedVs if w < vNew - 1) {
-        for (f <- filesAt(fs, root, w) if !keepFiles.contains(f))
-          fs.delete(new Path(root, f), false)
+        val mw = committedMs(w)
+        val curIdxNames: Set[String] = curM.buckets.map(_._2).toSet
+        val ownIdx = mw.buckets.map(_._2).filterNot(curIdxNames.contains)
+        val ownLines: Seq[(String, String)] =
+          if (mw.r == 0) mw.legacy
+          else ownIdx.flatMap(ix => shardLinesLax(fs, root, ix)
+            .map(splitTab(_, new Path(shardsDir(root), ix))))
+        for ((dk, ds) <- ownLines) {
+          val curDs = dirShardOf(fs, root, curM, dk)
+          if (!curDs.contains(ds)) {
+            val keep: Set[String] =
+              curDs.toSeq.flatMap(s => shardFiles(fs, root, s)).toSet
+            for (f <- shardLinesLax(fs, root, ds) if !keep.contains(f))
+              fs.delete(new Path(root, f), false)
+            fs.delete(new Path(shardsDir(root), ds), false)
+          }
+        }
+        ownIdx.foreach(ix => fs.delete(new Path(shardsDir(root), ix), false))
         fs.delete(manifestPath(root, w), false)
       }
       // stale markers (including data-less ones a crashed GC stranded)
@@ -749,14 +990,20 @@ object ManifestStore {
           if n.startsWith("_commit_v") &&
             n.stripPrefix("_commit_v").toInt < vNew - 1)
         fs.delete(new Path(root, n), false)
-      val keepShards = (newIndex.valuesIterator ++
-        bucketLines.iterator.map(_._2) ++
-        indexAt(fs, root, v).iterator.map(_._2) ++
-        indexShardsAt(fs, root, v).iterator).toSet
-      if (fs.exists(shardsDir(root)))
+      // Shards a crash stranded between the fence and the manifest
+      // write are referenced by NO manifest — invisible to the diff.
+      // The full reference sweep that catches them is O(store), so it
+      // runs only on whole-table publishes (compaction, blue/green) —
+      // already O(table) by nature and the scheduled deep-clean moment.
+      if (ops.exists(o => o.touched.isEmpty && o.partCol.nonEmpty) &&
+          fs.exists(shardsDir(root))) {
+        val liveIx = bucketLines.map(_._2).toSet ++ curM.buckets.map(_._2)
+        val liveDir = (indexAt(fs, root, vNew).iterator ++
+          indexAt(fs, root, v).iterator).map(_._2).toSet
         for (s <- fs.listStatus(shardsDir(root)).map(_.getPath.getName)
-            if !keepShards.contains(s))
+            if !liveIx.contains(s) && !liveDir.contains(s))
           fs.delete(new Path(shardsDir(root), s), false)
+      }
     } finally releaseLease(fs, root, token)
   }
 

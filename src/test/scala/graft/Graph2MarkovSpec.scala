@@ -27,6 +27,30 @@ class Graph2MarkovSpec extends SparkSpec {
     assert(pr.where(col("pagerank") <= 0).count() === 0)
   }
 
+  test("pageRank iteration reuses the edge partitioning: only the node-scale rank table shuffles per step") {
+    // guide §2.4 (share one exchange): prepareEdges hash-partitions +
+    // sorts the edge table on src ONCE before its checkpoint; each of
+    // the 8 iterations must then shuffle only the rank table — an
+    // src-side Exchange in the iteration plan means the edge-scale
+    // side is re-shuffling every step (8 × edge bytes at graph scale).
+    import spark.implicits._
+    val edges0 = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edgesDeg = Graph2.prepareEdges(edges0.join(deg, "src"))
+    val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    val ranks = deg.select(col("src").as("id"), lit(0.5).as("rank")).localCheckpoint()
+    val step = Graph2.prIteration(edgesDeg, ranks, n)
+    val plan = step.queryExecution.executedPlan.toString
+    val srcExchanges = "Exchange hashpartitioning\\(src".r.findAllIn(plan).size
+    assert(srcExchanges == 0,
+      s"the edge table re-shuffles inside the iteration ($srcExchanges src exchanges):\n" +
+        plan.take(2500))
+    // the rank-table exchange and the dst aggregation exchange remain —
+    // the two node-scale shuffles the algorithm genuinely needs
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(2500))
+  }
+
   test("kCenter picks the true farthest point each round, radii non-increasing") {
     val out = Graph2.kCenter(spark, sfDir).collect()
     assert(out.length === 5)
