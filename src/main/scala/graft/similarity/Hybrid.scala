@@ -342,7 +342,7 @@ object Hybrid {
     // broadcast the ≤15-row pruned side into the outer join.
     val cVecs = e.select(col("vec_id").as("doc_id"), col("v").as("v_b"),
       col("norm2").as("norm2_b"))
-      .join(broadcast(cands.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
+      .join(broadcast(cands.select("doc_id")), Seq("doc_id"), "left_semi")
     val w = Window.partitionBy("probe_id").orderBy(col("ce").desc, col("doc_id"))
     broadcast(cands)
       .join(docs, Seq("doc_id"))
