@@ -185,7 +185,13 @@ object TimeSeries {
     * last hour and one proportional to the archive. Exactness: the
     * partials carry decimal sums, so merge-then-average equals
     * full-recompute bit-for-bit. */
-  def mergeTierPartials(existing: DataFrame, delta: DataFrame): DataFrame = {
+  /** The two halves of a tier merge, exposed separately so a caller
+    * that also needs the corrected-rows view (the CDC feed) can reuse
+    * the reagg branch instead of re-reading the written store: `_1` is
+    * the untouched mass (anti-join pass-through, never re-aggregated),
+    * `_2` the re-aggregated touched buckets. Both carry the aligned
+    * DECIMAL(38,6) sum. */
+  def mergeTierPartialParts(existing: DataFrame, delta: DataFrame): (DataFrame, DataFrame) = {
     val keys = Seq("user_id", "event_type", "bucket_ms")
     val touched = delta.select(keys.map(col): _*).distinct()
     val pass = existing.join(broadcast(touched), keys, "left_anti")
@@ -200,8 +206,13 @@ object TimeSeries {
         min("first_ts_ms").as("first_ts_ms"),
         max("last_ts_ms").as("last_ts_ms"))
     // sum-of-decimal widens precision; align for the union
-    pass.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
-      .unionByName(reagg.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6))))
+    (pass.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6))),
+      reagg.withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6))))
+  }
+
+  def mergeTierPartials(existing: DataFrame, delta: DataFrame): DataFrame = {
+    val (pass, reagg) = mergeTierPartialParts(existing, delta)
+    pass.unionByName(reagg)
   }
 
   def tierIncremental(spark: SparkSession, dir: String): DataFrame = {

@@ -504,12 +504,12 @@ object Embeddings {
       |WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
   /** Full k-means: deterministic init (k lowest vec_ids), then
-    * alternate [[kmeansAssign]]-style E-steps and
-    * [[embedCentroids]]-style M-steps until assignments stop changing
-    * (Σassigned-centroid checksum) or maxIters. Each round is two
-    * shuffles — assignment is broadcast-only, the M-step reduces on
-    * (cluster, dim) — and lineage is cut per round with
-    * localCheckpoint, the same iterate-to-fixpoint shape as
+    * alternate E-steps and [[embedCentroids]]-style M-steps until
+    * assignments stop changing (xor-hash checksum) or maxIters. Each
+    * round moves exactly one corpus scan (the map-only
+    * [[kmeansEStep]] — zero corpus exchanges) plus one (cluster, dim)
+    * partial-aggregated reduce (the M-step); lineage is cut per round
+    * with localCheckpoint, the same iterate-to-fixpoint shape as
     * [[graft.dedup.Components.connectedComponents]]. Returns
     * (vec_id, cluster, cos). */
   def kmeansFit(vectors: DataFrame, k: Int, maxIters: Int = 10): DataFrame = {
@@ -520,20 +520,7 @@ object Embeddings {
           .orderBy("vec_id")).cast("long").as("cid"),
         col("v").as("vc"), col("norm2").as("cnorm2"))
       .localCheckpoint()
-    // E-step argmax via partial-aggregable min_by ((−ccos, cid) min =
-    // (ccos DESC, cid) first): K candidate rows per vector collapse
-    // map-side every round instead of shuffling corpus×K through a
-    // window sort — this runs maxIters times, so it is the fit's
-    // dominant exchange.
-    def estep() = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", r6(
-        expr("graft_dot(v, vc)") /
-          (sqrt(col("norm2")) * sqrt(col("cnorm2")))))
-      .groupBy(col("vec_id"))
-      .agg(min_by(struct(col("v"), col("cid"), col("ccos")),
-        struct(-col("ccos"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"), col("best.cid").as("cid"),
-        col("best.ccos").as("ccos"))
+    def estep() = kmeansEStep(e, cents)
     var assign = estep().localCheckpoint()
     // collision-resistant assignment digest: xor of xxhash64(vec_id,
     // cid) — equality ⇒ identical assignment with overwhelming
@@ -563,6 +550,36 @@ object Embeddings {
       iter += 1
     }
     assign.select(col("vec_id"), col("cid").as("cluster"), col("ccos").as("cos"))
+  }
+
+  /** One k-means E-step, MAP-ONLY (r21, guide §1.1 first-principles +
+    * §2.4): the argmax over K centroids is computed per ROW by folding
+    * over the centroid set as one broadcast ARRAY — no corpus×K
+    * expansion, no groupBy, and therefore NO corpus-scale exchange or
+    * sort at all (the r20 shape partial-min_by'd map-side but still
+    * shuffled one corpus×(v) row set per round, because
+    * localCheckpoint does not carry partitioning into the next round's
+    * plan). Per round the fit now moves exactly: one corpus scan
+    * (this) + one (cid, dim)-scale M-step reduce — the theoretical
+    * floor for Lloyd's algorithm. Arithmetic is expression-identical
+    * to the r20 shape (same graft_dot / sqrt / r6 rounding per
+    * (vector, centroid) pair); the fold keeps a strictly-greater ccos
+    * and iterates cids ascending (array_sort on the cid-first struct),
+    * which is exactly min_by's (ccos DESC, cid ASC) order. Spec-pinned
+    * zero-exchange in PlanAuditSpec. */
+  private[graft] def kmeansEStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centsArr = cents.agg(
+      array_sort(collect_list(struct(col("cid"), col("vc"), col("cnorm2")))).as("cs"))
+    e.crossJoin(broadcast(centsArr))
+      .withColumn("best", expr(
+        """aggregate(
+          |  transform(cs, c -> named_struct(
+          |    'ccos', round((graft_dot(v, c.vc) / (sqrt(norm2) * sqrt(c.cnorm2))) * 1e6, 0) / 1e6,
+          |    'cid', c.cid)),
+          |  named_struct('ccos', cast(-10.0 as double), 'cid', cast(-1 as bigint)),
+          |  (acc, s) -> if(s.ccos > acc.ccos, s, acc))""".stripMargin))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"),
+        col("best.ccos").as("ccos"))
   }
 
   /** Oracle-checked [[kmeansFit]] demo: k = 8, exactly 3 update

@@ -313,7 +313,14 @@ object Hybrid {
     * Determinism: cos and coverage are 6-dp rounded in both engines
     * (cos carries the −0.0 normalization, §5a #25), the blend
     * multiplies/adds the SAME rounded doubles with exact-double
-    * constants (§5a #28) and re-rounds; ties break on doc_id. */
+    * constants (§5a #28) and re-rounds; ties break on doc_id.
+    *
+    * NOTE (ADVICE r20 #3): the candidate `localCheckpoint()` below is
+    * EAGER — merely CONSTRUCTING this DataFrame executes both store
+    * probes (and stages the stores on a cold dir). Explain/analyze-only
+    * callers (tests, plan tooling) pay a full stage-1 execution at
+    * construction time; that is the deliberate price of materializing
+    * the ≤15-row candidate set exactly once. */
   def rerankCe(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.OverlapCount.register(spark)
     val bmCands = bm25Stored(spark, dir).select("probe_id", "doc_id")
@@ -325,10 +332,20 @@ object Hybrid {
     // corpus-pruning semi-join) read the checkpointed rows instead of
     // re-running the two store probes
     val cands = bmCands.unionByName(annCands).distinct().localCheckpoint()
+    // tokenize ONLY candidate rows (guide §2.3 "project before the
+    // exchange" applied to a broadcast probe): the r20 shape computed
+    // the token projection on the FULL documents scan below the
+    // candidate join — a corpus-wide tokenize pass for a ≤15-row
+    // candidate set, and at 100 TB the coverage feature must not
+    // tokenize the corpus. The broadcast semi-join drops non-candidates
+    // map-side BEFORE the tokenizer projection runs.
     val docs = Tables.documents(spark, dir)
+      .join(broadcast(cands.select("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), graft.dedup.Dedup.tokens.as("toks"))
-    val qToks = docs.where(col("doc_id").isin(probeIds: _*))
-      .select(col("doc_id").as("probe_id"), col("toks").as("q_toks"))
+    val qToks = Tables.documents(spark, dir)
+      .where(col("doc_id").isin(probeIds: _*))
+      .select(col("doc_id").as("probe_id"),
+        graft.dedup.Dedup.tokens.as("q_toks"))
     val e = Embeddings.vecs(spark, dir)
     val qVecs = e.where(col("vec_id").isin(probeIds: _*))
       .select(col("vec_id").as("probe_id"), col("v").as("v_a"),

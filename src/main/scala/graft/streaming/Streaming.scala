@@ -554,16 +554,21 @@ object Streaming {
         val touched = delta.select(keys.map(col): _*)
         val cur = sp.read.parquet(store)
         val tmp = store + "_next"
-        TimeSeries.mergeTierPartials(cur, delta)
-          .withColumn("value_sum", col("value_sum").cast(DecimalType(38, 6)))
-          .coalesce(2).write.mode("overwrite").parquet(tmp)
-        // CDC append runs BEFORE the swap: old side reads the current
-        // store (touched-pruned via broadcast), new side the staged one
-        avgCols(sp.read.parquet(tmp).join(broadcast(touched), keys, "left_semi"),
-            "new_avg", "new_n")
-          .join(avgCols(cur.join(broadcast(touched), keys, "left_semi"),
-            "old_avg", "old_n"), keys, "left")
-          .write.mode("append").parquet(cdcDir)
+        val (pass, reagg) = TimeSeries.mergeTierPartialParts(cur, delta)
+        // the CDC's new side IS the merge's reagg branch (the merged
+        // store semi-joined on touched keys selects exactly those
+        // rows: the pass branch is anti-joined on the same set), so
+        // the CDC append no longer re-reads the just-written store —
+        // and both jobs read only (cur, checkpointed delta), so the
+        // store rewrite and the CDC append run CONCURRENTLY
+        // (guide §2.6). Both complete before the swap, as before.
+        inParallel(
+          () => pass.unionByName(reagg)
+            .coalesce(2).write.mode("overwrite").parquet(tmp),
+          () => avgCols(reagg, "new_avg", "new_n")
+            .join(avgCols(cur.join(broadcast(touched), keys, "left_semi"),
+              "old_avg", "old_n"), keys, "left")
+            .write.mode("append").parquet(cdcDir))
         fs.delete(new org.apache.hadoop.fs.Path(store), true)
         fs.rename(new org.apache.hadoop.fs.Path(tmp),
           new org.apache.hadoop.fs.Path(store))
@@ -767,19 +772,26 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val ev = batch.select(col("event_type"), col("user_id"))
-        val regDelta = Hll.registers(ev)
-        val regMerged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(regStore)))
-            s.read.parquet(regStore).unionByName(regDelta)
-              .groupBy("event_type", "idx").agg(max("mj").as("mj"))
-          else regDelta
-        swapIn(regMerged, regStore)
-        val pairDelta = ev.distinct()
-        val pairMerged =
-          if (fs.exists(new org.apache.hadoop.fs.Path(exactStore)))
-            s.read.parquet(exactStore).unionByName(pairDelta).distinct()
-          else pairDelta
-        swapIn(pairMerged, exactStore)
+        // register store and exact-pair store are independent: their
+        // read-merge-write jobs overlap instead of serializing
+        inParallel(
+          () => {
+            val regDelta = Hll.registers(ev)
+            val regMerged =
+              if (fs.exists(new org.apache.hadoop.fs.Path(regStore)))
+                s.read.parquet(regStore).unionByName(regDelta)
+                  .groupBy("event_type", "idx").agg(max("mj").as("mj"))
+              else regDelta
+            swapIn(regMerged, regStore)
+          },
+          () => {
+            val pairDelta = ev.distinct()
+            val pairMerged =
+              if (fs.exists(new org.apache.hadoop.fs.Path(exactStore)))
+                s.read.parquet(exactStore).unionByName(pairDelta).distinct()
+              else pairDelta
+            swapIn(pairMerged, exactStore)
+          })
         ()
       }
       .option("checkpointLocation", tmpCheckpoint("streamhll"))
@@ -838,10 +850,14 @@ object Streaming {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val counts = Cms.gramCounts(batch).localCheckpoint()
-        mergeAdd(gramStore, counts, Seq("gram"), "n")
-        mergeAdd(cntStore,
-          Cms.hashed(counts).groupBy("salt", "idx").agg(sum("n").as("c")),
-          Seq("salt", "idx"), "c")
+        // the two stores are independent (both read only the
+        // checkpointed batch delta + their own table): their
+        // read-merge-write jobs overlap instead of serializing
+        inParallel(
+          () => mergeAdd(gramStore, counts, Seq("gram"), "n"),
+          () => mergeAdd(cntStore,
+            Cms.hashed(counts).groupBy("salt", "idx").agg(sum("n").as("c")),
+            Seq("salt", "idx"), "c"))
         ()
       }
       .option("checkpointLocation", tmpCheckpoint("streamcms"))
@@ -850,6 +866,24 @@ object Streaming {
     q.awaitTermination()
     Cms.probeTopK(spark.read.parquet(gramStore), spark.read.parquet(cntStore))
   }
+
+  /** Run independent per-trigger store writes CONCURRENTLY (guide
+    * §2.6: actions are only sequential because driver code calls them
+    * sequentially; a later job's tasks back-fill executors freed by
+    * the earlier job's tail). Every task runs to completion before the
+    * trigger returns — a failure in any rethrows after all finish, so
+    * no write can straggle past its trigger. The same move
+    * ManifestStore.publishOps applies to multi-table publishes,
+    * extended to the two pre-manifest sketch stores. */
+  private def inParallel(tasks: (() => Unit)*): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = tasks.map(t => Future(scala.util.Try(t())))
+      Await.result(Future.sequence(fs), scala.concurrent.duration.Duration.Inf)
+        .foreach(_.get)
+    }
 
   private def withStatePartitions[A](spark: SparkSession, n: Int)(body: => A): A = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

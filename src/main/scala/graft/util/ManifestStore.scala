@@ -96,8 +96,17 @@ import org.apache.spark.sql.types.StructType
   * read, or rewritten, warm or COLD: a one-dir publish on a 10⁶-dir
   * store reads a bounded handful of shard files (spec-pinned via the
   * [[shardDiskReads]] counter). Cold snapshot RESOLUTION is
-  * O(dirs) by nature (every dir's shard must be read once) but runs
-  * on a small parallel fetch pool, not serially.
+  * O(dirs) by nature (every dir's shard must be read once); below
+  * [[resolveJobThreshold]] misses it runs on a small parallel fetch
+  * pool, above it as a SPARK JOB over the shard files — a 10⁶-dir
+  * cold reader's reads scale with the cluster, not one JVM's thread
+  * pool. The scheduled compaction sweep is INCREMENTAL: index lines
+  * carry per-dir file counts, so [[compactOp]] selects its hot dirs
+  * from O(index buckets) metadata reads and rewrites O(hot) dirs —
+  * the one remaining O(store)-by-nature publishes are blue/green
+  * whole-table replaces and bucket-growth steps, which is where the
+  * stranded-shard reference sweep rides (plus the explicit
+  * [[sweepStrandedShards]] operator call).
   */
 object ManifestStore {
 
@@ -106,8 +115,11 @@ object ManifestStore {
     * format change restages automatically instead of silently serving
     * a stale-layout store from a previous JVM. (4: the manifest header
     * gained the dir count — `#R <buckets> <dirs>` — so a publish can
-    * check index growth without flattening the index.) */
-  private[graft] val LayoutVersion = 4
+    * check index growth without flattening the index. 5: index-shard
+    * lines carry each dir's FILE COUNT — `dirKey\tshard\tn` — so the
+    * incremental compactor finds its hot dirs from O(index buckets)
+    * metadata reads, never by reading every dir shard.) */
+  private[graft] val LayoutVersion = 5
 
   /** Injected crash points for the crash-window specs:
     * "publish" fires after the data files are written but before the
@@ -181,17 +193,56 @@ object ManifestStore {
     TableOp(table, partCol, None, replace = true,
       dir => writePartitioned(data(), partCol, dir))
 
-  /** The scheduled small-file sweep for one table: every committed dir
-    * collapses to one `sortCols`-sorted file (tight row-group stats),
-    * inside whatever atomic publish the caller assembles. */
+  /** The scheduled small-file sweep for one table, INCREMENTAL: only
+    * the HOT dirs — more than `maxFiles` committed files, or a file
+    * count the index predates (legacy lines) — are read and collapsed
+    * to one `sortCols`-sorted file each; an already-compact dir is not
+    * read, not rewritten, and its shard + index line carry forward
+    * verbatim. The hot set is decided UNDER the publish lease from the
+    * manifest's per-dir file counts alone (O(index buckets) metadata
+    * reads, zero data reads), so the sweep's cost tracks the
+    * small-file PROBLEM — O(touched) — never the store size. A fully
+    * compact table publishes NOTHING (no version bump). An
+    * unpartitioned table keeps the whole-table shape (its one dir IS
+    * the table). */
   def compactOp(spark: SparkSession, root: String, table: String,
-      partCol: String, sortCols: Seq[String], schema: StructType): TableOp =
-    TableOp(table, partCol, None, replace = true, { dir =>
-      val snap = readTable(spark, root, table, schema)
-      val laid = if (partCol.isEmpty) snap.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
-        else snap.repartition(col(partCol)).sortWithinPartitions(sortCols.map(col): _*)
-      writeLaidOut(laid, partCol, dir)
-    })
+      partCol: String, sortCols: Seq[String], schema: StructType,
+      maxFiles: Int = 1): TableOp =
+    if (partCol.isEmpty)
+      TableOp(table, partCol, None, replace = true, { dir =>
+        val snap = readTable(spark, root, table, schema)
+        val laid = snap.coalesce(1).sortWithinPartitions(sortCols.map(col): _*)
+        writeLaidOut(laid, partCol, dir)
+      })
+    else {
+      val prefix = if (table.isEmpty) s"$partCol=" else s"$table/$partCol="
+      // forced by the touched thunk, i.e. under the publish lease
+      lazy val hot: Seq[String] = {
+        val fs = Fs.of(spark, root)
+        val v = committedVersion(fs, root)
+        indexIx(fs, root, v)
+          .filter(l => l.dk.startsWith(prefix) &&
+            (l.n < 0 || l.n > maxFiles))
+          .map(_.dk)
+      }
+      TableOp(table, partCol,
+        Some(() => hot.map(dk => dk.stripPrefix(prefix): Any)),
+        replace = true, { dir =>
+          if (hot.nonEmpty) {
+            val fs = Fs.of(spark, root)
+            val m = readManifest(fs, root, committedVersion(fs, root))
+            // resolve ONLY the hot dirs' shards (index shards are warm
+            // from the hot-set scan above)
+            val files = hot.flatMap(dk =>
+              dirShardOf(fs, root, m, dk).toSeq
+                .flatMap(s => shardFiles(fs, root, s)))
+            val hotRows = spark.read.option("basePath", dir).schema(schema)
+              .parquet(files.map(f => s"$root/$f"): _*)
+            writeLaidOut(hotRows.repartition(col(partCol))
+              .sortWithinPartitions(sortCols.map(col): _*), partCol, dir)
+          }
+        })
+    }
 
   private def writePartitioned(df: DataFrame, partCol: String, dir: String): Unit =
     writeLaidOut(
@@ -288,6 +339,9 @@ object ManifestStore {
   private final case class ManifestIx(r: Int, count: Int,
       buckets: Seq[(Int, String)], legacy: Seq[(String, String)]) {
     def exists: Boolean = r > 0 || legacy.nonEmpty
+    /** O(1) bucket → index-shard lookup (ADVICE r20: the per-(version,
+      * dir) cleanup/GC paths called a linear collectFirst per lookup). */
+    lazy val bucketMap: Map[Int, String] = buckets.toMap
   }
   private val EmptyManifest = ManifestIx(0, 0, Seq.empty, Seq.empty)
 
@@ -310,6 +364,49 @@ object ManifestStore {
     }
   }
 
+  /** One parsed index-shard line: dir key, the dir's shard file, and
+    * (LayoutVersion ≥ 5) the dir's committed FILE COUNT — the metadata
+    * the incremental compactor selects its hot dirs by. `n` = −1 for
+    * lines written before the count field existed. */
+  private[graft] final case class IxLine(dk: String, shard: String, n: Int)
+
+  private def parseIx(l: String, mp: Path): IxLine = {
+    val parts = l.split('\t')
+    require(parts.length >= 2, s"malformed index line at $mp: $l")
+    IxLine(parts(0), parts(1),
+      if (parts.length > 2) parts(2).toInt else -1)
+  }
+
+  /** Parsed (dk → IxLine) map of one index shard, memoized per (root,
+    * shard) alongside the raw-line cache (ADVICE r20: cleanup/GC call
+    * [[dirShardOf]] per (version, dir); re-scanning the shard's lines
+    * per lookup was O(dirs × lines) on the driver). Index shards are
+    * immutable, so the parse caches forever within the LRU bound. */
+  private val ixMaps = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Map[String, IxLine]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Map[String, IxLine]]): Boolean =
+        size() > 8192
+    })
+
+  private def ixMapOf(fs: FileSystem, root: String, shard: String,
+      lax: Boolean): Option[Map[String, IxLine]] = {
+    val key = root + "\u0000" + shard
+    val hit = ixMaps.get(key)
+    if (hit != null) Some(hit)
+    else {
+      // a lax MISS (shard already cleaned away) is never cached: a
+      // later STRICT read of the same name must still fail loudly
+      shardLinesOpt(fs, root, shard, lax).map { ls =>
+        val m = ls.iterator
+          .map(l => { val p = parseIx(l, new Path(shardsDir(root), shard)); p.dk -> p })
+          .toMap
+        ixMaps.put(key, m)
+        m
+      }
+    }
+  }
+
   /** The dir shard holding `dk` in manifest `m`, reading at most ONE
     * index shard (the bucket `dk` hashes to) — the per-dir lookup the
     * publish path uses instead of flattening the whole index. `lax`
@@ -318,30 +415,29 @@ object ManifestStore {
   private def dirShardOf(fs: FileSystem, root: String, m: ManifestIx,
       dk: String, lax: Boolean = false): Option[String] =
     if (m.r == 0) m.legacy.collectFirst { case (k, s) if k == dk => s }
-    else {
-      val b = bucketOf(dk, m.r)
-      m.buckets.collectFirst { case (`b`, ix) => ix }.flatMap { ix =>
-        val lines = if (lax) shardLinesLax(fs, root, ix)
-          else shardFiles(fs, root, ix)
-        lines.iterator.map(splitTab(_, new Path(shardsDir(root), ix)))
-          .collectFirst { case (k, s) if k == dk => s }
-      }
+    else m.bucketMap.get(bucketOf(dk, m.r)).flatMap { ix =>
+      ixMapOf(fs, root, ix, lax).flatMap(_.get(dk)).map(_.shard)
     }
 
-  /** Version `v`'s index: ordered (dirKey, dirShardName) pairs,
-    * flattened through the bucket level. Full resolution — the READ
-    * path only; the publish path resolves per-dir via [[dirShardOf]]. */
-  private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] = {
+  /** Version `v`'s index, flattened through the bucket level with
+    * per-dir file counts. Full resolution — the READ path and the
+    * compactor's hot-dir scan; the publish path resolves per-dir via
+    * [[dirShardOf]]. */
+  private def indexIx(fs: FileSystem, root: String, v: Int): Seq[IxLine] = {
     val m = readManifest(fs, root, v)
-    if (m.r == 0) m.legacy
+    if (m.r == 0) m.legacy.map { case (dk, s) => IxLine(dk, s, -1) }
     else {
       val fetched = fetchShards(fs, root, m.buckets.map(_._2))
       m.buckets.flatMap { case (_, idxShard) =>
         fetched(idxShard)
-          .map(splitTab(_, new Path(shardsDir(root), idxShard)))
+          .map(parseIx(_, new Path(shardsDir(root), idxShard)))
       }
     }
   }
+
+  /** Version `v`'s index: ordered (dirKey, dirShardName) pairs. */
+  private def indexAt(fs: FileSystem, root: String, v: Int): Seq[(String, String)] =
+    indexIx(fs, root, v).map(l => l.dk -> l.shard)
 
   /** The committed (bucket count, bucket → index shard) level — the
     * index-sharding contract's observable surface. */
@@ -392,9 +488,13 @@ object ManifestStore {
     }
 
   /** Cold-cache hook for the crash-recovery specs: on-disk integrity,
-    * not cache contents, is what the suite must pin. */
-  private[graft] def clearShardCache(): Unit =
+    * not cache contents, is what the suite must pin. Clears the parsed
+    * index-map cache too, so a "cold driver" simulation re-reads (and
+    * re-counts) every shard it touches. */
+  private[graft] def clearShardCache(): Unit = {
     shardCaches.synchronized { shardCaches.clear() }
+    ixMaps.clear()
+  }
 
   /** Cache size of one store (spec surface for the LRU bound). */
   private[graft] def shardCacheSize(root: String): Int =
@@ -445,9 +545,47 @@ object ManifestStore {
       val t = new Thread(r, "manifest-io"); t.setDaemon(true); t
     })
 
-  /** Read many shards, fetching cache misses in parallel. Returns a
-    * LOCAL map (immune to LRU eviction mid-resolution), preserving the
-    * caller's read order and strict-miss semantics. */
+  /** Above this many cache-missed shards, cold resolution runs as a
+    * SPARK JOB over the shard files instead of through the driver's
+    * 16-thread pool (the Delta-checkpoint move, r20 verdict item 3): a
+    * 10⁶-dir cold reader must not funnel O(dirs) small reads through
+    * one JVM. Below it, the pool wins (no job-launch latency).
+    * Spec-overridable. */
+  private[graft] var resolveJobThreshold = 4096
+
+  /** Count of Spark-job resolutions (spec surface: proves the job path
+    * actually ran, and that the small-store path never pays it). */
+  private[graft] val resolveJobRuns = new java.util.concurrent.atomic.AtomicLong
+
+  /** Resolve many shard files as a Spark job: executors read and line-
+    * split each shard; contents return to the driver exactly as the
+    * serial path would produce them (the driver must hold the resolved
+    * snapshot either way — this distributes the READS, not the list).
+    * Falls back to the pool when no session is active. */
+  private def fetchShardsJob(fs: FileSystem, root: String,
+      misses: Seq[String]): Option[Map[String, Seq[String]]] =
+    SparkSession.getActiveSession.map { sp =>
+      resolveJobRuns.incrementAndGet()
+      // qualified against the STORE's filesystem, not the session default
+      val paths = misses.map(s =>
+        fs.makeQualified(new Path(shardsDir(root), s)).toString)
+      val minParts = math.min(misses.size,
+        math.max(sp.sparkContext.defaultParallelism, 1))
+      val byPath = sp.sparkContext
+        .wholeTextFiles(paths.mkString(","), minParts)
+        .collect()
+      shardDiskReads.addAndGet(misses.size)
+      byPath.map { case (p, content) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        name -> content.linesIterator.map(_.trim).filter(_.nonEmpty).toList
+      }.toMap
+    }
+
+  /** Read many shards, fetching cache misses in parallel — on the
+    * bounded driver pool, or (above [[resolveJobThreshold]]) as a
+    * Spark job. Returns a LOCAL map (immune to LRU eviction
+    * mid-resolution), preserving the caller's read order and
+    * strict-miss semantics. */
   private def fetchShards(fs: FileSystem, root: String,
       shards: Seq[String]): Map[String, Seq[String]] = {
     val c = cacheFor(root)
@@ -457,14 +595,27 @@ object ManifestStore {
       if (misses.size <= 1)
         misses.map(s => s -> shardFiles(fs, root, s)).toMap
       else {
-        val futs = misses.map(s => s -> ioPool.submit(
-          new java.util.concurrent.Callable[Seq[String]] {
-            def call(): Seq[String] = shardLinesOpt(fs, root, s, lax = false).get
-          }))
-        futs.map { case (s, f) =>
-          s -> (try f.get()
-          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
-        }.toMap
+        val viaJob = if (misses.size >= resolveJobThreshold)
+          fetchShardsJob(fs, root, misses) else None
+        viaJob match {
+          case Some(m) =>
+            // a shard the job did not return is a real missing file —
+            // same loud failure the serial path raises
+            for (s <- misses if !m.contains(s))
+              throw new java.io.FileNotFoundException(
+                new Path(shardsDir(root), s).toString)
+            m.foreach { case (s, ls) => c.put(s, ls) }
+            m
+          case None =>
+            val futs = misses.map(s => s -> ioPool.submit(
+              new java.util.concurrent.Callable[Seq[String]] {
+                def call(): Seq[String] = shardLinesOpt(fs, root, s, lax = false).get
+              }))
+            futs.map { case (s, f) =>
+              s -> (try f.get()
+              catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+            }.toMap
+        }
       }
     got.map { case (s, hit) => s -> (if (hit != null) hit else fetched(s)) }.toMap
   }
@@ -572,12 +723,18 @@ object ManifestStore {
     // IOException (permissions, connectivity) is a real FS error and
     // must surface unchanged — retrying it for waitMs and then blaming
     // a concurrent job steers operators toward breakLease for a
-    // problem that is not a stale lease
+    // problem that is not a stale lease. Contention is confirmed
+    // POSITIVELY (ADVICE r20 #1): a typed already-exists exception, or
+    // any IOException with the lease file actually present afterwards
+    // — never a message-phrasing heuristic ('does not exist' matched
+    // the old `contains("exist")`, and wrapped FS contention errors
+    // without the word surfaced raw).
     def leaseHeld(e: Throwable): Boolean = e match {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
       case _: java.nio.file.FileAlreadyExistsException => true
-      case e: java.io.IOException =>
-        Option(e.getMessage).exists(_.toLowerCase.contains("exist"))
+      case _: java.io.IOException =>
+        try fs.exists(new Path(root, "_lease"))
+        catch { case _: java.io.IOException => false }
       case _ => false
     }
     var sleepMs = 50L // exponential backoff to a 500 ms cap: a 10 s
@@ -634,6 +791,35 @@ object ManifestStore {
   def breakLease(spark: SparkSession, root: String): Unit = {
     Fs.of(spark, root).delete(new Path(root, "_lease"), false)
     ()
+  }
+
+  /** The explicit deep-clean: delete `_shards` files that NO manifest
+    * still on disk references — the crash residue stranded between a
+    * fence and a manifest write, which the per-publish shard-diff GC
+    * cannot see. O(store) namespace work by nature, so it is an
+    * operator-scheduled maintenance call (and rides growth/whole-table
+    * publishes opportunistically), never the per-trigger path. Runs
+    * under the writer lease; concurrent readers are safe (only
+    * unreferenced names are deleted). */
+  def sweepStrandedShards(spark: SparkSession, root: String,
+      leaseWaitMs: Long = 0L): Unit = {
+    val fs = Fs.of(spark, root)
+    if (!fs.exists(shardsDir(root))) return
+    val token = acquireLease(fs, root, leaseWaitMs)
+    try {
+      // every manifest still on disk — committed, grace, or a crashed
+      // publish's (its own cleanup belongs to the next publish, not
+      // this sweep) — protects the shards it references
+      val live: Set[String] = manifestVersions(fs, root).flatMap { w =>
+        val m = readManifest(fs, root, w)
+        val idx = m.buckets.map(_._2)
+        idx ++ idx.flatMap(ix => shardLinesLax(fs, root, ix)
+          .map(parseIx(_, new Path(shardsDir(root), ix)).shard))
+      }.toSet
+      for (s <- fs.listStatus(shardsDir(root)).map(_.getPath.getName)
+          if !live.contains(s))
+        fs.delete(new Path(shardsDir(root), s), false)
+    } finally releaseLease(fs, root, token)
   }
 
   // ----------------------------------------------------------------
@@ -730,7 +916,8 @@ object ManifestStore {
         val ownLines: Seq[(String, String)] =
           if (mw.r == 0) mw.legacy
           else ownIdx.flatMap(ix => shardLinesLax(fs, root, ix)
-            .map(splitTab(_, new Path(shardsDir(root), ix))))
+            .map(l => { val p = parseIx(l, new Path(shardsDir(root), ix))
+              (p.dk, p.shard) }))
         for ((dk, ds) <- ownLines
             if !committedDirShards(dk).exists(_._2 == ds)) {
           for (f <- shardLinesLax(fs, root, ds) if !referencedIn(dk).contains(f))
@@ -756,9 +943,9 @@ object ManifestStore {
       // whole-table ops are the ONE shape whose touched set is the
       // table itself; only they flatten the index (lazily, so every
       // partition-scoped publish stays O(touched))
-      lazy val curIndexFull: Seq[(String, String)] = indexAt(fs, root, v)
+      lazy val curIndexFull: Seq[IxLine] = indexIx(fs, root, v)
       def manifestDirsOf(table: String): Seq[String] =
-        curIndexFull.map(_._1).filter(dk =>
+        curIndexFull.map(_.dk).filter(dk =>
           if (table.isEmpty) true else dk == table || dk.startsWith(s"$table/"))
       val staged = ops.flatMap { op =>
         val wholeTable = op.touched.isEmpty
@@ -857,10 +1044,13 @@ object ManifestStore {
       val newR = math.max(math.max(curM.r, 1), targetBuckets(newCount))
       def idxShardName(b: Int): String =
         s"idx${b}_v${vNew}_${java.util.UUID.randomUUID().toString.take(8)}.list"
-      def writeIdxShard(b: Int, lines: Seq[(String, String)]): String = {
+      // index lines carry each dir's file count forward (−1 = unknown,
+      // a pre-v5 line carried through a growth step)
+      def writeIdxShard(b: Int, lines: Seq[IxLine]): String = {
         val s = idxShardName(b)
         writeLines(fs, new Path(shardsDir(root), s),
-          lines.sortBy(_._1).map { case (dk, ds) => s"$dk\t$ds" })
+          lines.sortBy(_.dk).map(l =>
+            if (l.n >= 0) s"${l.dk}\t${l.shard}\t${l.n}" else s"${l.dk}\t${l.shard}"))
         s
       }
       // INDEX-LEVEL sharding: the manifest file is (bucket → index
@@ -880,18 +1070,18 @@ object ManifestStore {
               case None => Some(b -> curBuckets(b)) // untouched range: verbatim
               case Some(change) =>
                 val changeSet = change.toSet
-                val curLines: Seq[(String, String)] = curBuckets.get(b)
+                val curLines: Seq[IxLine] = curBuckets.get(b)
                   .map(ix => shardFiles(fs, root, ix)
-                    .map(splitTab(_, new Path(shardsDir(root), ix))))
+                    .map(parseIx(_, new Path(shardsDir(root), ix))))
                   .getOrElse(Seq.empty)
-                val carried = curLines.filterNot { case (dk, _) => changeSet(dk) }
+                val carried = curLines.filterNot(l => changeSet(l.dk))
                 val rewritten = change.flatMap { dk =>
                   val merged = mergedOf(dk)
                   if (merged.isEmpty) None
                   else {
                     val s = shardNameFor(dk)
                     writeLines(fs, new Path(shardsDir(root), s), merged)
-                    Some(dk -> s)
+                    Some(IxLine(dk, s, merged.size))
                   }
                 }
                 val lines = carried ++ rewritten
@@ -904,23 +1094,23 @@ object ManifestStore {
         } else {
           // growth / first publish / legacy upgrade: one full re-bucket
           val changedSet = changedDirs.toSet
-          val newIndex = scala.collection.mutable.LinkedHashMap[String, String]()
-          for ((dk, shard) <- curIndexFull if !changedSet(dk))
-            newIndex += dk -> shard
+          val newIndex = scala.collection.mutable.LinkedHashMap[String, IxLine]()
+          for (l <- curIndexFull if !changedSet(l.dk))
+            newIndex += l.dk -> l
           for (dk <- changedDirs) {
             val merged = mergedOf(dk)
             if (merged.nonEmpty) {
               val s = shardNameFor(dk)
               writeLines(fs, new Path(shardsDir(root), s), merged)
-              newIndex += dk -> s
+              newIndex += dk -> IxLine(dk, s, merged.size)
             }
           }
           require(newIndex.size == newCount,
             s"dir-count bookkeeping diverged at $root: header says $newCount, " +
               s"index holds ${newIndex.size}")
-          val byB = newIndex.toSeq.groupBy { case (dk, _) => bucketOf(dk, newR) }
+          val byB = newIndex.values.toSeq.groupBy(l => bucketOf(l.dk, newR))
           (0 until newR).flatMap { b =>
-            byB.get(b).map(pairs => b -> writeIdxShard(b, pairs))
+            byB.get(b).map(lines => b -> writeIdxShard(b, lines))
           }.toSeq
         }
       // the manifest create is EXCLUSIVE: a legitimate writer always
@@ -971,7 +1161,8 @@ object ManifestStore {
         val ownLines: Seq[(String, String)] =
           if (mw.r == 0) mw.legacy
           else ownIdx.flatMap(ix => shardLinesLax(fs, root, ix)
-            .map(splitTab(_, new Path(shardsDir(root), ix))))
+            .map(l => { val p = parseIx(l, new Path(shardsDir(root), ix))
+              (p.dk, p.shard) }))
         for ((dk, ds) <- ownLines) {
           val curDs = dirShardOf(fs, root, curM, dk)
           if (!curDs.contains(ds)) {
@@ -993,9 +1184,18 @@ object ManifestStore {
       // Shards a crash stranded between the fence and the manifest
       // write are referenced by NO manifest — invisible to the diff.
       // The full reference sweep that catches them is O(store), so it
-      // runs only on whole-table publishes (compaction, blue/green) —
-      // already O(table) by nature and the scheduled deep-clean moment.
-      if (ops.exists(o => o.touched.isEmpty && o.partCol.nonEmpty) &&
+      // rides only publishes that are ALREADY O(store): whole-
+      // PARTITIONED-table ops (blue/green rotation) and the bucket-
+      // growth re-bucket step (ADVICE r20 #2 — so stores that only
+      // ever see partition-scoped publishes still get swept as they
+      // grow, amortized over the doublings). NOT a trigger: the
+      // incremental compactor and the per-trigger unpartitioned ops
+      // (delete-log appends/folds) — the scheduled path stays
+      // O(touched). Static partition-scoped stores' crash residue is
+      // caught by [[sweepStrandedShards]], the explicit operator
+      // deep-clean.
+      if ((ops.exists(o => o.touched.isEmpty && o.partCol.nonEmpty) ||
+            !(curM.exists && curM.r == newR)) &&
           fs.exists(shardsDir(root))) {
         val liveIx = bucketLines.map(_._2).toSet ++ curM.buckets.map(_._2)
         val liveDir = (indexAt(fs, root, vNew).iterator ++

@@ -606,6 +606,102 @@ class ManifestStoreSpec extends SparkSpec {
     assert(rows(root) == Set("[1,1.0,0]", "[2,2.0,1]"))
   }
 
+  test("incremental compaction rewrites ONLY hot dirs: O(touched) data work + O(index buckets) metadata on a many-dir store; a compact store publishes nothing") {
+    // r20 verdict item 2: compactOp was a whole-table replace — every
+    // dir read and rewritten, and the O(store) stranded-shard sweep
+    // rode every scheduled compaction. Index lines now carry per-dir
+    // file counts (LayoutVersion 5), so the sweep selects hot dirs
+    // from index metadata alone and rewrites only them.
+    val savedTarget = ManifestStore.indexBucketTarget
+    ManifestStore.indexBucketTarget = 2
+    try {
+      val root = tmp()
+      // 16 dirs → 8 index buckets at target 2; all single-file
+      ManifestStore.append(spark, root, "b",
+        df((0 until 16).map(i => (i.toLong, i.toDouble, i)): _*))
+      // make dir b=3 hot: two more appends → 3 files
+      ManifestStore.append(spark, root, "b", df((103L, 103.0, 3)))
+      ManifestStore.append(spark, root, "b", df((203L, 203.0, 3)))
+      val before = rows(root)
+      val coldBefore = diskFiles(root).filterNot(_.contains("b=3/"))
+      ManifestStore.clearShardCache()
+      ManifestStore.shardDiskReads.set(0)
+      ManifestStore.compact(spark, root, "b", Seq("id"), schema)
+      val reads = ManifestStore.shardDiskReads.get()
+      // hot-dir scan reads the 8 index shards; the write + commit + GC
+      // touch only b=3's shards (plus grace diffs) — never all 16 dirs
+      assert(reads <= 16,
+        s"incremental compaction read $reads shards on a 16-dir store " +
+          "(O(store) regression; O(buckets + touched) is <= 16)")
+      info(s"1-hot-dir compaction on a 16-dir store: $reads shard disk reads")
+      // result-invisible, hot dir collapsed, cold dirs byte-identical
+      assert(rows(root) == before)
+      val byPart = ManifestStore.files(spark, root).groupBy(_.takeWhile(_ != '/'))
+      assert(byPart("b=3").size == 1, s"hot dir not collapsed: ${byPart("b=3")}")
+      assert(diskFiles(root).filterNot(_.contains("b=3/")) == coldBefore,
+        "an already-compact dir was rewritten by the incremental sweep")
+      // a fully compact table publishes NOTHING: no version bump
+      val fs = graft.util.Fs.of(spark, root)
+      val v = ManifestStore.committedVersion(fs, root)
+      ManifestStore.compact(spark, root, "b", Seq("id"), schema)
+      assert(ManifestStore.committedVersion(fs, root) == v,
+        "a no-op compaction bumped the version")
+      assert(rows(root) == before)
+    } finally ManifestStore.indexBucketTarget = savedTarget
+  }
+
+  test("cold resolution above the threshold runs as a SPARK JOB and is bit-identical to the serial path") {
+    // r20 verdict item 3: a 10⁶-dir cold reader funneled O(dirs) small
+    // reads through one JVM's 16-thread pool. Above resolveJobThreshold
+    // cache misses, the shard files are read by a Spark job instead —
+    // the reads scale with the cluster. Same contents either way.
+    val root = tmp()
+    ManifestStore.append(spark, root, "b",
+      df((0 until 96).map(i => (i.toLong, i.toDouble, i)): _*))
+    // serial (pool) resolution: threshold far above the store
+    val savedThr = ManifestStore.resolveJobThreshold
+    try {
+      ManifestStore.resolveJobThreshold = Int.MaxValue
+      ManifestStore.clearShardCache()
+      val jobsBefore = ManifestStore.resolveJobRuns.get()
+      val serialFiles = ManifestStore.files(spark, root)
+      val serialRows = rows(root)
+      assert(ManifestStore.resolveJobRuns.get() == jobsBefore,
+        "the small-store path paid a Spark job")
+      // job resolution: threshold below the store's shard count
+      ManifestStore.resolveJobThreshold = 8
+      ManifestStore.clearShardCache()
+      val jobFiles = ManifestStore.files(spark, root)
+      assert(ManifestStore.resolveJobRuns.get() > jobsBefore,
+        "cold resolution above the threshold did not use the job path")
+      assert(jobFiles == serialFiles,
+        "job-path snapshot differs from the serial path")
+      assert(rows(root) == serialRows)
+    } finally ManifestStore.resolveJobThreshold = savedThr
+  }
+
+  test("stranded shards: the per-trigger path never pays the O(store) sweep; sweepStrandedShards and growth publishes collect the residue") {
+    // ADVICE r20 #2: crash residue stranded between a fence and a
+    // manifest write is referenced by NO manifest. Partition-scoped
+    // publishes must NOT pay an O(store) sweep for it; the explicit
+    // operator call (and the already-O(store) growth step) collects it.
+    val root = tmp()
+    ManifestStore.append(spark, root, "b", df((1L, 1.0, 0), (2L, 2.0, 1)))
+    val fs = graft.util.Fs.of(spark, root)
+    val stranded = new Path(root, "_shards/b=9_v99_deadbeef.list")
+    val out = fs.create(stranded, false)
+    out.write("b=9/ghost.parquet".getBytes("UTF-8")); out.close()
+    // a partition-scoped publish leaves it (no O(store) sweep rides it)
+    ManifestStore.append(spark, root, "b", df((3L, 3.0, 0)))
+    assert(fs.exists(stranded), "a partition-scoped publish paid the O(store) sweep")
+    // the explicit deep-clean collects it and touches nothing live
+    val before = rows(root)
+    ManifestStore.sweepStrandedShards(spark, root)
+    assert(!fs.exists(stranded), "sweepStrandedShards missed the stranded shard")
+    ManifestStore.clearShardCache()
+    assert(rows(root) == before, "the sweep deleted a referenced shard")
+  }
+
   test("dynamic partition pruning reaches a manifest-read scan joined on its partition column") {
     val root = tmp()
     ManifestStore.append(spark, root, "b",

@@ -374,6 +374,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("kmeansFit E-step is MAP-ONLY: zero corpus exchange, zero corpus sort per iteration") {
+    // guide §1.1/§2.4 (r21): the per-round argmax folds over the
+    // centroid set as one broadcast array, so an iteration's E-step
+    // plan holds NO shuffle exchange and NO aggregate at corpus scale
+    // — the r20 shape shuffled one corpus×(v) row set per round. Any
+    // Exchange hashpartitioning in the step plan is the regression.
+    import org.apache.spark.sql.functions.col
+    graft.functions.DotProduct.register(spark)
+    val vecs = graft.similarity.Embeddings.vecsOf(graft.Tables.embeddings(spark, sfDir))
+    val e = vecs.select(col("vec_id"), col("v"), col("norm2")).localCheckpoint()
+    val cents = e.orderBy("vec_id").limit(4)
+      .select(org.apache.spark.sql.functions.row_number()
+          .over(org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+          .cast("long").as("cid"),
+        col("v").as("vc"), col("norm2").as("cnorm2"))
+      .localCheckpoint()
+    val step = graft.similarity.Embeddings.kmeansEStep(e, cents)
+    step.collect() // execute so AQE finalizes the plan
+    val p = planStr(step)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 0,
+      s"the corpus shuffles inside the E-step ($shuffles exchanges):\n" + p.take(2500))
+    // the only aggregate allowed is the K-row collect_list on the
+    // broadcast side — never a corpus-keyed one
+    assert(!p.contains("keys=[vec_id"),
+      "corpus-scale aggregate inside the map-only E-step:\n" + p.take(2500))
+  }
+
   // ------------------------------------------------------- round 12
 
   test("compact-ANN funnels broadcast the probes; corpus side never exchanges before the join") {
